@@ -1,0 +1,72 @@
+"""Unit tests: varbyte/delta codec round-trips + block-max metadata.
+
+Mirrors the reference's table-driven unit style (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from pgspark_index import codecs
+
+
+def test_varbyte_roundtrip_small():
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**32, 2**63, 2**64 - 1], dtype=np.uint64)
+    blob, nbytes = codecs.varbyte_encode(vals)
+    assert nbytes.tolist() == [1, 1, 1, 2, 2, 2, 3, 5, 10, 10]
+    out = codecs.varbyte_decode(blob)
+    assert out.tolist() == vals.tolist()
+
+
+def test_varbyte_roundtrip_random():
+    rng = np.random.RandomState(7)
+    for _ in range(10):
+        n = rng.randint(1, 5000)
+        # mix of magnitudes
+        vals = (rng.randint(0, 2**62, size=n).astype(np.uint64)
+                >> rng.randint(0, 62, size=n).astype(np.uint64))
+        blob, _ = codecs.varbyte_encode(vals)
+        assert codecs.varbyte_decode(blob).tolist() == vals.tolist()
+
+
+def test_varbyte_empty():
+    blob, nbytes = codecs.varbyte_encode(np.zeros(0, dtype=np.uint64))
+    assert blob == b"" and len(nbytes) == 0
+    assert codecs.varbyte_decode(b"").size == 0
+
+
+@pytest.mark.parametrize("n", [1, 5, 128, 129, 1000, 4096])
+def test_postings_roundtrip(n):
+    rng = np.random.RandomState(n)
+    doc_ids = np.unique(rng.randint(-(2**62), 2**62, size=n).astype(np.int64))
+    tfs = rng.randint(1, 50, size=doc_ids.size)
+    dls = rng.randint(1, 500, size=doc_ids.size)
+    enc = codecs.encode_postings(doc_ids, tfs, dls)
+    assert enc["df"] == doc_ids.size
+    assert enc["cf"] == int(tfs.sum())
+    d_doc, d_tf, d_dl = codecs.decode_postings(enc["postings"], enc["df"])
+    assert d_doc.tolist() == doc_ids.tolist()
+    assert d_tf.tolist() == tfs.tolist()
+    assert d_dl.tolist() == dls.tolist()
+
+
+def test_block_meta_and_block_decode():
+    rng = np.random.RandomState(3)
+    n = 1000
+    doc_ids = np.unique(rng.randint(-(2**40), 2**40, size=n).astype(np.int64))
+    n = doc_ids.size
+    tfs = rng.randint(1, 30, size=n)
+    dls = rng.randint(10, 400, size=n)
+    enc = codecs.encode_postings(doc_ids, tfs, dls)
+    nblocks = (n + codecs.BLOCK - 1) // codecs.BLOCK
+    assert len(enc["block_last_doc"]) == nblocks
+    for b in range(nblocks):
+        lo, hi = b * codecs.BLOCK, min((b + 1) * codecs.BLOCK, n)
+        assert enc["block_last_doc"][b] == doc_ids[hi - 1]
+        assert enc["block_max_tf"][b] == tfs[lo:hi].max()
+        assert enc["block_min_dl"][b] == dls[lo:hi].min()
+        prev = None if b == 0 else int(doc_ids[lo - 1])
+        bd, bt, bl = codecs.decode_block(
+            enc["postings"], n, b, enc["block_offset"], prev
+        )
+        assert bd.tolist() == doc_ids[lo:hi].tolist()
+        assert bt.tolist() == tfs[lo:hi].tolist()
+        assert bl.tolist() == dls[lo:hi].tolist()

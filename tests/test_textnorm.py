@@ -1,0 +1,60 @@
+"""Tokenizer/extraction determinism tests (byte-identical invariant)."""
+
+import hashlib
+
+from pgspark_index import textnorm
+from pgspark_index.fixtures import make_webtext_pdf
+
+
+def test_normalize_basic():
+    assert textnorm.normalize("Hello,  WORLD!\x00\n") == "hello, world!"
+    assert textnorm.normalize("Ｆｕｌｌｗｉｄｔｈ") == "fullwidth"  # NFKC
+
+
+def test_tokenize():
+    assert textnorm.tokenize("hello, world! 123 foo-bar") == [
+        "hello", "world", "123", "foo", "bar",
+    ]
+
+
+def test_strip_html():
+    html = b"<html><head><script>var x=1;</script></head><body><p>Hi &amp; bye</p></body></html>"
+    assert textnorm.normalize(textnorm.strip_html(html)) == "hi & bye"
+
+
+def test_extract_prefers_text():
+    assert textnorm.extract_text(b"<p>from html</p>", "From Text") == "from text"
+    assert textnorm.extract_text(b"<p>from html</p>", None) == "from html"
+    assert textnorm.extract_text(None, None) == ""
+
+
+def test_token_counts_sorted():
+    dl, counts = textnorm.token_counts("b a b c a b")
+    assert dl == 6
+    assert counts == [("a", 2), ("b", 3), ("c", 1)]
+
+
+def test_extraction_golden_hash():
+    """Byte-identical invariant: sha256 of the concatenated normalized text
+    of the first 100 fixture docs is pinned. If tokenization/normalization
+    ever changes, this fails and goldens must be regenerated consciously."""
+    pdf = make_webtext_pdf(100, seed=42)
+    h = hashlib.sha256()
+    for _, row in pdf.iterrows():
+        h.update(textnorm.extract_text(row["html"], row["text"]).encode("utf-8"))
+        h.update(b"\x1f")
+    digest = h.hexdigest()
+    import json, pathlib
+
+    golden_path = pathlib.Path(__file__).parent / "golden" / "extract_hash.json"
+    if not golden_path.exists():
+        golden_path.write_text(json.dumps({"sha256": digest}))
+    assert json.loads(golden_path.read_text())["sha256"] == digest
+
+
+def test_fixture_determinism():
+    a = make_webtext_pdf(200, seed=42)
+    b = make_webtext_pdf(200, seed=42)
+    assert a.equals(b)
+    assert (a["text"].isna().mean()) > 0.01  # some html-only rows
+    assert a["url"].duplicated().any()  # recrawls exist
