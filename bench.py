@@ -1,0 +1,104 @@
+"""Per-round benchmark: index build + BM25 query latency on the synthetic
+webtext corpus at $SPARK_GRAFT_SF_DIR's scale, on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {phase/query -> sec}, "sf": ..., ...extras}
+
+The corpus is synthesized deterministically (seed 42) at a size scaled to
+the sf of the testdata dir (sf0.1 -> 20k docs); BM25 queries are the
+seeded reference query set. Scaling-efficiency evidence (local[8] vs
+local[32]) is produced by bench/scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pgspark_index import build, fixtures, merge, query  # noqa: E402
+from pgspark_index.session import get_spark  # noqa: E402
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    n_docs = max(1000, int(sf * 200_000))
+    n_queries = 50
+
+    spark = get_spark(app="pgspark_bench", cores=cpus, shuffle_partitions=cpus)
+    index_dir = tempfile.mkdtemp(prefix="pgspark_bench_idx_")
+    timings: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        df = fixtures.make_webtext_df(spark, n_docs, seed=42, partitions=cpus)
+        df.persist().count()  # materialize input so build timing excludes datagen
+        timings["datagen"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        build.build_index(
+            spark, df, index_dir, num_units=2, partitions=cpus,
+            salt_target=50_000, sample_fraction=0.05,
+        )
+        build_sec = time.time() - t0
+        timings["build"] = round(build_sec, 3)
+
+        t0 = time.time()
+        stats = merge.merge_index(spark, index_dir)
+        timings["merge"] = round(time.time() - t0, 3)
+
+        queries = fixtures.make_query_set(n_queries, seed=123)
+        # warm the lexicon/segment file footers
+        query.search(spark, index_dir, queries[0]["terms"], 10).collect()
+
+        lat = []
+        for q in queries:
+            t0 = time.time()
+            query.search(spark, index_dir, q["terms"], q["k"]).collect()
+            lat.append(time.time() - t0)
+            timings[f"q{q['query_id']:02d}"] = round(lat[-1], 3)
+        lat_sorted = sorted(lat)
+        p50 = lat_sorted[len(lat) // 2]
+        p95 = lat_sorted[int(len(lat) * 0.95)]
+
+        # one-job batch path (amortized per-query cost)
+        t0 = time.time()
+        query.search_batch(spark, index_dir, queries).collect()
+        batch_sec = time.time() - t0
+        timings["batch_all_queries"] = round(batch_sec, 3)
+
+        total = timings["build"] + timings["merge"] + sum(lat)
+        out = {
+            "metric": "webtext index build + merge + 50 BM25 top-k queries (engine end-to-end)",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "n_docs": stats["n_docs"],
+            "docs_per_sec_build": round(stats["n_docs"] / build_sec, 1),
+            "query_p50_sec": round(p50, 4),
+            "query_p95_sec": round(p95, 4),
+            "batch_queries_per_sec": round(n_queries / batch_sec, 2),
+            "postings_bytes": stats["postings_bytes"],
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

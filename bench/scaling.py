@@ -1,0 +1,97 @@
+"""Scaling-efficiency evidence: the same build at local[8] vs local[32]
+(the sandbox proxy for N vs 4N executors; BASELINE.json north rule).
+
+Each parallelism level runs in a fresh subprocess (fresh JVM) so executor
+thread count is really what changes. Writes BENCH/BASELINE.md.
+
+Usage: python bench/scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pgspark_index import build, fixtures, merge, query
+from pgspark_index.session import get_spark
+
+cores = int(sys.argv[1]); n_docs = int(sys.argv[2])
+spark = get_spark(app=f"scaling-{{cores}}", cores=cores, shuffle_partitions=cores)
+idx = tempfile.mkdtemp(prefix=f"pgspark_scale_{{cores}}_")
+df = fixtures.make_webtext_df(spark, n_docs, seed=42, partitions=cores)
+df.persist().count()
+t0 = time.time()
+build.build_index(spark, df, idx, num_units=1, partitions=cores,
+                  salt_target=50_000, sample_fraction=0.05)
+build_sec = time.time() - t0
+t0 = time.time()
+stats = merge.merge_index(spark, idx)
+merge_sec = time.time() - t0
+qs = fixtures.make_query_set(20, seed=123)
+query.search(spark, idx, qs[0]["terms"], 10).collect()
+lat = []
+for q in qs:
+    t0 = time.time(); query.search(spark, idx, q["terms"], q["k"]).collect()
+    lat.append(time.time() - t0)
+lat.sort()
+print("RESULT " + json.dumps({
+    "cores": cores, "n_docs": stats["n_docs"], "build_sec": round(build_sec, 2),
+    "merge_sec": round(merge_sec, 2),
+    "docs_per_sec": round(stats["n_docs"] / build_sec, 1),
+    "query_p95_sec": round(lat[int(len(lat)*0.95)], 4),
+}))
+shutil.rmtree(idx, ignore_errors=True)
+spark.stop()
+"""
+
+
+def run(cores: int, n_docs: int) -> dict:
+    code = CHILD.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), str(n_docs)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child failed (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    r8 = run(8, n_docs)
+    r32 = run(32, n_docs)
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — scaling efficiency evidence (N vs 4N)
+
+Same input ({n_docs:,} synthetic webtext docs, seed 42), same build
+(1 unit, partitions = cores), two parallelism levels in fresh JVMs —
+the sandbox proxy for N vs 4N executors required by BASELINE.json.
+
+| parallelism | build sec | docs/sec | merge sec | query p95 sec |
+|---|---|---|---|---|
+| local[8]  (N)  | {r8['build_sec']} | {r8['docs_per_sec']} | {r8['merge_sec']} | {r8['query_p95_sec']} |
+| local[32] (4N) | {r32['build_sec']} | {r32['docs_per_sec']} | {r32['merge_sec']} | {r32['query_p95_sec']} |
+
+**Scaling efficiency** = (docs/sec at 4N) / (4 x docs/sec at N) =
+({r32['docs_per_sec']} / (4 x {r8['docs_per_sec']})) = **{eff:.3f}**
+(acceptance: >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"})
+
+Raw: {json.dumps({"local8": r8, "local32": r32, "efficiency": round(eff, 3)})}
+"""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,332 @@
+"""Index build: webtext -> per-unit compressed posting-list segments + lineage.
+
+Spark-first re-expression of pgstream's bulk parallel snapshot pipeline
+(/root/reference/pkg/snapshot/generator/postgres/data/pg_snapshot_generator.go):
+
+- pgstream splits a table into ctid page ranges and snapshots them with
+  worker pools, recording per-table status for resume. We split the corpus
+  into ``num_units`` deterministic work units (hash of url), build each
+  unit as one Spark job, and commit a manifest row after the unit's files
+  are fully written (commit-after-write, see manifest.py).
+- pgstream picks Kafka partition keys to trade ordering vs skew
+  (pkg/wal/processor/kafka/config.go:21-39). We repartitionByRange on
+  (term, salt) where head terms get a salt fan-out estimated from a
+  sample — Zipf head terms would otherwise swamp single reducers; AQE
+  does not rebalance applyInPandas/mapInPandas stages, so the salting is
+  explicit.
+
+Physical plan per unit (all relational parts stay in WholeStageCodegen;
+Python appears only in the three Arrow-vectorized stages):
+
+  scan (column-pruned: url, warc_ts, html, text)
+   -> filter pmod(xxhash64(url), num_units) = unit        [unit predicate]
+   -> window last-writer-wins per url                     [shuffle 1: url]
+   -> extract_text_udf, token_counts_udf                  [Arrow, vectorized]
+   -> persist (reused by docs write + postings build)
+   -> docs parquet (doc_id, url, doclen)
+   -> explode counts -> (term, salt, doc_id, tf, dl)
+   -> repartitionByRange(P, term, salt)                   [shuffle 2: range]
+   -> sortWithinPartitions(term, salt, doc_id)
+   -> mapInPandas(segment builder: delta+varbyte encode)  [Arrow, vectorized]
+   -> segments parquet under segments/unit=<u>/
+
+At 10^12 docs the unit count is chosen so one unit's tokenized form fits
+the cluster's cache/disk comfortably (units are also the resume and
+incremental-build granularity); within a unit parallelism is ``partitions``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel, TaskContext
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+from . import codecs, manifest
+from .extract import token_counts_udf, webtext_to_docs
+
+SEG_SCHEMA = (
+    "term string, salt int, part_id int, df bigint, cf bigint, "
+    "block_last_doc array<bigint>, block_max_tf array<int>, "
+    "block_min_dl array<int>, block_offset array<bigint>, postings binary"
+)
+
+DOCS_SCHEMA = "doc_id bigint, url string, doclen int"
+
+
+def segments_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments")
+
+
+def docs_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "docs")
+
+
+def _build_segments_fn(batches):
+    """mapInPandas worker: stream (term, salt, doc_id, tf, dl) rows — already
+    range-partitioned and sorted — into encoded posting-list rows.
+
+    Streams group-by-group so memory is bounded by the largest (term, salt)
+    group (the salt planner bounds that) plus one Arrow batch; a term may
+    span many input batches."""
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    out: list[dict] = []
+    carry_key: tuple | None = None
+    carry: list[list[np.ndarray]] | None = None  # [docs, tfs, dls]
+
+    def flush(key, parts):
+        docs = np.concatenate(parts[0])
+        tfs = np.concatenate(parts[1])
+        dls = np.concatenate(parts[2])
+        enc = codecs.encode_postings(docs, tfs, dls)
+        out.append(
+            {
+                "term": key[0],
+                "salt": int(key[1]),
+                "part_id": pid,
+                "df": enc["df"],
+                "cf": enc["cf"],
+                "block_last_doc": enc["block_last_doc"].tolist(),
+                "block_max_tf": enc["block_max_tf"].tolist(),
+                "block_min_dl": enc["block_min_dl"].tolist(),
+                "block_offset": enc["block_offset"].tolist(),
+                "postings": enc["postings"],
+            }
+        )
+
+    def drain():
+        nonlocal out
+        pdf = pd.DataFrame(out)
+        out = []
+        return pdf
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy()
+        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tf = pdf["tf"].to_numpy(dtype=np.int64)
+        dl = pdf["dl"].to_numpy(dtype=np.int64)
+        change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(pdf)]))
+        for s, e in zip(starts, ends):
+            key = (terms[s], salts[s])
+            if carry_key is not None and key == carry_key:
+                carry[0].append(doc[s:e])
+                carry[1].append(tf[s:e])
+                carry[2].append(dl[s:e])
+                if e < len(pdf):  # group provably closed inside this batch
+                    flush(carry_key, carry)
+                    carry_key, carry = None, None
+            else:
+                if carry_key is not None:
+                    flush(carry_key, carry)
+                    carry_key, carry = None, None
+                if e == len(pdf):  # may continue into next batch
+                    carry_key = key
+                    carry = [[doc[s:e]], [tf[s:e]], [dl[s:e]]]
+                else:
+                    flush(key, ([doc[s:e]], [tf[s:e]], [dl[s:e]]))
+        if len(out) >= 1024:
+            yield drain()
+    if carry_key is not None:
+        flush(carry_key, carry)
+    if out:
+        yield drain()
+
+
+def plan_salts(
+    tok: DataFrame,
+    sample_fraction: float,
+    salt_target: int,
+    max_fanout: int,
+    seed: int = 7,
+) -> list[tuple[str, int]]:
+    """Estimate head-term doc frequencies from a doc sample and assign each
+    an explicit salt fan-out so no (term, salt) group exceeds ~salt_target
+    postings. Zipf tail terms get fanout 1 (no extra shuffle width).
+
+    The reference precedent is choosing the Kafka partition-key strategy to
+    control skew (pkg/wal/processor/kafka/config.go:21-39); here the 'key
+    strategy' is computed per term from data."""
+    if sample_fraction >= 1.0:
+        sample = tok
+        scale = 1.0
+    else:
+        sample = tok.sample(fraction=sample_fraction, seed=seed)
+        scale = 1.0 / sample_fraction
+    head = (
+        sample.select(F.explode("tk.counts").alias("tc"))
+        .groupBy(F.col("tc.term").alias("term"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * scale > salt_target)
+        .collect()
+    )
+    plan = []
+    for r in head:
+        fanout = min(max_fanout, int(math.ceil(r["cnt"] * scale / salt_target)))
+        if fanout > 1:
+            plan.append((r["term"], fanout))
+    return plan
+
+
+def webtext_unit_provider(webtext_df: DataFrame):
+    """Unit provider for the (url, warc_ts, html, text, lang) input shape.
+
+    The unit predicate is on url (the doc identity source), so Catalyst
+    pushes it below the dedup window straight into the scan — each unit job
+    reads only its slice of the input."""
+
+    def provider(unit: int, num_units: int) -> DataFrame:
+        unit_df = webtext_df.filter(
+            F.pmod(F.xxhash64(F.col("url")), F.lit(num_units)) == unit
+        )
+        return webtext_to_docs(unit_df)
+
+    return provider
+
+
+def docs_unit_provider(docs_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Unit provider for already-identified corpora (e.g. a documents table
+    with a native doc_id). No dedup/extraction — text is normalized inside
+    the tokenize stage."""
+
+    def provider(unit: int, num_units: int) -> DataFrame:
+        return docs_df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_units)) == unit
+        ).select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.lit(None).cast("string").alias("url"),
+            F.col(text_col).alias("text"),
+        )
+
+    return provider
+
+
+def build_unit(
+    spark: SparkSession,
+    docs_provider,
+    index_dir: str,
+    unit: int,
+    num_units: int,
+    partitions: int,
+    input_snapshot_id: int = 0,
+    salt_target: int = 100_000,
+    sample_fraction: float = 0.02,
+    max_fanout: int = 64,
+) -> dict:
+    """Build one work unit end-to-end and commit its manifest row."""
+    docs = docs_provider(unit, num_units)
+    tok = docs.select(
+        "doc_id", "url", token_counts_udf(F.col("text")).alias("tk")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        docs_obs = Observation()
+        docs_out = tok.select(
+            "doc_id", "url", F.col("tk.dl").alias("doclen")
+        ).observe(docs_obs, F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sum_dl"))
+        docs_out.write.mode("overwrite").parquet(
+            os.path.join(docs_path(index_dir), f"unit={unit}")
+        )
+
+        salt_plan = plan_salts(tok, sample_fraction, salt_target, max_fanout)
+        exploded = tok.select(
+            "doc_id", F.col("tk.dl").alias("dl"), F.explode("tk.counts").alias("tc")
+        ).select("doc_id", "dl", F.col("tc.term").alias("term"), F.col("tc.tf").alias("tf"))
+        if salt_plan:
+            salt_df = spark.createDataFrame(salt_plan, "term string, fanout int")
+            exploded = exploded.join(F.broadcast(salt_df), "term", "left").withColumn(
+                "fanout", F.coalesce(F.col("fanout"), F.lit(1))
+            )
+        else:
+            exploded = exploded.withColumn("fanout", F.lit(1))
+        exploded = exploded.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.col("fanout")).cast("int")
+        ).drop("fanout")
+
+        seg_obs = Observation()
+        segments = (
+            exploded.repartitionByRange(partitions, "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(_build_segments_fn, schema=SEG_SCHEMA)
+            .observe(
+                seg_obs,
+                F.count(F.lit(1)).alias("term_rows"),
+                F.sum(F.length("postings")).alias("bytes"),
+            )
+        )
+        segments.write.mode("overwrite").parquet(
+            os.path.join(segments_path(index_dir), f"unit={unit}")
+        )
+
+        row = {
+            "segment_id": f"u{unit}",
+            "unit": unit,
+            "input_snapshot_id": input_snapshot_id,
+            "row_count": int(docs_obs.get["n"]),
+            "sum_doclen": int(docs_obs.get["sum_dl"] or 0),
+            "term_count": int(seg_obs.get["term_rows"] or 0),
+            "bytes": int(seg_obs.get["bytes"] or 0),
+            "status": manifest.STATUS_COMPLETED,
+        }
+        manifest.commit_unit(index_dir, row)
+        return row
+    finally:
+        tok.unpersist()
+
+
+def build_index(
+    spark: SparkSession,
+    source: DataFrame | object,
+    index_dir: str,
+    num_units: int = 4,
+    partitions: int | None = None,
+    resume: bool = True,
+    input_snapshot_id: int = 0,
+    salt_target: int = 100_000,
+    sample_fraction: float = 0.02,
+    max_fanout: int = 64,
+    units: list[int] | None = None,
+) -> dict:
+    """Full (resumable) build. ``units`` limits work for tests/incremental.
+
+    ``source`` is either a webtext DataFrame (url, warc_ts, html, text,
+    lang) or a unit-provider callable (see *_unit_provider).
+
+    Resume = set subtraction of requested work minus committed manifest rows
+    (snapshot_generator_recorder.go:241-379's anti-join, driver-side here
+    because the unit list is tiny; the data-scale anti-join lives in the
+    incremental path)."""
+    docs_provider = source if callable(source) else webtext_unit_provider(source)
+    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    requested = list(range(num_units)) if units is None else list(units)
+    todo = requested
+    if resume:
+        done = manifest.completed_units(index_dir, input_snapshot_id)
+        todo = [u for u in requested if u not in done]
+    built = []
+    for u in todo:
+        built.append(
+            build_unit(
+                spark,
+                docs_provider,
+                index_dir,
+                u,
+                num_units,
+                partitions,
+                input_snapshot_id,
+                salt_target,
+                sample_fraction,
+                max_fanout,
+            )
+        )
+    return {
+        "built_units": [r["unit"] for r in built],
+        "skipped_units": [u for u in requested if u not in todo],
+    }

@@ -1,0 +1,686 @@
+"""Driver-contract registry: queries() + oracle_sql() pairs.
+
+Each entry is an operator from SURVEY.md §2 (or a training-data-pipeline
+operator) expressed twice: as the engine's Spark plan and as ANSI-ish SQL
+DuckDB can run over the same parquet views. Column names/aliases match
+exactly; float outputs are rounded (4dp) so cross-engine ULP differences
+in ln/division never flip the value hash.
+
+The full-text entries run the REAL engine: the index over the `documents`
+table is built once per (process, sf_dir) into a temp dir and cached —
+build -> merge -> query, the same artifacts the webtext path produces.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import ann, build, dedup, manifest, merge, multimodal, query, textops
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# --------------------------------------------------------------------------
+
+TOK_CTE = (
+    "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+    "FROM documents)"
+)
+
+
+def _sql_hash60(x: str) -> str:
+    return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _sql_hash32(x: str) -> str:
+    return f"(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# cached engine index over the documents table
+# --------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def docs_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) the full index over documents."""
+    key = os.path.abspath(sf_dir)
+    idx = _INDEX_CACHE.get(key)
+    if idx and os.path.exists(merge.stats_path(idx)):
+        return idx
+    idx = tempfile.mkdtemp(prefix="pgspark_docs_index_")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    provider = build.docs_unit_provider(docs)
+    build.build_index(spark, provider, idx, num_units=2, partitions=8)
+    merge.merge_index(spark, idx)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _documents(spark, sf_dir) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _embeddings(spark, sf_dir) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = _embeddings(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+# --------------------------------------------------------------------------
+# BM25 SQL oracle builder
+# --------------------------------------------------------------------------
+
+BM25_HEAD_TERMS = ["data", "query", "fast"]
+BM25_TAIL_TERMS = ["vector", "stream"]
+
+
+def bm25_sql(terms: list[str], k: int = 10) -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({tlist})
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _bm25_query(terms, k=10, strategy="maxscore"):
+    def fn(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.search(spark, idx, terms, k, strategy=strategy)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    return fn
+
+
+# --------------------------------------------------------------------------
+# registry: name -> (callable, sql | None)
+# --------------------------------------------------------------------------
+
+
+def _registry() -> dict[str, tuple]:
+    R: dict[str, tuple] = {}
+
+    # ---- full-text engine (SURVEY §2.2 sink / §3.4 lifecycle) ----
+    R["bm25_topk"] = (_bm25_query(BM25_HEAD_TERMS), bm25_sql(BM25_HEAD_TERMS))
+    R["bm25_topk_tail"] = (_bm25_query(BM25_TAIL_TERMS), bm25_sql(BM25_TAIL_TERMS))
+    R["bm25_topk_bmw"] = (
+        _bm25_query(BM25_HEAD_TERMS, strategy="bmw"),
+        bm25_sql(BM25_HEAD_TERMS),
+    )
+
+    def index_doc_stats(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        return (
+            spark.read.parquet(build.docs_path(idx))
+            .select("doc_id", F.col("doclen").cast("bigint").alias("doclen"))
+        )
+
+    R["index_doc_stats"] = (
+        index_doc_stats,
+        f"""
+WITH {TOK_CTE},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1)
+SELECT d.doc_id, coalesce(dl.dl, 0)::BIGINT AS doclen
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+""",
+    )
+
+    def index_lexicon(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        return merge.read_lexicon(spark, idx).select("term", "df_total", "cf_total")
+
+    R["index_lexicon"] = (
+        index_lexicon,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df_total, sum(tf)::BIGINT AS cf_total
+FROM tf GROUP BY term
+""",
+    )
+
+    def index_global_stats(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        s = merge.load_stats(idx)
+        return spark.createDataFrame(
+            [(int(s["n_docs"]), round(float(s["avgdl"]), 4))],
+            "n_docs bigint, avgdl double",
+        )
+
+    R["index_global_stats"] = (
+        index_global_stats,
+        f"""
+WITH {TOK_CTE},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       round((SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents), 4) AS avgdl
+""",
+    )
+
+    # ---- scans / filters (SURVEY §2.1, §2.3) ----
+    R["scan_project_filter"] = (
+        lambda spark, sf_dir: _documents(spark, sf_dir)
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .select("doc_id", "source", "n_chars"),
+        "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en' AND n_chars >= 200",
+    )
+
+    def filter_include_exclude(spark, sf_dir):
+        d = _documents(spark, sf_dir)
+        include_exact = ["src2", "src3"]
+        include_prefix = "src1"
+        excluded = ["src3", "src12"]
+        return d.filter(
+            (F.col("source").isin(include_exact) | F.col("source").startswith(include_prefix))
+            & ~F.col("source").isin(excluded)
+        ).select("doc_id", "source")
+
+    R["filter_include_exclude"] = (
+        filter_include_exclude,
+        """
+SELECT doc_id, source FROM documents
+WHERE (source IN ('src2', 'src3') OR source LIKE 'src1%')
+  AND source NOT IN ('src3', 'src12')
+""",
+    )
+
+    # ---- joins (SURVEY §2.4) ----
+    def broadcast_lookup_join(spark, sf_dir):
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("l_quantity").cast("double").alias("sum_qty"),
+                F.min("l_extendedprice").alias("min_price"),
+                F.max("l_extendedprice").alias("max_price"),
+            )
+        )
+
+    R["broadcast_lookup_join"] = (
+        broadcast_lookup_join,
+        """
+SELECT p_brand, count(*)::BIGINT AS n_rows, sum(l_quantity)::DOUBLE AS sum_qty,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+    )
+
+    def resume_anti_join(spark, sf_dir):
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        return (
+            orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+            .select("o_orderkey", "o_orderstatus")
+        )
+
+    R["resume_anti_join"] = (
+        resume_anti_join,
+        """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+""",
+    )
+
+    # ---- aggregation folds (SURVEY §2.5) ----
+    def checkpoint_max_fold(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        return (
+            ev.withColumn("partition", (F.col("user_id") % 16).cast("int"))
+            .groupBy("partition")
+            .agg(
+                F.max("event_id").alias("high_water"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+
+    R["checkpoint_max_fold"] = (
+        checkpoint_max_fold,
+        """
+SELECT (user_id % 16)::INT AS partition, max(event_id) AS high_water,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1
+""",
+    )
+
+    # ---- windows / ordering (SURVEY §2.6) ----
+    def last_writer_wins(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        ev = _events(spark, sf_dir)
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", F.col("event_id").alias("last_event_id"))
+        )
+
+    R["last_writer_wins"] = (
+        last_writer_wins,
+        """
+SELECT user_id, event_type, event_id AS last_event_id
+FROM (SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+""",
+    )
+
+    R["topk_order_limit"] = (
+        lambda spark, sf_dir: _documents(spark, sf_dir)
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(15)
+        .select("doc_id", "n_chars"),
+        "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 15",
+    )
+
+    def sessionize(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        ev = _events(spark, sf_dir)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t = F.unix_timestamp(F.col("ts"))  # NTZ interpreted in session tz (UTC)
+        gap = t - F.lag(t).over(w)
+        return (
+            ev.withColumn("brk", F.when(gap.isNull() | (gap > 600), 1).otherwise(0))
+            .groupBy("user_id")
+            .agg(F.sum("brk").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        )
+
+    R["sessionize"] = (
+        sessionize,
+        """
+WITH e AS (SELECT user_id, epoch(ts)::BIGINT AS t,
+                  lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT user_id,
+       sum(CASE WHEN prev IS NULL OR t - prev > 600 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM e GROUP BY user_id
+""",
+    )
+
+    # ---- scalar functions (SURVEY §2.9) ----
+    def sanitize_hash(spark, sf_dir):
+        d = _documents(spark, sf_dir)
+        norm = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "\x00", ""), r"\s+", " "
+            )
+        )
+        return d.select("doc_id", F.sha2(norm, 256).alias("text_sha"))
+
+    R["sanitize_hash"] = (
+        sanitize_hash,
+        """
+SELECT doc_id,
+       sha256(trim(regexp_replace(regexp_replace(lower(text), chr(0), '', 'g'),
+                                  '\\s+', ' ', 'g'))) AS text_sha
+FROM documents
+""",
+    )
+
+    def timestamp_format(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        return (
+            ev.select(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
+            .groupBy("hour")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    R["timestamp_format"] = (
+        timestamp_format,
+        "SELECT strftime(ts, '%Y-%m-%d %H') AS hour, count(*)::BIGINT AS n FROM events GROUP BY 1",
+    )
+
+    def json_extract(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        return (
+            ev.select(
+                (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket")
+            )
+            .groupBy("k_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    R["json_extract"] = (
+        json_extract,
+        """
+SELECT (json_extract_string(props, '$.k')::INT % 10) AS k_bucket, count(*)::BIGINT AS n
+FROM events GROUP BY 1
+""",
+    )
+
+    def array_norms(spark, sf_dir):
+        e = _embeddings(spark, sf_dir)
+        dot = F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return e.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.sqrt(dot), 4).alias("l2_norm"),
+        )
+
+    R["array_norms"] = (
+        array_norms,
+        """
+SELECT vec_id, len(embedding)::INT AS dim,
+       round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS l2_norm
+FROM embeddings
+""",
+    )
+
+    # ---- dedup family ----
+    R["dedup_exact"] = (
+        lambda spark, sf_dir: dedup.exact_duplicates(
+            _documents(spark, sf_dir), prefix=40
+        ),
+        """
+SELECT md5(substr(lower(text), 1, 40)) AS fingerprint, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+    )
+
+    R["dedup_minhash_lsh"] = (
+        lambda spark, sf_dir: dedup.minhash_lsh_pairs(_documents(spark, sf_dir)),
+        f"""
+WITH raw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         ELSE list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]))
+    END) AS term
+  FROM raw
+),
+params AS (SELECT i, (2 * i + 3)::BIGINT AS a, (101 * i + 17)::BIGINT AS b
+           FROM range(0, 16) t(i)),
+mh AS (
+  SELECT doc_id, i, min((a * {_sql_hash32('term')} + b) % 2147483647) AS minhash
+  FROM sh CROSS JOIN params GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, (i // 8)::INT AS band,
+         md5(string_agg(minhash::VARCHAR, ',' ORDER BY i)) AS band_sig
+  FROM mh GROUP BY doc_id, (i // 8)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+""",
+    )
+
+    R["dedup_simhash"] = (
+        lambda spark, sf_dir: dedup.simhash(_documents(spark, sf_dir)),
+        f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, {_sql_hash60('term')} AS h
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents) GROUP BY doc_id, term
+),
+bits AS (SELECT b, (1::BIGINT << b) AS p2 FROM range(0, 32) t(b)),
+votes AS (
+  SELECT doc_id, b, p2, sum(tf * (2 * ((h // p2) % 2) - 1)) AS v
+  FROM tf CROSS JOIN bits GROUP BY doc_id, b, p2
+)
+SELECT doc_id, sum(CASE WHEN v > 0 THEN p2 ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+""",
+    )
+
+    R["dedup_ngram_jaccard"] = (
+        lambda spark, sf_dir: dedup.ngram_jaccard_pairs(_documents(spark, sf_dir)),
+        """
+WITH t AS (
+  SELECT doc_id, source, lang,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+  FROM documents
+),
+ex AS (SELECT doc_id, source, lang, len(toks)::BIGINT AS n, unnest(toks) AS term FROM t),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         count(*)::BIGINT AS inter
+  FROM ex a JOIN ex b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+   AND a.source = b.source AND a.lang = b.lang
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, round(inter / (na + nb - inter), 4) AS jaccard
+FROM inter WHERE round(inter / (na + nb - inter), 4) >= 0.2
+""",
+    )
+
+    R["dedup_embedding_cosine"] = (
+        lambda spark, sf_dir: dedup.embedding_near_dup_pairs(
+            _embeddings(spark, sf_dir), threshold=0.3
+        ),
+        """
+WITH e AS (SELECT vec_id AS id, label AS blk, embedding AS v FROM embeddings),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]::DOUBLE * z[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(a.v, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+  FROM e a JOIN e b ON a.blk = b.blk AND a.id < b.id
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.3
+""",
+    )
+
+    # ---- similarity search ----
+    def ann_bruteforce(spark, sf_dir):
+        qv = _query_vec(spark, sf_dir)
+        return ann.cosine_topk(_embeddings(spark, sf_dir), qv, k=10, exclude_id=0)
+
+    R["ann_bruteforce_topk"] = (
+        ann_bruteforce,
+        """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_sum(list_transform(list_zip(embedding, q.qv), z -> z[1]::DOUBLE * z[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+)
+SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+    )
+
+    def ann_lsh(spark, sf_dir):
+        qv = _query_vec(spark, sf_dir)
+        return ann.lsh_topk(_embeddings(spark, sf_dir), qv, k=10, num_planes=6, exclude_id=0)
+
+    R["ann_lsh_topk"] = (
+        ann_lsh,
+        f"""
+WITH planes AS (
+  SELECT p, d,
+         (2 * ({_sql_hash60("p::VARCHAR || '_' || d::VARCHAR")} % 2) - 1)::DOUBLE AS w
+  FROM range(0, 6) t(p), range(0, 64) s(d)
+),
+vecel AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+dots AS (
+  SELECT v.vec_id, pl.p, sum(v.x * pl.w) AS dot
+  FROM vecel v JOIN planes pl USING (d) GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN buckets bu ON e.vec_id = bu.vec_id CROSS JOIN qb
+  WHERE bu.bucket = qb.bucket AND e.vec_id <> 0
+),
+scored AS (
+  SELECT vec_id,
+         round(list_sum(list_transform(list_zip(embedding, q.qv), z -> z[1]::DOUBLE * z[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+  FROM cand CROSS JOIN q
+)
+SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+    )
+
+    # ---- text analysis ----
+    _stop_sql = lambda ws: ", ".join(f"'{w}'" for w in ws)  # noqa: E731
+
+    R["textops_langid"] = (
+        lambda spark, sf_dir: textops.lang_id(_documents(spark, sf_dir)),
+        f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains([{_stop_sql(textops.STOPWORDS['en'])}], x)))::BIGINT AS s_en,
+         len(list_filter(toks, x -> list_contains([{_stop_sql(textops.STOPWORDS['de'])}], x)))::BIGINT AS s_de,
+         len(list_filter(toks, x -> list_contains([{_stop_sql(textops.STOPWORDS['fr'])}], x)))::BIGINT AS s_fr,
+         len(list_filter(toks, x -> list_contains([{_stop_sql(textops.STOPWORDS['es'])}], x)))::BIGINT AS s_es
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS lang_guess
+FROM s
+""",
+    )
+
+    _all_stop = sorted({w for ws in textops.STOPWORDS.values() for w in ws})
+    R["textops_quality"] = (
+        lambda spark, sf_dir: textops.quality_score(_documents(spark, sf_dir)),
+        f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         len(list_distinct(toks))::BIGINT AS n_uniq,
+         len(list_filter(toks, x -> list_contains([{_stop_sql(_all_stop)}], x)))::BIGINT AS n_stop,
+         list_sum(list_transform(toks, x -> length(x)::DOUBLE)) AS len_sum
+  FROM t
+)
+SELECT doc_id, n_tokens::INT AS n_tokens,
+       round(n_uniq / greatest(n_tokens, 1), 4) AS uniq_ratio,
+       round(n_stop / greatest(n_tokens, 1), 4) AS stopword_ratio,
+       round(len_sum / greatest(n_tokens, 1), 4) AS mean_token_len,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (n_uniq / greatest(n_tokens, 1))
+             + 0.3 * least(4.0 * n_stop / greatest(n_tokens, 1), 1.0), 4) AS quality
+FROM m
+""",
+    )
+
+    R["textops_token_counts"] = (
+        lambda spark, sf_dir: textops.token_counts_by(_documents(spark, sf_dir)),
+        """
+SELECT source AS grp, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS ws_tokens,
+       sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS re_tokens
+FROM documents GROUP BY source
+""",
+    )
+
+    R["textops_fingerprint"] = (
+        lambda spark, sf_dir: textops.fingerprint(_documents(spark, sf_dir)),
+        f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1])
+         END AS grams
+  FROM t
+),
+s AS (
+  SELECT doc_id, len(grams)::INT AS n_grams,
+         list_sort(list_distinct(list_filter(
+             list_transform(grams, x -> {_sql_hash60('x')}), h -> h % 8 = 0))) AS sel
+  FROM g
+)
+SELECT doc_id, n_grams, len(sel)::INT AS n_selected,
+       md5(coalesce(list_aggregate(list_transform(sel, h -> h::VARCHAR), 'string_agg', ','), '')) AS fp
+FROM s
+""",
+    )
+
+    # ---- multimodal plumbing ----
+    def multimodal_meta(spark, sf_dir):
+        media = multimodal.attach_payload(_documents(spark, sf_dir))
+        return multimodal.media_stats(media)
+
+    R["multimodal_meta"] = (
+        multimodal_meta,
+        """
+WITH m AS (
+  SELECT doc_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         strlen(text)::BIGINT AS n_bytes
+  FROM documents
+)
+SELECT media_type, count(*)::BIGINT AS n_items, sum(n_bytes)::BIGINT AS total_bytes,
+       min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
+FROM m GROUP BY media_type
+""",
+    )
+
+    # rows-only check (Arrow plumbing demo; decode kernel is a stub)
+    def multimodal_features(spark, sf_dir):
+        media = multimodal.attach_payload(_documents(spark, sf_dir))
+        return multimodal.extract_features(media, fake=True)
+
+    R["multimodal_features"] = (multimodal_features, None)
+
+    return R
+
+
+_REG = None
+
+
+def registry() -> dict[str, tuple]:
+    global _REG
+    if _REG is None:
+        _REG = _registry()
+    return _REG

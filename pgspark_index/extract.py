@@ -1,0 +1,99 @@
+"""Spark vectorized extract / normalize / tokenize stages.
+
+pgstream analog: the deterministic transformer chain applied per column
+(/root/reference/pkg/transformers/, wiring
+/root/reference/pkg/wal/processor/transformer/wal_transformer.go:110-195)
+and the sanitizer (wal_sanitizer.go:15-60). Everything here is an
+Arrow-batched pandas UDF — no row-at-a-time Spark Python UDFs anywhere
+(input_hint requirement). The string work inside a batch uses the pinned
+pure-stdlib functions from textnorm so output is byte-identical across
+machines and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.window import Window
+
+from .textnorm import extract_text, token_counts
+
+# (dl, [(term, tf)] sorted by term) per document
+TOKEN_STRUCT = T.StructType(
+    [
+        T.StructField("dl", T.IntegerType(), False),
+        T.StructField(
+            "counts",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("term", T.StringType(), False),
+                        T.StructField("tf", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series, text: pd.Series) -> pd.Series:
+    """(html bytes | null, text | null) -> normalized extracted text."""
+    return pd.Series(
+        [
+            extract_text(
+                h if isinstance(h, (bytes, bytearray)) else None,
+                t if isinstance(t, str) else None,
+            )
+            for h, t in zip(html, text)
+        ],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(TOKEN_STRUCT)
+def token_counts_udf(text: pd.Series) -> pd.DataFrame:
+    """text -> struct(dl, counts[(term, tf)] sorted by term).
+
+    Applies ``normalize`` internally (idempotent), so the stage accepts both
+    pre-normalized webtext extraction output and raw table text columns."""
+    from .textnorm import normalize
+
+    dls, counts = [], []
+    for t in text:
+        dl, c = token_counts(normalize(t) if isinstance(t, str) else "")
+        dls.append(dl)
+        counts.append(c)
+    return pd.DataFrame({"dl": pd.Series(dls, dtype="int32"), "counts": counts})
+
+
+def dedup_last_writer_wins(df: DataFrame, key: str = "url", version: str = "warc_ts") -> DataFrame:
+    """Keep the latest version per key — pgstream's LSN-as-version conflict
+    resolution (/root/reference/pkg/wal/processor/search/search_adapter.go:179-184):
+    later commit position wins. One hash shuffle on the key; ties broken
+    deterministically by preferring non-null text then html bytes."""
+    w = Window.partitionBy(key).orderBy(
+        F.desc(version), F.desc(F.col("text").isNotNull()), F.desc(F.col("html"))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def webtext_to_docs(df: DataFrame) -> DataFrame:
+    """(url, warc_ts, html, text, lang) -> (doc_id, url, text[normalized]).
+
+    doc_id = xxhash64(url): stable identity under recrawl, the analog of
+    pgstream's immutable column/table IDs (docs/architecture.md:47).
+    Catalyst prunes the scan to the referenced columns automatically.
+    """
+    deduped = dedup_last_writer_wins(df)
+    return deduped.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        extract_text_udf(F.col("html"), F.col("text")).alias("text"),
+    )

@@ -1,0 +1,100 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The image/audio decode libraries are not in this container, so the decode
+kernels are STUBS — either a clearly-marked NotImplementedError (real
+decode) or a deterministic fake (for tests). The Spark-side plumbing is
+real and tested: schemas, Arrow batch shapes, mapInPandas signatures, and
+the partitioning story all match what a production decode stage needs.
+
+Scale notes: payloads stay in executor memory only one Arrow batch at a
+time (spark.sql.execution.arrow.maxRecordsPerBatch bounds batch bytes);
+feature extraction is embarrassingly parallel (no shuffle); downstream
+joins are on doc_id.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = "doc_id bigint, media_type string, n_bytes bigint, payload binary"
+FEATURE_DIM = 8
+FEATURE_SCHEMA = f"doc_id bigint, media_type string, feature array<float>"
+
+
+def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Simulate a multimodal table: utf-8 bytes of text as the opaque
+    payload, a deterministic fake media_type, and byte-length metadata."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.octet_length(F.col(text_col)).cast("bigint").alias("n_bytes"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real image decode — requires PIL/libjpeg, absent in this container."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv (not installed); "
+        "use extract_features(..., fake=True) for the deterministic stub"
+    )
+
+
+def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for a decode+embed kernel: byte-histogram
+    moments. Pure numpy over the payload buffer (vectorized per row)."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+    feats = [
+        b.mean(),
+        b.std(),
+        float(len(b) % 251),
+        float(b[0]),
+        float(b[-1]),
+        float(b.min()),
+        float(b.max()),
+        float((b > 96).mean() * 100.0),
+    ]
+    return np.asarray(feats[:dim], dtype=np.float32)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Batch shape: one pandas DataFrame per Arrow batch; per row the kernel
+    sees raw bytes and emits a fixed-dim float vector. With fake=False the
+    real decoder raises NotImplementedError (documented stub)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if fake:
+                feats = [_fake_feature(p).tolist() for p in pdf["payload"]]
+            else:
+                feats = [decode_image(p).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Typed-metadata aggregation (JVM-side): per media_type byte accounting."""
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )

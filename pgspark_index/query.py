@@ -1,0 +1,167 @@
+"""Query engine: top-k BM25 over the segment index.
+
+Lifecycle (SURVEY.md §3.4):
+  driver: lexicon lookup for the query terms (parquet scan with an IN
+          pushdown over the term-sorted lexicon -> few rows) -> idf per
+          term from global df; global stats from lineage
+  executors: segments parquet scanned with term IN (...) pushdown — only
+          the query terms' posting rows are read (row-group pruning works
+          because segment files are written sorted by term) -> per-unit
+          block-max scoring in an Arrow-grouped UDF (a doc's postings live
+          entirely in one unit, so unit-local scores are final)
+  driver: global top-k via orderBy(score DESC, doc_id ASC).limit(k) —
+          Spark compiles this to TakeOrderedAndProject (distributed
+          partial top-k, no full sort).
+
+The small idf/avgdl dict rides the UDF closure (broadcast-equivalent at
+this size — a handful of floats per query term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import bm25, merge, wand
+from .build import segments_path
+
+RESULT_SCHEMA = "doc_id bigint, score double"
+BATCH_RESULT_SCHEMA = "query_id int, doc_id bigint, score double"
+
+
+def _term_idfs(spark: SparkSession, index_dir: str, terms: list[str], n_docs: int) -> dict[str, float]:
+    """Lexicon lookup: term -> idf (global df). Missing terms are simply
+    absent (score 0 everywhere), like any search engine."""
+    if not terms:
+        return {}
+    rows = (
+        merge.read_lexicon(spark, index_dir)
+        .filter(F.col("term").isin(terms))
+        .select("term", "df_total")
+        .collect()
+    )
+    return {r["term"]: float(bm25.idf(n_docs, r["df_total"])) for r in rows}
+
+
+def _rows_to_lists(pdf, idfs: dict[str, float]) -> list[dict]:
+    return [
+        {
+            "term": r.term,
+            "idf": idfs[r.term],
+            "df": int(r.df),
+            "postings": r.postings,
+            "block_last_doc": r.block_last_doc,
+            "block_max_tf": r.block_max_tf,
+            "block_min_dl": r.block_min_dl,
+            "block_offset": r.block_offset,
+        }
+        for r in pdf.itertuples()
+    ]
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = 10,
+    strategy: str = "maxscore",
+) -> DataFrame:
+    """Top-k BM25 -> DataFrame(doc_id, score), (score DESC, doc_id ASC)."""
+    stats = merge.load_stats(index_dir)
+    terms = sorted(set(terms))
+    idfs = _term_idfs(spark, index_dir, terms, stats["n_docs"])
+    present = sorted(idfs)
+    if not present:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    avgdl = float(stats["avgdl"])
+    scorer = wand.STRATEGIES[strategy]
+
+    seg = (
+        spark.read.parquet(segments_path(index_dir))
+        .filter(F.col("term").isin(present))
+        .select(
+            "unit", "term", "df", "postings",
+            "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+        )
+    )
+
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    def score_unit(pdf):
+        import pandas as pd
+
+        docs, scores = scorer(_rows_to_lists(pdf, idfs), avgdl, k)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    per_unit = seg.groupBy("unit").applyInPandas(
+        lambda key, pdf: score_unit(pdf), schema=RESULT_SCHEMA
+    )
+    return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[dict],
+    strategy: str = "maxscore",
+) -> DataFrame:
+    """Many queries in ONE Spark job -> DataFrame(query_id, doc_id, score).
+
+    queries: [{query_id, terms, k}]. Segment rows for the union of all
+    query terms are read once; each unit scores every query against its
+    local lists; the global per-query top-k is a single window."""
+    stats = merge.load_stats(index_dir)
+    all_terms = sorted({t for q in queries for t in q["terms"]})
+    idfs = _term_idfs(spark, index_dir, all_terms, stats["n_docs"])
+    qspec = [
+        {
+            "query_id": int(q["query_id"]),
+            "terms": sorted(set(q["terms"]) & idfs.keys()),
+            "k": int(q.get("k", 10)),
+        }
+        for q in queries
+    ]
+    avgdl = float(stats["avgdl"])
+    scorer = wand.STRATEGIES[strategy]
+    present = sorted(idfs)
+    if not present:
+        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+
+    seg = (
+        spark.read.parquet(segments_path(index_dir))
+        .filter(F.col("term").isin(present))
+        .select(
+            "unit", "term", "df", "postings",
+            "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+        )
+    )
+
+    def score_unit_all(key, pdf):
+        import pandas as pd
+
+        lists = _rows_to_lists(pdf, idfs)
+        by_term: dict[str, list[dict]] = {}
+        for lst in lists:
+            by_term.setdefault(lst["term"], []).append(lst)
+        out_q, out_d, out_s = [], [], []
+        for q in qspec:
+            qlists = [l for t in q["terms"] for l in by_term.get(t, [])]
+            if not qlists:
+                continue
+            docs, scores = scorer(qlists, avgdl, q["k"])
+            out_q.extend([q["query_id"]] * len(docs))
+            out_d.extend(docs.tolist())
+            out_s.extend(scores.tolist())
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    per_unit = seg.groupBy("unit").applyInPandas(score_unit_all, schema=BATCH_RESULT_SCHEMA)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    kmap = {q["query_id"]: q["k"] for q in qspec}
+    kdf = spark.createDataFrame(list(kmap.items()), "query_id int, k int")
+    return (
+        per_unit.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(kdf), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )

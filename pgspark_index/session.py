@@ -1,0 +1,40 @@
+"""SparkSession factory with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "pgspark_index",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """local[N] session tuned for this container; on a real cluster the same
+    configs apply minus master/driver-memory (spark-submit supplies them).
+
+    AQE is on (runtime shuffle-partition coalescing + skew handling for the
+    relational parts); Arrow is on (every custom stage is pandas/Arrow
+    vectorized); timezone pinned UTC so DuckDB oracle comparisons are exact.
+    """
+    cores = cores or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    shuffle = shuffle_partitions or (32 if cores in ("*",) else max(8, int(cores)))
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory", driver_memory or "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,311 @@
+"""Top-k scorers over decoded/encoded posting lists (numpy, per index unit).
+
+Three strategies, all returning identical results (property-tested):
+
+- ``score_exhaustive`` — vectorized term-at-a-time: decode every list,
+  accumulate, top-k. O(total postings) but fully numpy-vectorized; the
+  baseline and the correctness oracle inside the engine.
+- ``score_maxscore`` — TAAT MaxScore (Turtle & Flood 1995) with *block-max*
+  skipping (Ding & Suel, SIGIR 2011): lists are processed in decreasing
+  score-upper-bound order; once the remaining lists' upper bounds cannot
+  lift an unseen document into the top-k, later lists are only probed for
+  existing candidates, decoding just the blocks that can contain them
+  (searchsorted over block_last_doc). The production path: vectorized,
+  skips most of the head-term bytes on selective queries.
+- ``score_bmw`` — classic document-at-a-time Block-Max WAND pivoting.
+  Reference implementation for validation (Python pointer loop — correct
+  but not vectorized; MaxScore is the default at scale).
+
+Bit-exactness: every strategy computes each returned document's final
+score by summing its per-term contributions in sorted term order (float64,
+left to right) — the same accumulation order as the numpy oracle and the
+DuckDB SQL oracle — so scores are reproducible and ranks deterministic
+under the (score DESC, doc_id ASC) tie-break.
+
+A "list" dict (one segment row; salted head terms contribute several
+disjoint lists for the same term):
+  {term, idf, df, postings(bytes), block_last_doc, block_max_tf,
+   block_min_dl, block_offset}
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from . import bm25, codecs
+
+
+def _decoded_contribs(lst: dict, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+    """Full-decode one list -> (doc_ids, contribs)."""
+    doc, tf, dl = codecs.decode_postings(lst["postings"], lst["df"])
+    return doc, lst["idf"] * bm25.tf_weight(tf, dl, avgdl)
+
+
+def _term_ranks(lists: list[dict]) -> dict[str, int]:
+    return {t: i for i, t in enumerate(sorted({l["term"] for l in lists}))}
+
+
+def _exact_topk(all_docs, all_contribs, all_tranks, k: int):
+    """Sum contributions per doc strictly in term order; top-k by
+    (score DESC, doc_id ASC).
+
+    Accumulates term-at-a-time with `+=` into a per-doc accumulator —
+    bit-identical to the oracle's sequential loop. (np.add.reduceat is NOT
+    left-to-right associative, so it cannot be used here.)"""
+    if len(all_docs) == 0 or sum(d.size for d in all_docs) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    uniq_docs = np.unique(np.concatenate(all_docs))
+    acc = np.zeros(uniq_docs.size, dtype=np.float64)
+    order = sorted(range(len(all_docs)), key=lambda i: _trank_of(all_tranks[i]))
+    for i in order:
+        doc = all_docs[i]
+        if doc.size == 0:
+            continue
+        idx = np.searchsorted(uniq_docs, doc)
+        acc[idx] += all_contribs[i]  # unique idx per call (one list, unique docs)
+    # tie-safe top-k: lexsort by (score DESC, doc_id ASC). argpartition would
+    # break ties at the k boundary arbitrarily.
+    sel = np.lexsort((uniq_docs, -acc))[:k]
+    return uniq_docs[sel], acc[sel]
+
+
+def _trank_of(tranks) -> int:
+    """tranks is a per-list constant array (or empty) — its term rank."""
+    arr = np.asarray(tranks)
+    return int(arr[0]) if arr.size else 0
+
+
+def score_exhaustive(lists: list[dict], avgdl: float, k: int):
+    """Vectorized TAAT over fully decoded lists."""
+    ranks = _term_ranks(lists)
+    all_docs, all_contribs, all_tranks = [], [], []
+    for lst in lists:
+        doc, contrib = _decoded_contribs(lst, avgdl)
+        all_docs.append(doc)
+        all_contribs.append(contrib)
+        all_tranks.append(np.full(doc.size, ranks[lst["term"]], dtype=np.int32))
+    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+
+
+def _list_upper_bound(lst: dict, avgdl: float) -> float:
+    if len(lst["block_max_tf"]) == 0:
+        return 0.0
+    return float(
+        bm25.block_upper_bound(
+            lst["idf"],
+            int(np.max(lst["block_max_tf"])),
+            int(np.min(lst["block_min_dl"])),
+            avgdl,
+        )
+    )
+
+
+def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float):
+    """Decode only the blocks that can contain candidate docs; return
+    (docs, contribs) restricted to candidates. Pure block-max skipping."""
+    last = np.asarray(lst["block_last_doc"], dtype=np.int64)
+    offs = np.asarray(lst["block_offset"], dtype=np.int64)
+    needed = np.unique(np.searchsorted(last, cand_docs))
+    needed = needed[needed < last.size]
+    out_docs, out_contribs = [], []
+    for b in needed:
+        prev = int(last[b - 1]) if b > 0 else None
+        doc, tf, dl = codecs.decode_block(lst["postings"], lst["df"], int(b), offs, prev)
+        mask = np.isin(doc, cand_docs, assume_unique=True)
+        if mask.any():
+            out_docs.append(doc[mask])
+            out_contribs.append(lst["idf"] * bm25.tf_weight(tf[mask], dl[mask], avgdl))
+    if not out_docs:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    return np.concatenate(out_docs), np.concatenate(out_contribs)
+
+
+def score_maxscore(lists: list[dict], avgdl: float, k: int):
+    """TAAT MaxScore + block skipping. Identical output to exhaustive.
+
+    Safety argument: T is the kth-best *partial* accumulated score, which
+    is <= the kth-best final score; an unseen doc's best possible final
+    score is the remaining upper-bound sum, so when that is < T the doc
+    can never enter the top-k. Final scores for surviving candidates are
+    re-summed in term order for bit-exactness."""
+    if not lists:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    ranks = _term_ranks(lists)
+    ubs = np.array([_list_upper_bound(l, avgdl) for l in lists])
+    order = np.argsort(-ubs, kind="stable")
+    lists = [lists[i] for i in order]
+    ubs = ubs[order]
+    rem_after = np.concatenate((np.cumsum(ubs[::-1])[::-1][1:], [0.0]))
+
+    cand_docs = np.zeros(0, dtype=np.int64)
+    cand_acc = np.zeros(0, dtype=np.float64)
+    kept = []  # (doc_array, contrib_array, trank) pairs for exact re-sum
+    admitting = True
+    for i, lst in enumerate(lists):
+        if admitting:
+            doc, contrib = _decoded_contribs(lst, avgdl)
+        else:
+            doc, contrib = _probe_blocks(lst, cand_docs, avgdl)
+        kept.append((doc, contrib, ranks[lst["term"]]))
+        # merge into candidates (cand_docs kept sorted)
+        if cand_docs.size:
+            pos = np.searchsorted(cand_docs, doc)
+            clipped = np.minimum(pos, cand_docs.size - 1)
+            is_old = cand_docs[clipped] == doc
+            np.add.at(cand_acc, pos[is_old], contrib[is_old])
+        else:
+            is_old = np.zeros(doc.size, dtype=bool)
+        if admitting and (~is_old).any():
+            new_docs = doc[~is_old]
+            new_acc = contrib[~is_old]
+            cand_docs = np.concatenate((cand_docs, new_docs))
+            cand_acc = np.concatenate((cand_acc, new_acc))
+            srt = np.argsort(cand_docs, kind="stable")
+            cand_docs, cand_acc = cand_docs[srt], cand_acc[srt]
+        # threshold: kth best possible-so-far
+        if cand_docs.size >= k:
+            T = np.partition(cand_acc, cand_acc.size - k)[cand_acc.size - k]
+            # prune candidates that can never reach T
+            alive = cand_acc + rem_after[i] >= T
+            cand_docs, cand_acc = cand_docs[alive], cand_acc[alive]
+            if admitting and rem_after[i] < T:
+                admitting = False
+
+    # exact re-sum over surviving candidates only, in term order
+    all_docs, all_contribs, all_tranks = [], [], []
+    for doc, contrib, trank in kept:
+        mask = np.isin(doc, cand_docs, assume_unique=True)
+        all_docs.append(doc[mask])
+        all_contribs.append(contrib[mask])
+        all_tranks.append(np.full(int(mask.sum()), trank, dtype=np.int32))
+    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+
+
+def score_bmw(lists: list[dict], avgdl: float, k: int):
+    """Document-at-a-time Block-Max WAND (reference implementation).
+
+    Decodes lazily block-by-block; skips blocks via the WAND pivot +
+    block-max upper bounds. Final top-k re-summed in term order."""
+    if not lists:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    ranks = _term_ranks(lists)
+
+    class Cursor:
+        __slots__ = ("lst", "ub", "block", "docs", "tfs", "dls", "i", "done", "trank")
+
+        def __init__(self, lst, avgdl):
+            self.lst = lst
+            self.ub = _list_upper_bound(lst, avgdl)
+            self.trank = ranks[lst["term"]]
+            self.block = -1
+            self.done = len(lst["block_last_doc"]) == 0
+            self.docs = None
+            self.i = 0
+            if not self.done:
+                self._load(0)
+
+        def _load(self, b):
+            lst = self.lst
+            prev = int(lst["block_last_doc"][b - 1]) if b > 0 else None
+            self.docs, self.tfs, self.dls = codecs.decode_block(
+                lst["postings"], lst["df"], b,
+                np.asarray(lst["block_offset"], dtype=np.int64), prev,
+            )
+            self.block = b
+            self.i = 0
+
+        def current(self):
+            return int(self.docs[self.i])
+
+        def block_ub(self, avgdl):
+            b = self.block
+            return float(
+                bm25.block_upper_bound(
+                    self.lst["idf"],
+                    int(self.lst["block_max_tf"][b]),
+                    int(self.lst["block_min_dl"][b]),
+                    avgdl,
+                )
+            )
+
+        def seek(self, target):
+            """Advance to first doc >= target (block-skipping)."""
+            last = self.lst["block_last_doc"]
+            b = int(np.searchsorted(np.asarray(last, dtype=np.int64), target))
+            if b >= len(last):
+                self.done = True
+                return
+            if b != self.block:
+                self._load(b)
+                self.i = 0
+            j = int(np.searchsorted(self.docs[self.i:], target)) + self.i
+            if j >= self.docs.size:  # target beyond block end (can't happen: last[b] >= target)
+                self.done = True
+                return
+            self.i = j
+
+        def contrib(self, avgdl):
+            return self.lst["idf"] * float(
+                bm25.tf_weight(int(self.tfs[self.i]), int(self.dls[self.i]), avgdl)
+            )
+
+    cursors = [Cursor(l, avgdl) for l in lists]
+    cursors = [c for c in cursors if not c.done]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    results: dict[int, float] = {}
+
+    while True:
+        live = [c for c in cursors if not c.done]
+        if not live:
+            break
+        live.sort(key=lambda c: c.current())
+        T = heap[0][0] if len(heap) >= k else 0.0
+        # WAND pivot: first prefix whose ub sum exceeds T
+        acc_ub = 0.0
+        pivot_idx = None
+        for idx, c in enumerate(live):
+            acc_ub += c.ub
+            if acc_ub > T:
+                pivot_idx = idx
+                break
+        if pivot_idx is None:
+            break
+        pivot_doc = live[pivot_idx].current()
+        if live[0].current() == pivot_doc:
+            # block-max check over ALL lists positioned at the pivot doc —
+            # with ties, lists beyond pivot_idx can also match and score.
+            block_ub_sum = sum(
+                c.block_ub(avgdl) for c in live if c.current() == pivot_doc
+            )
+            if block_ub_sum > T:
+                score = 0.0
+                matched = sorted(
+                    (c for c in live if c.current() == pivot_doc), key=lambda c: c.trank
+                )
+                for c in matched:
+                    score += c.contrib(avgdl)
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot_doc))
+                elif (score, -pivot_doc) > heap[0]:
+                    heapq.heapreplace(heap, (score, -pivot_doc))
+                results[pivot_doc] = score
+            for c in live:
+                if not c.done and c.current() <= pivot_doc:
+                    c.seek(pivot_doc + 1)
+        else:
+            for c in live[:pivot_idx]:
+                c.seek(pivot_doc)
+
+    top = sorted(((-s, -nd) for s, nd in heap))[:k]
+    doc_ids = np.array([int(d) for _, d in top], dtype=np.int64)
+    scores = np.array([-s for s, _ in top], dtype=np.float64)
+    return doc_ids, scores
+
+
+STRATEGIES = {
+    "exhaustive": score_exhaustive,
+    "maxscore": score_maxscore,
+    "bmw": score_bmw,
+}

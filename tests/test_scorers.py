@@ -1,0 +1,102 @@
+"""Property tests: exhaustive == maxscore == bmw == numpy oracle, exact.
+
+Random corpora + queries (seeded); salted lists (a term split across
+several disjoint lists) are exercised too. Mirrors the reference's
+property-test layer (wal_batch_bytes_tuner_property_test.go)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pgspark_index import bm25, codecs, oracle, wand
+
+
+def make_lists(stats, terms, salt_fanout=1):
+    """Build encoded list dicts from oracle stats (optionally salted)."""
+    n = stats["N"]
+    lists = []
+    for term in sorted(set(terms)):
+        postings = stats["tf"].get(term)
+        if not postings:
+            continue
+        idf = float(bm25.idf(n, len(postings)))
+        items = sorted(postings.items())
+        doc_ids = np.array([d for d, _ in items], dtype=np.int64)
+        tfs = np.array([t for _, t in items], dtype=np.int64)
+        dls = np.array([stats["doclen"][d] for d, _ in items], dtype=np.int64)
+        fan = salt_fanout if len(items) > 8 else 1
+        for s in range(fan):
+            mask = (doc_ids % fan) == s if fan > 1 else np.ones(doc_ids.size, bool)
+            if not mask.any():
+                continue
+            enc = codecs.encode_postings(doc_ids[mask], tfs[mask], dls[mask])
+            lists.append(
+                {
+                    "term": term,
+                    "idf": idf,
+                    "df": enc["df"],
+                    "postings": enc["postings"],
+                    "block_last_doc": enc["block_last_doc"],
+                    "block_max_tf": enc["block_max_tf"],
+                    "block_min_dl": enc["block_min_dl"],
+                    "block_offset": enc["block_offset"],
+                }
+            )
+    return lists
+
+
+def rand_corpus(seed, n_docs=400, vocab=40):
+    rng = np.random.RandomState(seed)
+    words = [f"t{i}" for i in range(vocab)]
+    probs = np.arange(1, vocab + 1, dtype=float) ** -1.2
+    probs /= probs.sum()
+    texts = [
+        " ".join(rng.choice(words, size=rng.randint(3, 60), p=probs))
+        for _ in range(n_docs)
+    ]
+    doc_ids = rng.randint(-(2**62), 2**62, size=n_docs).astype(np.int64)
+    doc_ids = np.unique(doc_ids)[:n_docs]
+    return pd.DataFrame({"doc_id": doc_ids[: len(texts)], "norm_text": texts[: len(doc_ids)]})
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("salt", [1, 4])
+def test_strategies_match_oracle(seed, salt):
+    docs = rand_corpus(seed)
+    stats = oracle.build_stats(docs)
+    rng = np.random.RandomState(seed + 100)
+    vocab = sorted(stats["df"])
+    for qi in range(12):
+        nterms = rng.randint(1, 5)
+        terms = list(rng.choice(vocab, size=nterms, replace=False))
+        if qi % 4 == 0:
+            terms.append("absent_term")
+        k = int(rng.choice([1, 3, 10, 25]))
+        golden = oracle.score_query(stats, terms, k)
+        lists = make_lists(stats, terms, salt_fanout=salt)
+        for name, scorer in wand.STRATEGIES.items():
+            got_docs, got_scores = scorer(lists, stats["avgdl"], k)
+            exp_docs = [d for _, d, _ in golden]
+            exp_scores = [s for _, _, s in golden]
+            assert got_docs.tolist() == exp_docs, (name, terms, k)
+            np.testing.assert_array_equal(got_scores, np.array(exp_scores), err_msg=name)
+
+
+def test_empty_and_missing():
+    for scorer in wand.STRATEGIES.values():
+        d, s = scorer([], 10.0, 5)
+        assert d.size == 0 and s.size == 0
+
+
+def test_tie_break_doc_id_asc():
+    # identical docs -> identical scores -> ranked by doc_id ascending
+    docs = pd.DataFrame(
+        {"doc_id": [5, -3, 9, 1], "norm_text": ["a b", "a b", "a b", "a b"]}
+    )
+    stats = oracle.build_stats(docs)
+    golden = oracle.score_query(stats, ["a"], 3)
+    assert [d for _, d, _ in golden] == [-3, 1, 5]
+    lists = make_lists(stats, ["a"])
+    for name, scorer in wand.STRATEGIES.items():
+        got_docs, _ = scorer(lists, stats["avgdl"], 3)
+        assert got_docs.tolist() == [-3, 1, 5], name
