@@ -18,13 +18,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
 import json, os, shutil, sys, tempfile, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, __REPO__)
 from pgspark_index import build, fixtures, merge, query
 from pgspark_index.session import get_spark
 
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2])
-spark = get_spark(app=f"scaling-{{cores}}", cores=cores, shuffle_partitions=cores)
-idx = tempfile.mkdtemp(prefix=f"pgspark_scale_{{cores}}_")
+spark = get_spark(app="scaling-%d" % cores, cores=cores, shuffle_partitions=cores)
+idx = tempfile.mkdtemp(prefix="pgspark_scale_%d_" % cores)
 df = fixtures.make_webtext_df(spark, n_docs, seed=42, partitions=cores)
 df.persist().count()
 t0 = time.time()
@@ -53,7 +53,7 @@ spark.stop()
 
 
 def run(cores: int, n_docs: int) -> dict:
-    code = CHILD.format(repo=REPO)
+    code = CHILD.replace("__REPO__", repr(REPO))
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), str(n_docs)],
         capture_output=True, text=True, timeout=3600,
