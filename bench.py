@@ -44,7 +44,7 @@ def main():
     timings: dict[str, float] = {}
     try:
         t0 = time.time()
-        df = fixtures.make_webtext_df(spark, n_docs, seed=42, partitions=cpus)
+        df = fixtures.make_webtext_df_dist(spark, n_docs, seed=42, partitions=cpus)
         df.persist().count()  # materialize input so build timing excludes datagen
         timings["datagen"] = round(time.time() - t0, 3)
 

@@ -21,11 +21,10 @@ Python appears only in the three Arrow-vectorized stages):
   scan (column-pruned: url, warc_ts, html, text)
    -> filter pmod(xxhash64(url), num_units) = unit        [unit predicate]
    -> window last-writer-wins per url                     [shuffle 1: url]
-   -> extract_text_udf, token_counts_udf                  [Arrow, vectorized]
-   -> persist (reused by docs write + postings build)
-   -> docs parquet (doc_id, url, doclen)
-   -> explode counts -> (term, salt, doc_id, tf, dl)
-   -> repartitionByRange(P, term, salt)                   [shuffle 2: range]
+   -> persist deduped corpus slice (reused by 3 passes below)
+   -> docs parquet: doclen_udf -> (doc_id, url, doclen)    [Arrow, int-only out]
+   -> exploded: mapInPandas flat (doc_id, dl, term, tf)    [Arrow, flat columns]
+   -> repartition(P, term, salt) hash, no sampling pass  [shuffle 2]
    -> sortWithinPartitions(term, salt, doc_id)
    -> mapInPandas(segment builder: delta+varbyte encode)  [Arrow, vectorized]
    -> segments parquet under segments/unit=<u>/
@@ -46,7 +45,12 @@ from pyspark import StorageLevel, TaskContext
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from . import codecs, manifest
-from .extract import token_counts_udf, webtext_to_docs
+from .extract import (
+    EXPLODED_SCHEMA,
+    doclen_udf,
+    explode_token_counts_fn,
+    webtext_to_docs,
+)
 
 SEG_SCHEMA = (
     "term string, salt int, part_id int, df bigint, cf bigint, "
@@ -65,84 +69,90 @@ def docs_path(index_dir: str) -> str:
     return os.path.join(index_dir, "docs")
 
 
+_CHUNK_ROWS = 1 << 20  # ~1M postings (~50 MB of arrays) per vectorized flush
+
+
 def _build_segments_fn(batches):
     """mapInPandas worker: stream (term, salt, doc_id, tf, dl) rows — already
     range-partitioned and sorted — into encoded posting-list rows.
 
-    Streams group-by-group so memory is bounded by the largest (term, salt)
-    group (the salt planner bounds that) plus one Arrow batch; a term may
-    span many input batches."""
+    Accumulates up to ~1M postings, then encodes every COMPLETE (term, salt)
+    group in ONE vectorized pass (codecs.encode_groups); the possibly-open
+    trailing group is carried into the next chunk. Memory is bounded by
+    chunk size + the largest group (which the salt planner caps). The
+    vectorized pass matters because Zipf tails mean most groups are tiny —
+    per-group encoding would pay numpy fixed costs tens of thousands of
+    times per partition."""
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
-    out: list[dict] = []
-    carry_key: tuple | None = None
-    carry: list[list[np.ndarray]] | None = None  # [docs, tfs, dls]
+    cols = ("term", "salt", "doc_id", "tf", "dl")
+    buf: dict[str, list[np.ndarray]] = {c: [] for c in cols}
+    buffered = 0
 
-    def flush(key, parts):
-        docs = np.concatenate(parts[0])
-        tfs = np.concatenate(parts[1])
-        dls = np.concatenate(parts[2])
-        enc = codecs.encode_postings(docs, tfs, dls)
-        out.append(
+    def process(final: bool):
+        nonlocal buf, buffered
+        if buffered == 0:
+            return None
+        terms = np.concatenate(buf["term"])
+        salts = np.concatenate(buf["salt"])
+        doc = np.concatenate(buf["doc_id"])
+        tf = np.concatenate(buf["tf"])
+        dl = np.concatenate(buf["dl"])
+        change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        if final:
+            cut = terms.shape[0]
+        else:
+            cut = int(starts[-1])
+            if cut == 0:  # one group spans the whole buffer — keep buffering
+                buf = {"term": [terms], "salt": [salts], "doc_id": [doc], "tf": [tf], "dl": [dl]}
+                return None
+        enc_starts = starts[starts < cut]
+        rows = codecs.encode_groups(enc_starts, doc[:cut], tf[:cut], dl[:cut])
+        out = pd.DataFrame(
             {
-                "term": key[0],
-                "salt": int(key[1]),
-                "part_id": pid,
-                "df": enc["df"],
-                "cf": enc["cf"],
-                "block_last_doc": enc["block_last_doc"].tolist(),
-                "block_max_tf": enc["block_max_tf"].tolist(),
-                "block_min_dl": enc["block_min_dl"].tolist(),
-                "block_offset": enc["block_offset"].tolist(),
-                "postings": enc["postings"],
+                "term": terms[enc_starts],
+                "salt": salts[enc_starts].astype("int32"),
+                "part_id": np.full(len(rows), pid, dtype="int32"),
+                "df": np.array([r["df"] for r in rows], dtype="int64"),
+                "cf": np.array([r["cf"] for r in rows], dtype="int64"),
+                "block_last_doc": [r["block_last_doc"].tolist() for r in rows],
+                "block_max_tf": [r["block_max_tf"].tolist() for r in rows],
+                "block_min_dl": [r["block_min_dl"].tolist() for r in rows],
+                "block_offset": [r["block_offset"].tolist() for r in rows],
+                "postings": [r["postings"] for r in rows],
             }
         )
-
-    def drain():
-        nonlocal out
-        pdf = pd.DataFrame(out)
-        out = []
-        return pdf
+        buf = {
+            "term": [terms[cut:]],
+            "salt": [salts[cut:]],
+            "doc_id": [doc[cut:]],
+            "tf": [tf[cut:]],
+            "dl": [dl[cut:]],
+        }
+        buffered = terms.shape[0] - cut
+        return out
 
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        terms = pdf["term"].to_numpy()
-        salts = pdf["salt"].to_numpy()
-        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tf = pdf["tf"].to_numpy(dtype=np.int64)
-        dl = pdf["dl"].to_numpy(dtype=np.int64)
-        change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(pdf)]))
-        for s, e in zip(starts, ends):
-            key = (terms[s], salts[s])
-            if carry_key is not None and key == carry_key:
-                carry[0].append(doc[s:e])
-                carry[1].append(tf[s:e])
-                carry[2].append(dl[s:e])
-                if e < len(pdf):  # group provably closed inside this batch
-                    flush(carry_key, carry)
-                    carry_key, carry = None, None
-            else:
-                if carry_key is not None:
-                    flush(carry_key, carry)
-                    carry_key, carry = None, None
-                if e == len(pdf):  # may continue into next batch
-                    carry_key = key
-                    carry = [[doc[s:e]], [tf[s:e]], [dl[s:e]]]
-                else:
-                    flush(key, ([doc[s:e]], [tf[s:e]], [dl[s:e]]))
-        if len(out) >= 1024:
-            yield drain()
-    if carry_key is not None:
-        flush(carry_key, carry)
-    if out:
-        yield drain()
+        buf["term"].append(pdf["term"].to_numpy())
+        buf["salt"].append(pdf["salt"].to_numpy())
+        buf["doc_id"].append(pdf["doc_id"].to_numpy(dtype=np.int64))
+        buf["tf"].append(pdf["tf"].to_numpy(dtype=np.int64))
+        buf["dl"].append(pdf["dl"].to_numpy(dtype=np.int64))
+        buffered += len(pdf)
+        if buffered >= _CHUNK_ROWS:
+            out = process(False)
+            if out is not None and len(out):
+                yield out
+    out = process(True)
+    if out is not None and len(out):
+        yield out
 
 
 def plan_salts(
-    tok: DataFrame,
+    ded: DataFrame,
     sample_fraction: float,
     salt_target: int,
     max_fanout: int,
@@ -156,14 +166,14 @@ def plan_salts(
     control skew (pkg/wal/processor/kafka/config.go:21-39); here the 'key
     strategy' is computed per term from data."""
     if sample_fraction >= 1.0:
-        sample = tok
+        sample = ded
         scale = 1.0
     else:
-        sample = tok.sample(fraction=sample_fraction, seed=seed)
+        sample = ded.sample(fraction=sample_fraction, seed=seed)
         scale = 1.0 / sample_fraction
     head = (
-        sample.select(F.explode("tk.counts").alias("tc"))
-        .groupBy(F.col("tc.term").alias("term"))
+        sample.mapInPandas(explode_token_counts_fn, schema=EXPLODED_SCHEMA)
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") * scale > salt_target)
         .collect()
@@ -222,23 +232,26 @@ def build_unit(
     max_fanout: int = 64,
 ) -> dict:
     """Build one work unit end-to-end and commit its manifest row."""
-    docs = docs_provider(unit, num_units)
-    tok = docs.select(
-        "doc_id", "url", token_counts_udf(F.col("text")).alias("tk")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    src = docs_provider(unit, num_units)
+    html_col = F.col("html") if "html" in src.columns else F.lit(None).cast("binary")
+    # persist the deduped corpus slice, NOT a tokenized nested column:
+    # Arrow-converting array<struct<term,tf>> costs ~10x the tokenize itself,
+    # so tokenization runs twice over the cached slice (docs pass emits one
+    # int; postings pass emits flat rows) — far cheaper than nesting once.
+    ded = src.select("doc_id", "url", html_col.alias("html"), "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     try:
         docs_obs = Observation()
-        docs_out = tok.select(
-            "doc_id", "url", F.col("tk.dl").alias("doclen")
+        docs_out = ded.select(
+            "doc_id", "url", doclen_udf(F.col("html"), F.col("text")).alias("doclen")
         ).observe(docs_obs, F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sum_dl"))
         docs_out.write.mode("overwrite").parquet(
             os.path.join(docs_path(index_dir), f"unit={unit}")
         )
 
-        salt_plan = plan_salts(tok, sample_fraction, salt_target, max_fanout)
-        exploded = tok.select(
-            "doc_id", F.col("tk.dl").alias("dl"), F.explode("tk.counts").alias("tc")
-        ).select("doc_id", "dl", F.col("tc.term").alias("term"), F.col("tc.tf").alias("tf"))
+        salt_plan = plan_salts(ded, sample_fraction, salt_target, max_fanout)
+        exploded = ded.mapInPandas(explode_token_counts_fn, schema=EXPLODED_SCHEMA)
         if salt_plan:
             salt_df = spark.createDataFrame(salt_plan, "term string, fanout int")
             exploded = exploded.join(F.broadcast(salt_df), "term", "left").withColumn(
@@ -251,8 +264,14 @@ def build_unit(
         ).drop("fanout")
 
         seg_obs = Observation()
+        # hash repartition, NOT repartitionByRange: range partitioning runs an
+        # extra sampling pass over the full exploded relation to pick bounds.
+        # Hash needs no sampling, still co-locates each (term, salt) group in
+        # one partition, and sortWithinPartitions keeps every output FILE
+        # term-sorted — parquet row-group min/max stats stay as selective for
+        # the query-time term IN (...) pushdown.
         segments = (
-            exploded.repartitionByRange(partitions, "term", "salt")
+            exploded.repartition(partitions, "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
             .mapInPandas(_build_segments_fn, schema=SEG_SCHEMA)
             .observe(
@@ -278,7 +297,7 @@ def build_unit(
         manifest.commit_unit(index_dir, row)
         return row
     finally:
-        tok.unpersist()
+        ded.unpersist()
 
 
 def build_index(

@@ -55,15 +55,11 @@ def varbyte_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     n = v.shape[0]
     if n == 0:
         return b"", np.zeros(0, dtype=np.int64)
-    # byte length = ceil(bitlen / 7), min 1
-    bitlen = np.zeros(n, dtype=np.int64)
-    tmp = v.copy()
-    nonzero = tmp > 0
-    while nonzero.any():
-        bitlen[nonzero] += 1
-        tmp >>= np.uint64(1)
-        nonzero = tmp > 0
-    nbytes = np.maximum(1, (bitlen + 6) // 7)
+    # byte length = ceil(bitlen/7): 9 vectorized threshold compares (a
+    # value needs k+1 LEB128 bytes iff v >= 2^(7k)), no data-dependent loop
+    nbytes = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(nbytes[:-1], out=offsets[1:])
     total = int(offsets[-1] + nbytes[-1])
@@ -145,6 +141,86 @@ def encode_postings(
         "block_min_dl": min_dl.astype(np.int32),
         "block_offset": block_offset.astype(np.int64),
     }
+
+
+def encode_groups(
+    group_starts: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+) -> list[dict]:
+    """Encode MANY posting lists in one vectorized pass.
+
+    ``group_starts``: sorted start indices of each (term, salt) group within
+    the doc_ids/tfs/doclens arrays (postings sorted by doc within group).
+    One varbyte pass over the whole interleaved stream, then per-group blob
+    slicing by byte offsets — O(total postings) numpy work instead of one
+    Python-level encode per group (tail terms made per-group encoding
+    overhead-dominated: 30k tiny groups -> 30k numpy fixed costs).
+
+    Returns one dict per group with the same keys as encode_postings.
+    """
+    n = doc_ids.shape[0]
+    g = group_starts.astype(np.int64)
+    ng = g.shape[0]
+    if n == 0 or ng == 0:
+        return []
+    group_ends = np.concatenate((g[1:], [n]))
+    sizes = group_ends - g
+
+    doc_u = _to_unsigned(doc_ids.astype(np.int64))
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = doc_u[0]
+    gaps[1:] = doc_u[1:] - doc_u[:-1]
+    gaps[g] = doc_u[g]  # reset delta chain at every group start
+
+    stream = np.empty(3 * n, dtype=np.uint64)
+    stream[0::3] = gaps
+    stream[1::3] = tfs.astype(np.uint64)
+    stream[2::3] = doclens.astype(np.uint64)
+    blob, nbytes = varbyte_encode(stream)
+    byte_start = np.zeros(3 * n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=byte_start[1:])  # byte_start[i] = offset of value i
+
+    # global block table: for group k, blocks start at postings g[k]+BLOCK*j
+    nblocks = (sizes + BLOCK - 1) // BLOCK
+    total_blocks = int(nblocks.sum())
+    # block -> owning group, and block start posting index
+    blk_group = np.repeat(np.arange(ng), nblocks)
+    # per-block index within its group: arange - first_block_of_group
+    first_blk = np.zeros(ng, dtype=np.int64)
+    np.cumsum(nblocks[:-1], out=first_blk[1:])
+    blk_j = np.arange(total_blocks) - first_blk[blk_group]
+    blk_start = g[blk_group] + blk_j * BLOCK
+    blk_end = np.minimum(blk_start + BLOCK, group_ends[blk_group]) - 1
+
+    tf_i64 = tfs.astype(np.int64)
+    dl_i64 = doclens.astype(np.int64)
+    blk_max_tf = np.maximum.reduceat(tf_i64, blk_start)
+    blk_min_dl = np.minimum.reduceat(dl_i64, blk_start)
+    blk_last_doc = doc_ids[blk_end]
+    # byte offset of each block, relative to its group's blob start
+    blk_offset = byte_start[3 * blk_start] - byte_start[3 * g[blk_group]]
+
+    cf = np.add.reduceat(tf_i64, g)
+    out = []
+    mv = memoryview(blob)
+    for k in range(ng):
+        b0, b1 = int(first_blk[k]), int(first_blk[k] + nblocks[k])
+        lo = int(byte_start[3 * g[k]])
+        hi = int(byte_start[3 * group_ends[k]])
+        out.append(
+            {
+                "postings": bytes(mv[lo:hi]),
+                "df": int(sizes[k]),
+                "cf": int(cf[k]),
+                "block_last_doc": blk_last_doc[b0:b1].astype(np.int64),
+                "block_max_tf": blk_max_tf[b0:b1].astype(np.int32),
+                "block_min_dl": blk_min_dl[b0:b1].astype(np.int32),
+                "block_offset": blk_offset[b0:b1].astype(np.int64),
+            }
+        )
+    return out
 
 
 def decode_postings(blob: bytes, df: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

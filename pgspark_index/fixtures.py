@@ -148,6 +148,57 @@ def make_webtext_df(spark, n_docs: int, seed: int = 42, partitions: int | None =
     return df
 
 
+def make_webtext_df_dist(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed deterministic corpus generator for benchmark-scale sizes.
+
+    Generation is seeded PER doc_id (page_id), so the output is identical
+    regardless of partition count or parallelism — the same determinism
+    contract as make_webtext_pdf, at cluster scale (the driver never holds
+    the corpus). Content rules mirror the pandas generator (Zipf vocab,
+    text/html nulls, langs) minus the recrawl duplicates, which matter for
+    correctness tests, not throughput benches."""
+    import pandas as pd  # noqa: F401
+
+    parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    vocab = _vocab()
+    # precomputed CDF + searchsorted instead of rng.choice(p=...): choice
+    # rebuilds the 30k-entry CDF on every call (~100x slower per doc)
+    cdf = np.cumsum(_zipf_probs(VOCAB_SIZE, ZIPF_S))
+    base = spark.range(0, n_docs, 1, parts)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+            for pid in ids:
+                rng = np.random.RandomState((seed * 1_000_003 + int(pid)) % (2**31 - 1))
+                dl = rng.randint(20, 220)
+                toks = vocab[np.minimum(
+                    np.searchsorted(cdf, rng.rand(dl)), VOCAB_SIZE - 1
+                )]
+                text = " ".join(toks.tolist())
+                roll = rng.rand(3)
+                out["url"].append(
+                    f"https://site{rng.randint(0, 1000):04d}.example/page/{int(pid):06d}"
+                )
+                out["warc_ts"].append(EPOCH + dt.timedelta(seconds=int(pid)))
+                out["html"].append(
+                    None
+                    if roll[1] < 0.10 and roll[0] >= 0.05
+                    else b"<html><body><p>" + text.encode() + b"</p></body></html>"
+                )
+                out["text"].append(None if roll[0] < 0.05 and roll[1] >= 0.10 else text)
+                out["lang"].append(
+                    "en" if roll[2] < 0.9 else ["de", "fr", "es", None][rng.randint(0, 4)]
+                )
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(gen, schema=WEBTEXT_DDL)
+
+
 def make_query_set(n_queries: int = 50, seed: int = 123) -> list[dict]:
     """Seeded reference query set (FIXTURES.md §3): head/tail single terms,
     2–4 term conjunctions, absent terms, plus a tie-prone head-term query."""

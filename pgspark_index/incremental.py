@@ -1,0 +1,271 @@
+"""Incremental indexing: delta units, tombstones, and compaction.
+
+pgstream's core loop is continuous incremental indexing with strict
+ordering and LSN-versioned conflict resolution
+(/root/reference/docs/architecture.md:70,
+/root/reference/pkg/wal/processor/search/search_adapter.go:140-184: doc
+Version = LSN; updates out-version older writes). The batch-incremental
+re-expression over snapshot tables:
+
+- ``build_delta`` — new/changed rows (a later input snapshot) become fresh
+  work units, committed through the same manifest protocol; doc_ids that
+  already exist in the base index are recorded as TOMBSTONES (the delta
+  version wins — snapshot ordering is the LSN analog).
+- query-time: scorers exclude tombstoned docs (vectorized np filter), so
+  reads are correct immediately after a delta lands — no rewrite needed.
+- ``compact`` — physically applies tombstones: decode -> drop -> re-encode
+  every affected posting list (mapInPandas, no raw text required because
+  postings carry (doc, tf, doclen)), rewrite docs tables, refresh manifest
+  lineage, clear tombstones. After compact + merge, global stats and df
+  are exactly those of a from-scratch build of the merged corpus.
+
+Analogy map: tombstone-aware reads = OpenSearch versioned upsert/delete;
+compact = Lucene segment merge expunging deletes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import manifest, merge
+from .build import (
+    SEG_SCHEMA,
+    build_unit,
+    docs_path,
+    segments_path,
+    webtext_unit_provider,
+)
+
+
+def tombstones_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    d = tombstones_path(index_dir)
+    if not glob.glob(os.path.join(d, "*.parquet")):
+        return None
+    return spark.read.parquet(d)
+
+
+def load_tombstones(index_dir: str):
+    """Driver-side tombstones -> (sorted doc_id int64 array, snapshot int64
+    array aligned) or None. A tombstone (d, s) means: doc d's versions in
+    units whose input_snapshot_id < s are superseded — exclusion is
+    UNIT-SCOPED (the delta unit of snapshot s holds the live version!).
+
+    At 10^12-doc scale this would be a broadcast DF semi-join / bloom
+    filter; the set stays small between compactions by design."""
+    import numpy as np
+
+    d = tombstones_path(index_dir)
+    files = glob.glob(os.path.join(d, "*.parquet"))
+    if not files:
+        return None
+    best: dict[int, int] = {}
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id", "snapshot"])
+        for doc, snap in zip(t["doc_id"].to_pylist(), t["snapshot"].to_pylist()):
+            if doc not in best or snap > best[doc]:
+                best[doc] = snap
+    if not best:
+        return None
+    docs = np.array(sorted(best), dtype=np.int64)
+    snaps = np.array([best[int(x)] for x in docs], dtype=np.int64)
+    return docs, snaps
+
+
+def unit_snapshots(index_dir: str) -> dict[int, int]:
+    """unit id -> input_snapshot_id from committed manifest lineage."""
+    m = manifest.read_manifest(index_dir)
+    m = m[m["status"] == manifest.STATUS_COMPLETED]
+    return {int(u): int(s) for u, s in zip(m["unit"], m["input_snapshot_id"])}
+
+
+def build_delta(
+    spark: SparkSession,
+    source,
+    index_dir: str,
+    input_snapshot_id: int,
+    num_units: int = 1,
+    partitions: int | None = None,
+    **build_kwargs,
+) -> dict:
+    """Index a delta snapshot: new unit(s) + tombstones for superseded docs.
+
+    ``source``: webtext DataFrame (or unit provider) containing ONLY the
+    new/changed rows of snapshot ``input_snapshot_id`` (the Iceberg
+    incremental-read output). Unit ids are namespaced by snapshot so they
+    never collide with base units; resume works per snapshot via the
+    manifest's input_snapshot_id scoping."""
+    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    provider = source if callable(source) else webtext_unit_provider(source)
+    base_unit = 1_000_000 * input_snapshot_id
+
+    # Commit ordering (checkpoint-after-send, search_batch_indexer.go:218-223):
+    # 1. delta unit segments + manifest rows, 2. THEN tombstones. A crash
+    # between the two leaves both versions readable (stale-but-complete);
+    # the inverse order would make updated docs vanish.
+    done = manifest.completed_units(index_dir, input_snapshot_id)
+    built = []
+    for i in range(num_units):
+        uid = base_unit + i
+        if uid in done:
+            continue
+
+        def shifted(unit, total, _provider=provider, _i=i, _n=num_units):
+            return _provider(_i, _n)
+
+        row = build_unit(
+            spark, shifted, index_dir, uid, num_units, partitions,
+            input_snapshot_id=input_snapshot_id, **build_kwargs,
+        )
+        built.append(row)
+
+    # tombstones: delta doc_ids that exist in OTHER (older) units' docs
+    other_units = [
+        u
+        for u in manifest.completed_units(index_dir)
+        if not (base_unit <= u < base_unit + num_units)
+    ]
+    if other_units:
+        existing = (
+            spark.read.parquet(docs_path(index_dir))
+            .filter(F.col("unit").isin(other_units))
+            .select("doc_id")
+        )
+        delta_docs = provider(0, 1).select("doc_id").distinct()
+        tomb_pdf = delta_docs.join(existing, "doc_id", "left_semi").toPandas()
+    else:  # first snapshot ever — nothing to supersede
+        import pandas as pd
+
+        tomb_pdf = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    tomb_pdf["snapshot"] = input_snapshot_id
+    os.makedirs(tombstones_path(index_dir), exist_ok=True)
+    tmp = os.path.join(
+        tombstones_path(index_dir), f"snapshot-{input_snapshot_id}.parquet.tmp"
+    )
+    final = tmp[: -len(".tmp")]
+    pq.write_table(pa.Table.from_pandas(tomb_pdf, preserve_index=False), tmp)
+    os.replace(tmp, final)
+    return {"built_units": [r["unit"] for r in built], "tombstones": len(tomb_pdf)}
+
+
+def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) -> dict:
+    """Physically expunge tombstoned docs from every unit, then clear
+    tombstones. Posting lists are rewritten by decode -> filter -> encode
+    inside an Arrow-grouped UDF; empty lists are dropped; docs tables are
+    filtered. Manifest rows are refreshed (same unit ids, updated counts)."""
+    tombs = load_tombstones(index_dir)
+    if tombs is None:
+        return {"compacted_units": [], "removed_docs": 0}
+    import numpy as np
+
+    tomb_docs, tomb_snaps = tombs
+    usnap = unit_snapshots(index_dir)
+    m = manifest.read_manifest(index_dir)
+    units = sorted(int(u) for u in m[m["status"] == manifest.STATUS_COMPLETED]["unit"])
+
+    def make_rewrite(tomb_arr):
+        return lambda batches: rewrite(batches, tomb_arr)
+
+    def rewrite(batches, tomb_arr):
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from . import codecs
+
+        t = np.asarray(tomb_arr, dtype=np.int64)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                doc, tf, dl = codecs.decode_postings(r.postings, int(r.df))
+                keep = ~np.isin(doc, t, assume_unique=True)
+                if keep.all():
+                    out.append(r._asdict())
+                    continue
+                if not keep.any():
+                    continue
+                enc = codecs.encode_postings(doc[keep], tf[keep], dl[keep])
+                out.append(
+                    {
+                        "Index": 0,
+                        "term": r.term,
+                        "salt": int(r.salt),
+                        "part_id": pid,
+                        "df": enc["df"],
+                        "cf": enc["cf"],
+                        "block_last_doc": enc["block_last_doc"].tolist(),
+                        "block_max_tf": enc["block_max_tf"].tolist(),
+                        "block_min_dl": enc["block_min_dl"].tolist(),
+                        "block_offset": enc["block_offset"].tolist(),
+                        "postings": enc["postings"],
+                    }
+                )
+            pdf_out = pd.DataFrame(out)
+            if len(pdf_out):
+                yield pdf_out.drop(columns=["Index"], errors="ignore")
+
+    removed_total = 0
+    for u in units:
+        # unit-scoped tombstones: only docs superseded by a LATER snapshot
+        unit_tomb = tomb_docs[tomb_snaps > usnap.get(u, 0)]
+        if unit_tomb.size == 0:
+            continue
+        seg_dir = os.path.join(segments_path(index_dir), f"unit={u}")
+        doc_dir = os.path.join(docs_path(index_dir), f"unit={u}")
+        docs = spark.read.parquet(doc_dir)
+        n_before = docs.count()
+        docs_kept = docs.filter(~F.col("doc_id").isin([int(x) for x in unit_tomb]))
+        stats = docs_kept.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sum_dl")
+        ).collect()[0]
+        n_after = int(stats["n"])
+        if n_after == n_before:
+            continue  # unit untouched by tombstones
+        removed_total += n_before - n_after
+
+        seg = spark.read.parquet(seg_dir)
+        new_seg = seg.mapInPandas(make_rewrite(unit_tomb), schema=SEG_SCHEMA)
+        tmp_seg, tmp_doc = seg_dir + ".compact", doc_dir + ".compact"
+        new_seg.write.mode("overwrite").parquet(tmp_seg)
+        docs_kept.write.mode("overwrite").parquet(tmp_doc)
+
+        seg_stats = spark.read.parquet(tmp_seg).agg(
+            F.count(F.lit(1)).alias("terms"), F.sum(F.length("postings")).alias("bytes")
+        ).collect()[0]
+
+        import shutil
+
+        shutil.rmtree(seg_dir)
+        os.rename(tmp_seg, seg_dir)
+        shutil.rmtree(doc_dir)
+        os.rename(tmp_doc, doc_dir)
+
+        old = m[m["unit"] == u].iloc[0]
+        manifest.commit_unit(
+            index_dir,
+            {
+                "segment_id": f"u{u}",
+                "unit": u,
+                "input_snapshot_id": int(old["input_snapshot_id"]),
+                "row_count": n_after,
+                "sum_doclen": int(stats["sum_dl"] or 0),
+                "term_count": int(seg_stats["terms"] or 0),
+                "bytes": int(seg_stats["bytes"] or 0),
+                "status": manifest.STATUS_COMPLETED,
+            },
+        )
+
+    for f in glob.glob(os.path.join(tombstones_path(index_dir), "*.parquet")):
+        os.remove(f)
+    merge.merge_index(spark, index_dir)
+    return {"compacted_units": units, "removed_docs": removed_total}

@@ -24,22 +24,59 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import bm25, merge, wand
 from .build import segments_path
 
+
+def _tombstone_excluder(index_dir: str):
+    """-> callable(unit) -> sorted int64 exclude array or None.
+
+    Unit-scoped: a tombstone (doc, snapshot s) suppresses the doc only in
+    units built from snapshots OLDER than s — the snapshot-s delta unit
+    holds the live version (LSN-as-version semantics, search_adapter.go:179-184)."""
+    import numpy as np
+
+    from .incremental import load_tombstones, unit_snapshots
+
+    tombs = load_tombstones(index_dir)
+    if tombs is None:
+        return lambda unit: None
+    docs, snaps = tombs
+    usnap = unit_snapshots(index_dir)
+
+    def for_unit(unit):
+        ex = docs[snaps > usnap.get(int(unit), 0)]
+        return ex if ex.size else None
+
+    return for_unit
+
 RESULT_SCHEMA = "doc_id bigint, score double"
 BATCH_RESULT_SCHEMA = "query_id int, doc_id bigint, score double"
 
 
 def _term_idfs(spark: SparkSession, index_dir: str, terms: list[str], n_docs: int) -> dict[str, float]:
     """Lexicon lookup: term -> idf (global df). Missing terms are simply
-    absent (score 0 everywhere), like any search engine."""
+    absent (score 0 everywhere), like any search engine.
+
+    Read directly with pyarrow on the driver — the lexicon is range-
+    partitioned and sorted by term, so parquet row-group statistics prune
+    to a handful of row groups; no Spark job is scheduled for the (tiny)
+    lookup, which roughly halves single-query latency."""
     if not terms:
         return {}
-    rows = (
-        merge.read_lexicon(spark, index_dir)
-        .filter(F.col("term").isin(terms))
-        .select("term", "df_total")
-        .collect()
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.dataset as ds
+
+    files = sorted(
+        _glob.glob(_os.path.join(merge.lexicon_path(index_dir), "*.parquet"))
     )
-    return {r["term"]: float(bm25.idf(n_docs, r["df_total"])) for r in rows}
+    dataset = ds.dataset(files, format="parquet")
+    table = dataset.to_table(
+        columns=["term", "df_total"], filter=ds.field("term").isin(terms)
+    )
+    out = {}
+    for term, df_total in zip(table["term"].to_pylist(), table["df_total"].to_pylist()):
+        out[term] = float(bm25.idf(n_docs, df_total))
+    return out
 
 
 def _rows_to_lists(pdf, idfs: dict[str, float]) -> list[dict]:
@@ -74,6 +111,7 @@ def search(
         return spark.createDataFrame([], RESULT_SCHEMA)
     avgdl = float(stats["avgdl"])
     scorer = wand.STRATEGIES[strategy]
+    excluder = _tombstone_excluder(index_dir)
 
     seg = (
         spark.read.parquet(segments_path(index_dir))
@@ -84,17 +122,15 @@ def search(
         )
     )
 
-    import pandas as pd  # noqa: F401 (worker-side)
-
-    def score_unit(pdf):
+    def score_unit(key, pdf):
         import pandas as pd
 
-        docs, scores = scorer(_rows_to_lists(pdf, idfs), avgdl, k)
+        docs, scores = scorer(
+            _rows_to_lists(pdf, idfs), avgdl, k, exclude=excluder(key[0])
+        )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
-    per_unit = seg.groupBy("unit").applyInPandas(
-        lambda key, pdf: score_unit(pdf), schema=RESULT_SCHEMA
-    )
+    per_unit = seg.groupBy("unit").applyInPandas(score_unit, schema=RESULT_SCHEMA)
     return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -125,6 +161,7 @@ def search_batch(
     present = sorted(idfs)
     if not present:
         return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+    excluder = _tombstone_excluder(index_dir)
 
     seg = (
         spark.read.parquet(segments_path(index_dir))
@@ -138,6 +175,7 @@ def search_batch(
     def score_unit_all(key, pdf):
         import pandas as pd
 
+        exclude = excluder(key[0])
         lists = _rows_to_lists(pdf, idfs)
         by_term: dict[str, list[dict]] = {}
         for lst in lists:
@@ -147,7 +185,7 @@ def search_batch(
             qlists = [l for t in q["terms"] for l in by_term.get(t, [])]
             if not qlists:
                 continue
-            docs, scores = scorer(qlists, avgdl, q["k"])
+            docs, scores = scorer(qlists, avgdl, q["k"], exclude=exclude)
             out_q.extend([q["query_id"]] * len(docs))
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())

@@ -34,6 +34,14 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or "16g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # local-mode shuffle goes through spark.local.dir; a single shared
+        # virtio disk serializes it and misrepresents a real cluster (where
+        # per-node shuffle I/O scales with executor count). tmpfs restores
+        # the scaling behavior; harmless elsewhere (falls back to /tmp).
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

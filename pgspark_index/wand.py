@@ -37,9 +37,16 @@ import numpy as np
 from . import bm25, codecs
 
 
-def _decoded_contribs(lst: dict, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
-    """Full-decode one list -> (doc_ids, contribs)."""
+def _decoded_contribs(
+    lst: dict, avgdl: float, exclude: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full-decode one list -> (doc_ids, contribs). ``exclude`` is a sorted
+    int64 array of tombstoned doc_ids (incremental deletes) masked out
+    before scoring."""
     doc, tf, dl = codecs.decode_postings(lst["postings"], lst["df"])
+    if exclude is not None and exclude.size and doc.size:
+        keep = ~np.isin(doc, exclude, assume_unique=True)
+        doc, tf, dl = doc[keep], tf[keep], dl[keep]
     return doc, lst["idf"] * bm25.tf_weight(tf, dl, avgdl)
 
 
@@ -77,12 +84,12 @@ def _trank_of(tranks) -> int:
     return int(arr[0]) if arr.size else 0
 
 
-def score_exhaustive(lists: list[dict], avgdl: float, k: int):
+def score_exhaustive(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray | None = None):
     """Vectorized TAAT over fully decoded lists."""
     ranks = _term_ranks(lists)
     all_docs, all_contribs, all_tranks = [], [], []
     for lst in lists:
-        doc, contrib = _decoded_contribs(lst, avgdl)
+        doc, contrib = _decoded_contribs(lst, avgdl, exclude)
         all_docs.append(doc)
         all_contribs.append(contrib)
         all_tranks.append(np.full(doc.size, ranks[lst["term"]], dtype=np.int32))
@@ -102,9 +109,21 @@ def _list_upper_bound(lst: dict, avgdl: float) -> float:
     )
 
 
+def _member_mask(sorted_vals: np.ndarray, probes: np.ndarray) -> np.ndarray:
+    """probes ∈ sorted_vals membership via searchsorted — O(p log n), unlike
+    np.isin which re-sorts the big array on EVERY call (pathological when
+    probed once per block)."""
+    if sorted_vals.size == 0 or probes.size == 0:
+        return np.zeros(probes.size, dtype=bool)
+    pos = np.searchsorted(sorted_vals, probes)
+    pos = np.minimum(pos, sorted_vals.size - 1)
+    return sorted_vals[pos] == probes
+
+
 def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float):
     """Decode only the blocks that can contain candidate docs; return
-    (docs, contribs) restricted to candidates. Pure block-max skipping."""
+    (docs, contribs) restricted to candidates. Pure block-max skipping.
+    ``cand_docs`` must be sorted (maxscore maintains that invariant)."""
     last = np.asarray(lst["block_last_doc"], dtype=np.int64)
     offs = np.asarray(lst["block_offset"], dtype=np.int64)
     needed = np.unique(np.searchsorted(last, cand_docs))
@@ -113,7 +132,7 @@ def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float):
     for b in needed:
         prev = int(last[b - 1]) if b > 0 else None
         doc, tf, dl = codecs.decode_block(lst["postings"], lst["df"], int(b), offs, prev)
-        mask = np.isin(doc, cand_docs, assume_unique=True)
+        mask = _member_mask(cand_docs, doc)
         if mask.any():
             out_docs.append(doc[mask])
             out_contribs.append(lst["idf"] * bm25.tf_weight(tf[mask], dl[mask], avgdl))
@@ -122,7 +141,7 @@ def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float):
     return np.concatenate(out_docs), np.concatenate(out_contribs)
 
 
-def score_maxscore(lists: list[dict], avgdl: float, k: int):
+def score_maxscore(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray | None = None):
     """TAAT MaxScore + block skipping. Identical output to exhaustive.
 
     Safety argument: T is the kth-best *partial* accumulated score, which
@@ -145,7 +164,7 @@ def score_maxscore(lists: list[dict], avgdl: float, k: int):
     admitting = True
     for i, lst in enumerate(lists):
         if admitting:
-            doc, contrib = _decoded_contribs(lst, avgdl)
+            doc, contrib = _decoded_contribs(lst, avgdl, exclude)
         else:
             doc, contrib = _probe_blocks(lst, cand_docs, avgdl)
         kept.append((doc, contrib, ranks[lst["term"]]))
@@ -176,14 +195,14 @@ def score_maxscore(lists: list[dict], avgdl: float, k: int):
     # exact re-sum over surviving candidates only, in term order
     all_docs, all_contribs, all_tranks = [], [], []
     for doc, contrib, trank in kept:
-        mask = np.isin(doc, cand_docs, assume_unique=True)
+        mask = _member_mask(cand_docs, doc)
         all_docs.append(doc[mask])
         all_contribs.append(contrib[mask])
         all_tranks.append(np.full(int(mask.sum()), trank, dtype=np.int32))
     return _exact_topk(all_docs, all_contribs, all_tranks, k)
 
 
-def score_bmw(lists: list[dict], avgdl: float, k: int):
+def score_bmw(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray | None = None):
     """Document-at-a-time Block-Max WAND (reference implementation).
 
     Decodes lazily block-by-block; skips blocks via the WAND pivot +
@@ -251,6 +270,7 @@ def score_bmw(lists: list[dict], avgdl: float, k: int):
                 bm25.tf_weight(int(self.tfs[self.i]), int(self.dls[self.i]), avgdl)
             )
 
+    exclude_set = set(exclude.tolist()) if exclude is not None and getattr(exclude, "size", 0) else None
     cursors = [Cursor(l, avgdl) for l in lists]
     cursors = [c for c in cursors if not c.done]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
@@ -273,6 +293,11 @@ def score_bmw(lists: list[dict], avgdl: float, k: int):
         if pivot_idx is None:
             break
         pivot_doc = live[pivot_idx].current()
+        if exclude_set and pivot_doc in exclude_set:
+            for c in live:
+                if not c.done and c.current() <= pivot_doc:
+                    c.seek(pivot_doc + 1)
+            continue
         if live[0].current() == pivot_doc:
             # block-max check over ALL lists positioned at the pivot doc —
             # with ties, lists beyond pivot_idx can also match and score.

@@ -48,6 +48,37 @@ def test_postings_roundtrip(n):
     assert d_dl.tolist() == dls.tolist()
 
 
+def test_encode_groups_matches_per_group_encode():
+    """Vectorized many-list encode must be byte-identical to per-list encode."""
+    rng = np.random.RandomState(9)
+    sizes = [1, 3, 128, 129, 500, 2, 1000, 7]
+    doc_pool = np.unique(rng.randint(-(2**60), 2**60, size=sum(sizes) + 10).astype(np.int64))
+    docs, tfs, dls, starts = [], [], [], []
+    pos = 0
+    o = 0
+    for sz in sizes:
+        starts.append(o)
+        d = np.sort(doc_pool[pos : pos + sz])
+        docs.append(d)
+        tfs.append(rng.randint(1, 40, size=sz))
+        dls.append(rng.randint(5, 300, size=sz))
+        pos += sz
+        o += sz
+    all_docs = np.concatenate(docs)
+    all_tfs = np.concatenate(tfs)
+    all_dls = np.concatenate(dls)
+    rows = codecs.encode_groups(np.array(starts), all_docs, all_tfs, all_dls)
+    assert len(rows) == len(sizes)
+    for r, d, t, l in zip(rows, docs, tfs, dls):
+        single = codecs.encode_postings(d, t, l)
+        assert r["postings"] == single["postings"]
+        assert r["df"] == single["df"] and r["cf"] == single["cf"]
+        assert r["block_last_doc"].tolist() == single["block_last_doc"].tolist()
+        assert r["block_max_tf"].tolist() == single["block_max_tf"].tolist()
+        assert r["block_min_dl"].tolist() == single["block_min_dl"].tolist()
+        assert r["block_offset"].tolist() == single["block_offset"].tolist()
+
+
 def test_block_meta_and_block_decode():
     rng = np.random.RandomState(3)
     n = 1000

@@ -78,6 +78,33 @@ def test_queries_match_oracle(built, spark, strategy):
         )
 
 
+def test_committed_goldens(built, spark):
+    """Golden (rank, doc_id, score) triples committed to the repo — guards
+    against silent co-drift of engine + oracle (FIXTURES.md §3). Scores are
+    stored as repr() for full float64 round-trip."""
+    import json
+    import pathlib
+
+    index_dir, _, ostats = built
+    queries = fixtures.make_query_set(10, seed=123)
+    current = {
+        str(q["query_id"]): [
+            [r, d, repr(s)] for r, d, s in oracle.score_query(ostats, q["terms"], q["k"])
+        ]
+        for q in queries
+    }
+    path = pathlib.Path(__file__).parent / "golden" / "queries_n1500_seed42.json"
+    if not path.exists():
+        path.write_text(json.dumps(current, indent=1))
+    golden = json.loads(path.read_text())
+    assert current == golden, "oracle drifted from committed goldens"
+    # and the engine reproduces them through Spark
+    for q in queries[:5]:
+        got = query.search(spark, index_dir, q["terms"], q["k"]).collect()
+        exp = golden[str(q["query_id"])]
+        assert [[i + 1, r["doc_id"], repr(r["score"])] for i, r in enumerate(got)] == exp
+
+
 def test_batch_queries_match_single(built, spark):
     index_dir, _, ostats = built
     queries = fixtures.make_query_set(10, seed=321)

@@ -1,0 +1,105 @@
+"""Incremental build: delta units + tombstones give correct reads
+immediately; compaction makes the index exactly equal a full rebuild."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgspark_index import build, fixtures, incremental, manifest, merge, query
+
+N_BASE = 400
+SENTINEL_NEW = "zzznewterm"
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    base_pdf = fixtures.make_webtext_pdf(N_BASE, seed=11)
+    base_pdf = base_pdf.drop_duplicates(subset=["url"], keep="last")  # no recrawls here
+    base = spark.createDataFrame(base_pdf, schema=fixtures.WEBTEXT_DDL)
+
+    # delta: 25 updated urls (text replaced by a sentinel term), 15 new urls
+    updated = base_pdf.head(25).copy()
+    updated["text"] = SENTINEL_NEW + " content updated " + SENTINEL_NEW
+    updated["html"] = None
+    updated["warc_ts"] = updated["warc_ts"] + dt.timedelta(days=90)
+    new_pdf = fixtures.make_webtext_pdf(15, seed=77).drop_duplicates(subset=["url"])
+    new_pdf["url"] = new_pdf["url"].str.replace("https://site", "https://newsite")
+    import pandas as pd
+
+    delta_pdf = pd.concat([updated, new_pdf], ignore_index=True)
+    delta = spark.createDataFrame(delta_pdf, schema=fixtures.WEBTEXT_DDL)
+    merged = base.join(delta.select("url"), "url", "left_anti").unionByName(delta)
+    return base, delta, merged, set(updated["url"])
+
+
+def test_incremental_lifecycle(spark, corpora, tmp_index, tmp_path):
+    base, delta, merged, updated_urls = corpora
+
+    build.build_index(spark, base, tmp_index, num_units=2, partitions=4,
+                      sample_fraction=1.0)
+    merge.merge_index(spark, tmp_index)
+
+    # sentinel term absent before the delta
+    assert query.search(spark, tmp_index, [SENTINEL_NEW], 5).count() == 0
+
+    res = incremental.build_delta(spark, delta, tmp_index, input_snapshot_id=1,
+                                  num_units=1, partitions=4, sample_fraction=1.0)
+    assert res["tombstones"] == 25
+    merge.merge_index(spark, tmp_index)
+
+    # updated docs are found under their NEW content...
+    hits = query.search(spark, tmp_index, [SENTINEL_NEW], 30).collect()
+    assert len(hits) == 25
+    updated_ids = {
+        r["doc_id"]
+        for r in base.select(F.xxhash64("url").alias("doc_id"), "url")
+        .filter(F.col("url").isin(list(updated_urls)))
+        .collect()
+    }
+    assert {h["doc_id"] for h in hits} == updated_ids
+
+    # ...and their OLD content no longer surfaces them (tombstone exclusion):
+    # the new text contains no original-vocab terms, so any w-vocab query
+    # with unbounded k must never return an updated doc — in any strategy.
+    for strategy in ("exhaustive", "maxscore", "bmw"):
+        for q in fixtures.make_query_set(8, seed=5):
+            got = query.search(
+                spark, tmp_index, q["terms"], 10_000, strategy=strategy
+            ).collect()
+            assert not ({r["doc_id"] for r in got} & updated_ids), (strategy, q)
+
+    # compaction -> exactly a full rebuild of the merged corpus
+    incremental.compact(spark, tmp_index)
+    assert incremental.load_tombstones(tmp_index) is None
+
+    clean = str(tmp_path / "clean")
+    build.build_index(spark, merged, clean, num_units=2, partitions=4,
+                      sample_fraction=1.0)
+    merge.merge_index(spark, clean)
+
+    sa, sb = merge.load_stats(tmp_index), merge.load_stats(clean)
+    assert sa["n_docs"] == sb["n_docs"]
+    assert sa["sum_doclen"] == sb["sum_doclen"]
+
+    for q in fixtures.make_query_set(12, seed=6) + [
+        {"query_id": 99, "terms": [SENTINEL_NEW], "k": 30}
+    ]:
+        a = query.search(spark, tmp_index, q["terms"], q["k"]).collect()
+        b = query.search(spark, clean, q["terms"], q["k"]).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], q
+
+
+def test_resume_delta_units(spark, corpora, tmp_index):
+    base, delta, _, _ = corpora
+    build.build_index(spark, base, tmp_index, num_units=1, partitions=4,
+                      sample_fraction=1.0)
+    incremental.build_delta(spark, delta, tmp_index, input_snapshot_id=3,
+                            num_units=2, partitions=4, sample_fraction=1.0)
+    # re-running the same snapshot builds nothing new
+    res = incremental.build_delta(spark, delta, tmp_index, input_snapshot_id=3,
+                                  num_units=2, partitions=4, sample_fraction=1.0)
+    assert res["built_units"] == []
+    assert manifest.completed_units(tmp_index, 3) == {3_000_000, 3_000_001}
