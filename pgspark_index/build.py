@@ -70,6 +70,10 @@ def docs_path(index_dir: str) -> str:
 
 
 _CHUNK_ROWS = 1 << 20  # ~1M postings (~50 MB of arrays) per vectorized flush
+# partial-list chunks are larger: fewer flushes -> each (term, salt) emits
+# fewer partials per task (less per-group overhead, fewer merge inputs).
+# ~8M postings = ~250 MB working set per task.
+_PARTIAL_CHUNK_ROWS = 1 << 23
 
 
 def _build_segments_fn(batches):
@@ -149,6 +153,183 @@ def _build_segments_fn(batches):
     out = process(True)
     if out is not None and len(out):
         yield out
+
+
+PARTIAL_SCHEMA = "term string, salt int, df bigint, postings binary"
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _doc_salt(doc_ids: np.ndarray, fanouts: np.ndarray) -> np.ndarray:
+    """Deterministic per-doc salt in [0, fanout): golden-ratio mix of the
+    doc_id (cheap numpy, engine-internal — nothing external depends on it)."""
+    u = doc_ids.astype(np.int64).view(np.uint64) * _GOLDEN
+    return ((u >> np.uint64(33)).astype(np.int64) % fanouts).astype(np.int32)
+
+
+def make_partial_postings_fn(salt_map: dict[str, int], max_fanout: int = 64):
+    """mapInPandas factory: corpus rows -> PARTIAL posting lists.
+
+    The map-side combine of the classic MapReduce index build: each input
+    partition tokenizes its docs, groups locally by (term, salt), and emits
+    delta+varbyte-encoded partial lists. Only compressed blobs cross the
+    shuffle (~3.5 B/posting instead of ~14+ B/posting raw rows), and the
+    JVM never materializes per-posting rows — Arrow row counts drop from
+    O(postings) to O(distinct terms per partition).
+
+    Partial lists may be emitted more than once per (term, salt, partition)
+    (chunked flushes) — the merge stage handles any number of partials."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .textnorm import extract_text as _extract, token_counts as _tc
+
+        acc_doc, acc_dl, acc_tf = [], [], []
+        acc_term: list[str] = []
+        buffered = 0
+
+        def flush():
+            nonlocal acc_doc, acc_dl, acc_tf, acc_term, buffered
+            if buffered == 0:
+                return None
+            doc = np.concatenate(acc_doc)
+            dl = np.concatenate(acc_dl)
+            tf = np.concatenate(acc_tf)
+            codes, uniques = pd.factorize(np.asarray(acc_term, dtype=object))
+            fan = np.fromiter(
+                (salt_map.get(u, 1) for u in uniques), dtype=np.int64, count=len(uniques)
+            )
+            salt = _doc_salt(doc, fan[codes])
+            key = codes.astype(np.int64) * max_fanout + salt
+            order = np.lexsort((doc, key))
+            doc, dl, tf, key = doc[order], dl[order], tf[order], key[order]
+            starts = np.concatenate(([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
+            rows = codecs.encode_groups(starts, doc, tf, dl, with_blocks=False)
+            out = pd.DataFrame(
+                {
+                    "term": uniques[(key[starts] // max_fanout)],
+                    "salt": (key[starts] % max_fanout).astype("int32"),
+                    "df": np.array([r["df"] for r in rows], dtype="int64"),
+                    "postings": [r["postings"] for r in rows],
+                }
+            )
+            acc_doc, acc_dl, acc_tf, acc_term = [], [], [], []
+            buffered = 0
+            return out
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            htmls = pdf["html"] if "html" in pdf.columns else [None] * n
+            texts = pdf["text"]
+            doc_ids = pdf["doc_id"].to_numpy(dtype="int64")
+            for i, (h, t) in enumerate(zip(htmls, texts)):
+                norm = _extract(
+                    h if isinstance(h, (bytes, bytearray)) else None,
+                    t if isinstance(t, str) else None,
+                )
+                dl_i, counts = _tc(norm)
+                if not counts:
+                    continue
+                m = len(counts)
+                acc_doc.append(np.full(m, doc_ids[i], dtype="int64"))
+                acc_dl.append(np.full(m, dl_i, dtype="int64"))
+                acc_term.extend(c[0] for c in counts)
+                acc_tf.append(np.fromiter((c[1] for c in counts), dtype=np.int64, count=m))
+                buffered += m
+            if buffered >= _PARTIAL_CHUNK_ROWS:
+                out = flush()
+                if out is not None and len(out):
+                    yield out
+        out = flush()
+        if out is not None and len(out):
+            yield out
+
+    return fn
+
+
+def _merge_partials_fn(batches):
+    """mapInPandas: shuffled partial lists (sorted by term, salt) -> final
+    segment rows. Fully vectorized: one varbyte decode over the whole
+    partition's concatenated blobs, segmented gap-cumsum to rebuild doc ids,
+    one lexsort per partition, one encode_groups pass.
+
+    Partition memory = decoded posting arrays for this partition's terms
+    (~24 B/posting); size `partitions` so that stays comfortable — the same
+    knob that bounds any sort/merge operator."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+
+    terms_l, salts_l, dfs_l, blobs_l = [], [], [], []
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        terms_l.append(pdf["term"].to_numpy())
+        salts_l.append(pdf["salt"].to_numpy(dtype=np.int32))
+        dfs_l.append(pdf["df"].to_numpy(dtype=np.int64))
+        blobs_l.append(pdf["postings"].to_numpy())
+    if not terms_l:
+        return
+    terms = np.concatenate(terms_l)
+    salts = np.concatenate(salts_l)
+    dfs = np.concatenate(dfs_l)
+    blobs = np.concatenate(blobs_l)
+
+    stream = codecs.varbyte_decode(b"".join(blobs))
+    total = int(dfs.sum())
+    assert stream.size == 3 * total, (stream.size, total)
+    # per-value row ownership and within-row phase (gap/tf/dl)
+    row_id = np.repeat(np.arange(dfs.size), 3 * dfs)
+    row_val_starts = np.zeros(dfs.size, dtype=np.int64)
+    np.cumsum(3 * dfs[:-1], out=row_val_starts[1:])
+    phase = np.arange(stream.size) - row_val_starts[row_id]
+    gaps = stream[phase % 3 == 0]
+    tf = stream[phase % 3 == 1].astype(np.int64)
+    dl = stream[phase % 3 == 2].astype(np.int64)
+    # segmented cumsum: doc_u[i] = sum of gaps within its row up to i
+    c = np.cumsum(gaps, dtype=np.uint64)
+    gap_row_starts = np.zeros(dfs.size, dtype=np.int64)
+    np.cumsum(dfs[:-1], out=gap_row_starts[1:])
+    base = c[gap_row_starts] - gaps[gap_row_starts]
+    doc_u = c - np.repeat(base, dfs)
+    doc = codecs._to_signed(doc_u)
+
+    # group = (term, salt) run over ROWS (input sorted by term, salt)
+    row_grp_change = np.flatnonzero(
+        (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    ) + 1
+    row_grp_id = np.zeros(dfs.size, dtype=np.int64)
+    row_grp_id[row_grp_change] = 1
+    row_grp_id = np.cumsum(row_grp_id)
+    grp_per_posting = np.repeat(row_grp_id, dfs)
+
+    order = np.lexsort((doc, grp_per_posting))
+    doc, tf, dl, grp_sorted = doc[order], tf[order], dl[order], grp_per_posting[order]
+    enc_starts = np.concatenate(([0], np.flatnonzero(grp_sorted[1:] != grp_sorted[:-1]) + 1))
+    rows = codecs.encode_groups(enc_starts, doc, tf, dl)
+
+    grp_first_row = np.concatenate(([0], row_grp_change))
+    out = pd.DataFrame(
+        {
+            "term": terms[grp_first_row],
+            "salt": salts[grp_first_row].astype("int32"),
+            "part_id": np.full(len(rows), pid, dtype="int32"),
+            "df": np.array([r["df"] for r in rows], dtype="int64"),
+            "cf": np.array([r["cf"] for r in rows], dtype="int64"),
+            "block_last_doc": [r["block_last_doc"].tolist() for r in rows],
+            "block_max_tf": [r["block_max_tf"].tolist() for r in rows],
+            "block_min_dl": [r["block_min_dl"].tolist() for r in rows],
+            "block_offset": [r["block_offset"].tolist() for r in rows],
+            "postings": [r["postings"] for r in rows],
+        }
+    )
+    yield out
 
 
 def plan_salts(
@@ -250,30 +431,22 @@ def build_unit(
             os.path.join(docs_path(index_dir), f"unit={unit}")
         )
 
-        salt_plan = plan_salts(ded, sample_fraction, salt_target, max_fanout)
-        exploded = ded.mapInPandas(explode_token_counts_fn, schema=EXPLODED_SCHEMA)
-        if salt_plan:
-            salt_df = spark.createDataFrame(salt_plan, "term string, fanout int")
-            exploded = exploded.join(F.broadcast(salt_df), "term", "left").withColumn(
-                "fanout", F.coalesce(F.col("fanout"), F.lit(1))
-            )
-        else:
-            exploded = exploded.withColumn("fanout", F.lit(1))
-        exploded = exploded.withColumn(
-            "salt", F.pmod(F.xxhash64("doc_id"), F.col("fanout")).cast("int")
-        ).drop("fanout")
+        salt_plan = dict(plan_salts(ded, sample_fraction, salt_target, max_fanout))
+        partials = ded.mapInPandas(
+            make_partial_postings_fn(salt_plan, max_fanout), schema=PARTIAL_SCHEMA
+        )
 
         seg_obs = Observation()
-        # hash repartition, NOT repartitionByRange: range partitioning runs an
-        # extra sampling pass over the full exploded relation to pick bounds.
-        # Hash needs no sampling, still co-locates each (term, salt) group in
-        # one partition, and sortWithinPartitions keeps every output FILE
-        # term-sorted — parquet row-group min/max stats stay as selective for
-        # the query-time term IN (...) pushdown.
+        # Map-side combine: only compressed partial lists cross this shuffle
+        # (~3.5 B/posting vs ~14+ B/posting raw rows), and JVM<->Arrow row
+        # counts are O(distinct terms), not O(postings). Hash repartition
+        # (no range-sampler pass); sortWithinPartitions keeps every output
+        # FILE term-sorted so parquet row-group min/max stats stay selective
+        # for the query-time term IN (...) pushdown.
         segments = (
-            exploded.repartition(partitions, "term", "salt")
-            .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(_build_segments_fn, schema=SEG_SCHEMA)
+            partials.repartition(partitions, "term", "salt")
+            .sortWithinPartitions("term", "salt")
+            .mapInPandas(_merge_partials_fn, schema=SEG_SCHEMA)
             .observe(
                 seg_obs,
                 F.count(F.lit(1)).alias("term_rows"),

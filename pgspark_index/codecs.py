@@ -148,6 +148,7 @@ def encode_groups(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     doclens: np.ndarray,
+    with_blocks: bool = True,
 ) -> list[dict]:
     """Encode MANY posting lists in one vectorized pass.
 
@@ -182,6 +183,19 @@ def encode_groups(
     byte_start = np.zeros(3 * n + 1, dtype=np.int64)
     np.cumsum(nbytes, out=byte_start[1:])  # byte_start[i] = offset of value i
 
+    cf = np.add.reduceat(tfs.astype(np.int64), g)
+    mv = memoryview(blob)
+    glo = byte_start[3 * g]
+    ghi = np.concatenate((glo[1:], [byte_start[3 * n]]))
+
+    if not with_blocks:
+        # partial-list path: block metadata is only needed on FINAL segment
+        # rows; skipping it here keeps the per-group tail loop trivial.
+        return [
+            {"postings": bytes(mv[int(glo[k]) : int(ghi[k])]), "df": int(sizes[k]), "cf": int(cf[k])}
+            for k in range(ng)
+        ]
+
     # global block table: for group k, blocks start at postings g[k]+BLOCK*j
     nblocks = (sizes + BLOCK - 1) // BLOCK
     total_blocks = int(nblocks.sum())
@@ -194,30 +208,24 @@ def encode_groups(
     blk_start = g[blk_group] + blk_j * BLOCK
     blk_end = np.minimum(blk_start + BLOCK, group_ends[blk_group]) - 1
 
-    tf_i64 = tfs.astype(np.int64)
-    dl_i64 = doclens.astype(np.int64)
-    blk_max_tf = np.maximum.reduceat(tf_i64, blk_start)
-    blk_min_dl = np.minimum.reduceat(dl_i64, blk_start)
-    blk_last_doc = doc_ids[blk_end]
+    blk_max_tf = np.maximum.reduceat(tfs.astype(np.int64), blk_start).astype(np.int32)
+    blk_min_dl = np.minimum.reduceat(doclens.astype(np.int64), blk_start).astype(np.int32)
+    blk_last_doc = doc_ids[blk_end].astype(np.int64)
     # byte offset of each block, relative to its group's blob start
-    blk_offset = byte_start[3 * blk_start] - byte_start[3 * g[blk_group]]
+    blk_offset = (byte_start[3 * blk_start] - byte_start[3 * g[blk_group]]).astype(np.int64)
 
-    cf = np.add.reduceat(tf_i64, g)
     out = []
-    mv = memoryview(blob)
     for k in range(ng):
         b0, b1 = int(first_blk[k]), int(first_blk[k] + nblocks[k])
-        lo = int(byte_start[3 * g[k]])
-        hi = int(byte_start[3 * group_ends[k]])
         out.append(
             {
-                "postings": bytes(mv[lo:hi]),
+                "postings": bytes(mv[int(glo[k]) : int(ghi[k])]),
                 "df": int(sizes[k]),
                 "cf": int(cf[k]),
-                "block_last_doc": blk_last_doc[b0:b1].astype(np.int64),
-                "block_max_tf": blk_max_tf[b0:b1].astype(np.int32),
-                "block_min_dl": blk_min_dl[b0:b1].astype(np.int32),
-                "block_offset": blk_offset[b0:b1].astype(np.int64),
+                "block_last_doc": blk_last_doc[b0:b1],
+                "block_max_tf": blk_max_tf[b0:b1],
+                "block_min_dl": blk_min_dl[b0:b1],
+                "block_offset": blk_offset[b0:b1],
             }
         )
     return out
