@@ -9,7 +9,7 @@ Spark-first re-expression of pgstream's bulk parallel snapshot pipeline
   unit as one Spark job, and commit a manifest row after the unit's files
   are fully written (commit-after-write, see manifest.py).
 - pgstream picks Kafka partition keys to trade ordering vs skew
-  (pkg/wal/processor/kafka/config.go:21-39). We repartitionByRange on
+  (pkg/wal/processor/kafka/config.go:21-39). We hash-repartition on
   (term, salt) where head terms get a salt fan-out estimated from a
   sample — Zipf head terms would otherwise swamp single reducers; AQE
   does not rebalance applyInPandas/mapInPandas stages, so the salting is
@@ -22,11 +22,13 @@ Python appears only in the three Arrow-vectorized stages):
    -> filter pmod(xxhash64(url), num_units) = unit        [unit predicate]
    -> window last-writer-wins per url                     [shuffle 1: url]
    -> persist deduped corpus slice (reused by 3 passes below)
-   -> docs parquet: doclen_udf -> (doc_id, url, doclen)    [Arrow, int-only out]
-   -> exploded: mapInPandas flat (doc_id, dl, term, tf)    [Arrow, flat columns]
-   -> repartition(P, term, salt) hash, no sampling pass  [shuffle 2]
-   -> sortWithinPartitions(term, salt, doc_id)
-   -> mapInPandas(segment builder: delta+varbyte encode)  [Arrow, vectorized]
+   -> docs parquet: doclen_udf -> (doc_id, url, doclen)   [Arrow, int-only out]
+   -> PARTIAL posting lists: tokenize + local group +
+      delta/varbyte encode per map partition              [map-side combine]
+   -> repartition(P, term, salt) hash, no sampling pass   [shuffle 2: blobs only]
+   -> sortWithinPartitions(term, salt)
+   -> mapInPandas(merge partials: one vectorized decode/
+      sort/re-encode per partition, block-max metadata)   [Arrow, vectorized]
    -> segments parquet under segments/unit=<u>/
 
 At 10^12 docs the unit count is chosen so one unit's tokenized form fits
@@ -74,85 +76,6 @@ _CHUNK_ROWS = 1 << 20  # ~1M postings (~50 MB of arrays) per vectorized flush
 # fewer partials per task (less per-group overhead, fewer merge inputs).
 # ~8M postings = ~250 MB working set per task.
 _PARTIAL_CHUNK_ROWS = 1 << 23
-
-
-def _build_segments_fn(batches):
-    """mapInPandas worker: stream (term, salt, doc_id, tf, dl) rows — already
-    range-partitioned and sorted — into encoded posting-list rows.
-
-    Accumulates up to ~1M postings, then encodes every COMPLETE (term, salt)
-    group in ONE vectorized pass (codecs.encode_groups); the possibly-open
-    trailing group is carried into the next chunk. Memory is bounded by
-    chunk size + the largest group (which the salt planner caps). The
-    vectorized pass matters because Zipf tails mean most groups are tiny —
-    per-group encoding would pay numpy fixed costs tens of thousands of
-    times per partition."""
-    ctx = TaskContext.get()
-    pid = ctx.partitionId() if ctx is not None else -1
-    cols = ("term", "salt", "doc_id", "tf", "dl")
-    buf: dict[str, list[np.ndarray]] = {c: [] for c in cols}
-    buffered = 0
-
-    def process(final: bool):
-        nonlocal buf, buffered
-        if buffered == 0:
-            return None
-        terms = np.concatenate(buf["term"])
-        salts = np.concatenate(buf["salt"])
-        doc = np.concatenate(buf["doc_id"])
-        tf = np.concatenate(buf["tf"])
-        dl = np.concatenate(buf["dl"])
-        change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
-        starts = np.concatenate(([0], change))
-        if final:
-            cut = terms.shape[0]
-        else:
-            cut = int(starts[-1])
-            if cut == 0:  # one group spans the whole buffer — keep buffering
-                buf = {"term": [terms], "salt": [salts], "doc_id": [doc], "tf": [tf], "dl": [dl]}
-                return None
-        enc_starts = starts[starts < cut]
-        rows = codecs.encode_groups(enc_starts, doc[:cut], tf[:cut], dl[:cut])
-        out = pd.DataFrame(
-            {
-                "term": terms[enc_starts],
-                "salt": salts[enc_starts].astype("int32"),
-                "part_id": np.full(len(rows), pid, dtype="int32"),
-                "df": np.array([r["df"] for r in rows], dtype="int64"),
-                "cf": np.array([r["cf"] for r in rows], dtype="int64"),
-                "block_last_doc": [r["block_last_doc"].tolist() for r in rows],
-                "block_max_tf": [r["block_max_tf"].tolist() for r in rows],
-                "block_min_dl": [r["block_min_dl"].tolist() for r in rows],
-                "block_offset": [r["block_offset"].tolist() for r in rows],
-                "postings": [r["postings"] for r in rows],
-            }
-        )
-        buf = {
-            "term": [terms[cut:]],
-            "salt": [salts[cut:]],
-            "doc_id": [doc[cut:]],
-            "tf": [tf[cut:]],
-            "dl": [dl[cut:]],
-        }
-        buffered = terms.shape[0] - cut
-        return out
-
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        buf["term"].append(pdf["term"].to_numpy())
-        buf["salt"].append(pdf["salt"].to_numpy())
-        buf["doc_id"].append(pdf["doc_id"].to_numpy(dtype=np.int64))
-        buf["tf"].append(pdf["tf"].to_numpy(dtype=np.int64))
-        buf["dl"].append(pdf["dl"].to_numpy(dtype=np.int64))
-        buffered += len(pdf)
-        if buffered >= _CHUNK_ROWS:
-            out = process(False)
-            if out is not None and len(out):
-                yield out
-    out = process(True)
-    if out is not None and len(out):
-        yield out
 
 
 PARTIAL_SCHEMA = "term string, salt int, df bigint, postings binary"

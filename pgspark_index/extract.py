@@ -69,26 +69,6 @@ def token_counts_udf(text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"dl": pd.Series(dls, dtype="int32"), "counts": counts})
 
 
-@F.pandas_udf(TOKEN_STRUCT)
-def extract_token_counts_udf(html: pd.Series, text: pd.Series) -> pd.DataFrame:
-    """Fused extract+normalize+tokenize: one Arrow stage, ONE Python worker
-    per task. Two chained pandas UDFs would each get their own worker
-    process — on a saturated local[N] (and on tightly-provisioned executors)
-    that doubles Python-side CPU pressure for no gain."""
-    from .textnorm import extract_text as _extract
-
-    dls, counts = [], []
-    for h, t in zip(html, text):
-        norm = _extract(
-            h if isinstance(h, (bytes, bytearray)) else None,
-            t if isinstance(t, str) else None,
-        )
-        dl, c = token_counts(norm)
-        dls.append(dl)
-        counts.append(c)
-    return pd.DataFrame({"dl": pd.Series(dls, dtype="int32"), "counts": counts})
-
-
 @F.pandas_udf(T.IntegerType())
 def doclen_udf(html: pd.Series, text: pd.Series) -> pd.Series:
     """Extract+tokenize -> token count only (Arrow output = one int column —
@@ -116,10 +96,10 @@ def explode_token_counts_fn(batches):
     """mapInPandas: (doc_id, [url], [html], text) -> FLAT (doc_id, dl, term, tf).
 
     Emits flat columns instead of an array<struct<term,tf>> column: Arrow
-    conversion of nested python tuples costs ~10x the tokenize itself
-    (measured: 1M docs -> ~65 s/16 cores nested vs ~5 s flat); flat string/
-    int arrays are the fast path, and the downstream shuffle wants flat rows
-    anyway."""
+    conversion of nested python tuples costs ~10x the tokenize itself; flat
+    string/int arrays are the fast path. Used by the salt planner's sample
+    pass (the main build path goes further and emits encoded PARTIAL lists,
+    see build.make_partial_postings_fn)."""
     import numpy as np
 
     from .textnorm import extract_text as _extract, token_counts as _tc
@@ -176,8 +156,8 @@ def webtext_to_docs(df: DataFrame) -> DataFrame:
 
     doc_id = xxhash64(url): stable identity under recrawl, the analog of
     pgstream's immutable column/table IDs (docs/architecture.md:47).
-    Extraction itself is fused into the tokenize stage (see
-    extract_token_counts_udf); Catalyst prunes the scan to these columns.
+    Extraction happens inside the downstream tokenize/doclen stages;
+    Catalyst prunes the scan to these columns.
     """
     deduped = dedup_last_writer_wins(df)
     return deduped.select(
