@@ -602,12 +602,12 @@ m AS (
   FROM t
 )
 SELECT doc_id, n_tokens::INT AS n_tokens,
-       round(n_uniq / greatest(n_tokens, 1), 4) AS uniq_ratio,
-       round(n_stop / greatest(n_tokens, 1), 4) AS stopword_ratio,
-       round(len_sum / greatest(n_tokens, 1), 4) AS mean_token_len,
-       round(0.4 * least(n_tokens / 100.0, 1.0)
+       floor(n_uniq / greatest(n_tokens, 1) * 10000 + 0.5) / 10000 AS uniq_ratio,
+       floor(n_stop / greatest(n_tokens, 1) * 10000 + 0.5) / 10000 AS stopword_ratio,
+       floor(len_sum / greatest(n_tokens, 1) * 10000 + 0.5) / 10000 AS mean_token_len,
+       floor((0.4 * least(n_tokens / 100.0, 1.0)
              + 0.3 * (n_uniq / greatest(n_tokens, 1))
-             + 0.3 * least(4.0 * n_stop / greatest(n_tokens, 1), 1.0), 4) AS quality
+             + 0.3 * least(4.0 * n_stop / greatest(n_tokens, 1), 1.0)) * 10000 + 0.5) / 10000 AS quality
 FROM m
 """,
     )

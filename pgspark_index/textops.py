@@ -69,17 +69,21 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         ).alias("len_sum"),
     )
     nz = F.greatest(F.col("n_tokens"), F.lit(1))
+    # round via floor(x*1e4 + 0.5)/1e4: unlike round(), identical across
+    # engines when the unrounded double is identical (integer ratios here
+    # produce exact .00005-boundary doubles where round() implementations
+    # disagree)
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
     return t.select(
         "doc_id",
         "n_tokens",
-        F.round(F.col("n_uniq") / nz, 4).alias("uniq_ratio"),
-        F.round(F.col("n_stop") / nz, 4).alias("stopword_ratio"),
-        F.round(F.col("len_sum") / nz, 4).alias("mean_token_len"),
-        F.round(
+        r4(F.col("n_uniq") / nz).alias("uniq_ratio"),
+        r4(F.col("n_stop") / nz).alias("stopword_ratio"),
+        r4(F.col("len_sum") / nz).alias("mean_token_len"),
+        r4(
             0.4 * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
             + 0.3 * (F.col("n_uniq") / nz)
-            + 0.3 * F.least(4.0 * F.col("n_stop") / nz, F.lit(1.0)),
-            4,
+            + 0.3 * F.least(4.0 * F.col("n_stop") / nz, F.lit(1.0))
         ).alias("quality"),
     )
 
