@@ -666,12 +666,44 @@ FROM m GROUP BY media_type
 """,
     )
 
-    # rows-only check (Arrow plumbing demo; decode kernel is a stub)
+    # Arrow plumbing over binary payloads; the deterministic fake kernel's
+    # integer-exact features are fully SQL-expressible (real decode stays a
+    # documented stub — multimodal.decode_image).
     def multimodal_features(spark, sf_dir):
         media = multimodal.attach_payload(_documents(spark, sf_dir))
-        return multimodal.extract_features(media, fake=True)
+        return multimodal.extract_feature_columns(media)
 
-    R["multimodal_features"] = (multimodal_features, None)
+    R["multimodal_features"] = (
+        multimodal_features,
+        """
+WITH c AS (
+  SELECT doc_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         text, strlen(text)::BIGINT AS n
+  FROM documents
+),
+v AS (
+  SELECT doc_id, ord(substr(text, i::INT, 1))::BIGINT AS x
+  FROM c, unnest(range(1, n + 1)) t(i)
+),
+agg AS (
+  SELECT doc_id, sum(x) AS s, min(x) AS mn, max(x) AS mx,
+         sum(CASE WHEN x > 96 THEN 1 ELSE 0 END) AS ngt
+  FROM v GROUP BY doc_id
+)
+SELECT c.doc_id, c.media_type,
+       coalesce(agg.s % 65521, 0)::BIGINT AS f0,
+       CASE WHEN c.n = 0 THEN 0 ELSE c.n % 251 END::BIGINT AS f1,
+       coalesce(ord(substr(c.text, 1, 1)), 0)::BIGINT AS f2,
+       coalesce(ord(substr(c.text, c.n::INT, 1)), 0)::BIGINT AS f3,
+       coalesce(agg.mn, 0)::BIGINT AS f4,
+       coalesce(agg.mx, 0)::BIGINT AS f5,
+       coalesce(agg.ngt, 0)::BIGINT AS f6,
+       coalesce(agg.s // c.n, 0)::BIGINT AS f7
+FROM c LEFT JOIN agg USING (doc_id)
+""",
+    )
 
     return R
 

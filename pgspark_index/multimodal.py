@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, functions as F
 
 MEDIA_SCHEMA = "doc_id bigint, media_type string, n_bytes bigint, payload binary"
 FEATURE_DIM = 8
-FEATURE_SCHEMA = f"doc_id bigint, media_type string, feature array<float>"
+FEATURE_SCHEMA = "doc_id bigint, media_type string, feature array<float>"
+FEATURE_COLS = [f"f{i}" for i in range(FEATURE_DIM)]
+FEATURE_COL_SCHEMA = "doc_id bigint, media_type string, " + ", ".join(
+    f"{c} bigint" for c in FEATURE_COLS
+)
 
 
 def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -48,22 +52,26 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
 
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in for a decode+embed kernel: byte-histogram
-    moments. Pure numpy over the payload buffer (vectorized per row)."""
+    """Deterministic stand-in for a decode+embed kernel: integer-exact
+    byte-stream statistics (pure numpy over the payload buffer). All eight
+    features are exact integers so the value is bit-identical across
+    engines — no float summation-order hazards in the correctness gate."""
     if payload is None or len(payload) == 0:
-        return np.zeros(dim, dtype=np.float32)
-    b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+        return np.zeros(dim, dtype=np.int64)
+    b = np.frombuffer(bytes(payload), dtype=np.uint8)
+    s = int(b.sum(dtype=np.int64))
+    n = len(b)
     feats = [
-        b.mean(),
-        b.std(),
-        float(len(b) % 251),
-        float(b[0]),
-        float(b[-1]),
-        float(b.min()),
-        float(b.max()),
-        float((b > 96).mean() * 100.0),
+        s % 65521,           # byte-sum fingerprint (largest prime < 2^16)
+        n % 251,             # length residue
+        int(b[0]),
+        int(b[-1]),
+        int(b.min()),
+        int(b.max()),
+        int((b > 96).sum()), # high-byte population
+        s // n,              # integer mean byte value
     ]
-    return np.asarray(feats[:dim], dtype=np.float32)
+    return np.asarray(feats[:dim], dtype=np.int64)
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -76,7 +84,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if fake:
-                feats = [_fake_feature(p).tolist() for p in pdf["payload"]]
+                feats = [_fake_feature(p).astype(float).tolist() for p in pdf["payload"]]
             else:
                 feats = [decode_image(p).tolist() for p in pdf["payload"]]
             yield pd.DataFrame(
@@ -88,6 +96,27 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def extract_feature_columns(media: DataFrame) -> DataFrame:
+    """Deterministic fake features as SCALAR columns (f0..f7 bigint).
+
+    The driver's correctness canonicalizer sorts by value, which requires
+    hashable scalars — array columns are for downstream ANN consumers; this
+    exploded form is the oracle-checkable one (exact integers, SQL-
+    expressible over the byte stream)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = np.stack(
+                [_fake_feature(p) for p in pdf["payload"]]
+            ) if len(pdf) else np.zeros((0, FEATURE_DIM), dtype=np.int64)
+            out = {"doc_id": pdf["doc_id"], "media_type": pdf["media_type"]}
+            for i, c in enumerate(FEATURE_COLS):
+                out[c] = feats[:, i]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURE_COL_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:
