@@ -16,20 +16,31 @@ Spark-first re-expression of pgstream's bulk parallel snapshot pipeline
   explicit.
 
 Physical plan per unit (all relational parts stay in WholeStageCodegen;
-Python appears only in the three Arrow-vectorized stages):
+Python appears in exactly ONE Arrow-vectorized tokenize stage — the round-1
+design ran three tokenization passes per unit (doclen, salt sample,
+partials); they are now a single pass whose output is persisted instead of
+the raw corpus slice):
 
   scan (column-pruned: url, warc_ts, html, text)
    -> filter pmod(xxhash64(url), num_units) = unit        [unit predicate]
    -> window last-writer-wins per url                     [shuffle 1: url]
-   -> persist deduped corpus slice (reused by 3 passes below)
-   -> docs parquet: doclen_udf -> (doc_id, url, doclen)   [Arrow, int-only out]
-   -> PARTIAL posting lists: tokenize + local group +
-      delta/varbyte encode per map partition              [map-side combine]
-   -> repartition(P, term, salt) hash, no sampling pass   [shuffle 2: blobs only]
-   -> sortWithinPartitions(term, salt)
-   -> mapInPandas(merge partials: one vectorized decode/
-      sort/re-encode per partition, block-max metadata)   [Arrow, vectorized]
-   -> segments parquet under segments/unit=<u>/
+   -> ONE tokenize pass (mapInPandas): emits BOTH
+        kind=0 doc rows (doc_id, url, doclen)             [docs by-product]
+        kind=1 PARTIAL posting lists: local group +
+        delta/varbyte encode per map partition            [map-side combine]
+   -> persist the combined output (compressed blobs + doc
+      rows — far smaller than the raw slice)
+   -> docs parquet  = filter kind=0                       [cache read]
+   -> segments      = filter kind=1
+      -> repartition(P, term, salt) hash                  [shuffle 2: blobs only]
+      -> sortWithinPartitions(term, salt)
+      -> mapInPandas(merge partials: one vectorized decode/
+         sort/re-encode per partition, block-max metadata) [Arrow, vectorized]
+      -> segments parquet under segments/unit=<u>/
+
+The skew-salt plan is computed ONCE PER BUILD from a window-free sample of
+the raw source (plan_salts_source) and reused by every unit — not one
+sample pass per unit.
 
 At 10^12 docs the unit count is chosen so one unit's tokenized form fits
 the cluster's cache/disk comfortably (units are also the resume and
@@ -49,7 +60,6 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from . import codecs, manifest
 from .extract import (
     EXPLODED_SCHEMA,
-    doclen_udf,
     explode_token_counts_fn,
     webtext_to_docs,
 )
@@ -80,6 +90,14 @@ _PARTIAL_CHUNK_ROWS = 1 << 23
 
 PARTIAL_SCHEMA = "term string, salt int, df bigint, postings binary"
 
+# ONE tokenize pass emits two row kinds (union schema): kind=0 doc rows and
+# kind=1 partial posting lists. Sentinels (not NULLs) keep every column a
+# plain non-nullable Arrow primitive.
+COMBINED_SCHEMA = (
+    "kind int, term string, salt int, df bigint, postings binary, "
+    "doc_id bigint, url string, doclen int"
+)
+
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -90,8 +108,13 @@ def _doc_salt(doc_ids: np.ndarray, fanouts: np.ndarray) -> np.ndarray:
     return ((u >> np.uint64(33)).astype(np.int64) % fanouts).astype(np.int32)
 
 
-def make_partial_postings_fn(salt_map: dict[str, int], max_fanout: int = 64):
-    """mapInPandas factory: corpus rows -> PARTIAL posting lists.
+def make_tokenize_fn(
+    salt_map: dict[str, int],
+    max_fanout: int = 64,
+    max_term_bytes: int | None = 32766,
+):
+    """mapInPandas factory: corpus rows -> doc rows + PARTIAL posting lists
+    in ONE tokenization pass (COMBINED_SCHEMA).
 
     The map-side combine of the classic MapReduce index build: each input
     partition tokenizes its docs, groups locally by (term, salt), and emits
@@ -99,6 +122,10 @@ def make_partial_postings_fn(salt_map: dict[str, int], max_fanout: int = 64):
     shuffle (~3.5 B/posting instead of ~14+ B/posting raw rows), and the
     JVM never materializes per-posting rows — Arrow row counts drop from
     O(postings) to O(distinct terms per partition).
+
+    The docs side table (doc_id, url, doclen) falls out of the same pass as
+    kind=0 rows — the reference precedent for one-touch row adaptation is
+    pg_snapshot_generator.go:409-467 (each scanned row adapted exactly once).
 
     Partial lists may be emitted more than once per (term, salt, partition)
     (chunked flushes) — the merge stage handles any number of partials."""
@@ -113,14 +140,33 @@ def make_partial_postings_fn(salt_map: dict[str, int], max_fanout: int = 64):
         acc_term: list[str] = []
         buffered = 0
 
+        dropped_postings = 0
+
         def flush():
-            nonlocal acc_doc, acc_dl, acc_tf, acc_term, buffered
+            nonlocal acc_doc, acc_dl, acc_tf, acc_term, buffered, dropped_postings
             if buffered == 0:
                 return None
             doc = np.concatenate(acc_doc)
             dl = np.concatenate(acc_dl)
             tf = np.concatenate(acc_tf)
             codes, uniques = pd.factorize(np.asarray(acc_term, dtype=object))
+            if max_term_bytes is not None:
+                # Lucene-analog oversize guard (term byte cap 32766,
+                # opensearch_mapper.go:44-53): drop oversized terms from the
+                # postings (doclen keeps counting them, like Lucene norms),
+                # account the drops. Vectorized over DISTINCT terms only.
+                term_lens = np.fromiter(
+                    (len(u) for u in uniques), dtype=np.int64, count=len(uniques)
+                )
+                bad = term_lens > max_term_bytes
+                if bad.any():
+                    keep = ~bad[codes]
+                    dropped_postings += int((~keep).sum())
+                    doc, dl, tf, codes = doc[keep], dl[keep], tf[keep], codes[keep]
+                    if doc.size == 0:
+                        acc_doc, acc_dl, acc_tf, acc_term = [], [], [], []
+                        buffered = 0
+                        return None
             fan = np.fromiter(
                 (salt_map.get(u, 1) for u in uniques), dtype=np.int64, count=len(uniques)
             )
@@ -130,12 +176,17 @@ def make_partial_postings_fn(salt_map: dict[str, int], max_fanout: int = 64):
             doc, dl, tf, key = doc[order], dl[order], tf[order], key[order]
             starts = np.concatenate(([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
             rows = codecs.encode_groups(starts, doc, tf, dl, with_blocks=False)
+            ng = len(rows)
             out = pd.DataFrame(
                 {
+                    "kind": np.ones(ng, dtype="int32"),
                     "term": uniques[(key[starts] // max_fanout)],
                     "salt": (key[starts] % max_fanout).astype("int32"),
                     "df": np.array([r["df"] for r in rows], dtype="int64"),
                     "postings": [r["postings"] for r in rows],
+                    "doc_id": np.full(ng, -1, dtype="int64"),
+                    "url": np.full(ng, "", dtype=object),
+                    "doclen": np.full(ng, -1, dtype="int32"),
                 }
             )
             acc_doc, acc_dl, acc_tf, acc_term = [], [], [], []
@@ -149,12 +200,14 @@ def make_partial_postings_fn(salt_map: dict[str, int], max_fanout: int = 64):
             htmls = pdf["html"] if "html" in pdf.columns else [None] * n
             texts = pdf["text"]
             doc_ids = pdf["doc_id"].to_numpy(dtype="int64")
+            doclens = np.zeros(n, dtype=np.int32)
             for i, (h, t) in enumerate(zip(htmls, texts)):
                 norm = _extract(
                     h if isinstance(h, (bytes, bytearray)) else None,
                     t if isinstance(t, str) else None,
                 )
                 dl_i, counts = _tc(norm)
+                doclens[i] = dl_i
                 if not counts:
                     continue
                 m = len(counts)
@@ -163,6 +216,19 @@ def make_partial_postings_fn(salt_map: dict[str, int], max_fanout: int = 64):
                 acc_term.extend(c[0] for c in counts)
                 acc_tf.append(np.fromiter((c[1] for c in counts), dtype=np.int64, count=m))
                 buffered += m
+            urls = pdf["url"] if "url" in pdf.columns else np.full(n, "", dtype=object)
+            yield pd.DataFrame(
+                {
+                    "kind": np.zeros(n, dtype="int32"),
+                    "term": np.full(n, "", dtype=object),
+                    "salt": np.full(n, -1, dtype="int32"),
+                    "df": np.zeros(n, dtype="int64"),
+                    "postings": [b""] * n,
+                    "doc_id": doc_ids,
+                    "url": urls,
+                    "doclen": doclens,
+                }
+            )
             if buffered >= _PARTIAL_CHUNK_ROWS:
                 out = flush()
                 if out is not None and len(out):
@@ -170,6 +236,22 @@ def make_partial_postings_fn(salt_map: dict[str, int], max_fanout: int = 64):
         out = flush()
         if out is not None and len(out):
             yield out
+        if dropped_postings:
+            # kind=2 metrics row: dropped-posting accounting for lineage
+            # (the reference's dropped-row counters,
+            # wal_kafka_batch_writer.go:168-179 / search_store.go:137-143).
+            yield pd.DataFrame(
+                {
+                    "kind": np.array([2], dtype="int32"),
+                    "term": np.array([""], dtype=object),
+                    "salt": np.array([-1], dtype="int32"),
+                    "df": np.array([dropped_postings], dtype="int64"),
+                    "postings": [b""],
+                    "doc_id": np.array([-1], dtype="int64"),
+                    "url": np.array([""], dtype=object),
+                    "doclen": np.array([-1], dtype="int32"),
+                }
+            )
 
     return fn
 
@@ -290,6 +372,37 @@ def plan_salts(
     return plan
 
 
+def plan_salts_source(
+    source: DataFrame | object,
+    num_units: int,
+    sample_fraction: float,
+    salt_target: int,
+    max_fanout: int,
+    seed: int = 7,
+) -> dict[str, int]:
+    """ONE salt plan per build (not per unit) from a window-free sample.
+
+    For a webtext DataFrame the sample skips the LWW dedup window entirely
+    (recrawl duplicates only inflate head-term counts, which is harmless
+    for a fanout heuristic); for a provider callable it samples the full
+    provider output. The per-unit group-size target is salt_target, so the
+    global plan targets salt_target * num_units postings per term."""
+    if callable(source):
+        ded = source(0, 1)
+    else:
+        html_col = (
+            F.col("html") if "html" in source.columns else F.lit(None).cast("binary")
+        )
+        ded = source.select(
+            F.xxhash64("url").alias("doc_id"), html_col.alias("html"), "text"
+        )
+    return dict(
+        plan_salts(
+            ded, sample_fraction, salt_target * max(1, num_units), max_fanout, seed
+        )
+    )
+
+
 def webtext_unit_provider(webtext_df: DataFrame):
     """Unit provider for the (url, warc_ts, html, text, lang) input shape.
 
@@ -334,31 +447,53 @@ def build_unit(
     salt_target: int = 100_000,
     sample_fraction: float = 0.02,
     max_fanout: int = 64,
+    salt_plan: dict[str, int] | None = None,
+    max_term_bytes: int | None = 32766,
+    max_id_bytes: int | None = 512,
 ) -> dict:
-    """Build one work unit end-to-end and commit its manifest row."""
+    """Build one work unit end-to-end and commit its manifest row.
+
+    ``salt_plan``: the per-build skew plan from plan_salts_source; when None
+    (direct callers) one is computed from this unit's slice."""
     src = docs_provider(unit, num_units)
     html_col = F.col("html") if "html" in src.columns else F.lit(None).cast("binary")
-    # persist the deduped corpus slice, NOT a tokenized nested column:
-    # Arrow-converting array<struct<term,tf>> costs ~10x the tokenize itself,
-    # so tokenization runs twice over the cached slice (docs pass emits one
-    # int; postings pass emits flat rows) — far cheaper than nesting once.
-    ded = src.select("doc_id", "url", html_col.alias("html"), "text").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ded = src.select("doc_id", "url", html_col.alias("html"), "text")
+    if max_id_bytes is not None:
+        # doc-identity oversize guard (search_store.go:137-143: IDs > 512 B
+        # are skipped): drop the doc, account it below via row-count delta.
+        ded = ded.filter(
+            F.col("url").isNull() | (F.octet_length("url") <= max_id_bytes)
+        )
+    if salt_plan is None:
+        salt_plan = dict(plan_salts(ded, sample_fraction, salt_target, max_fanout))
+    # ONE tokenize pass; persist its (compressed) output — partial posting
+    # blobs + int doc rows — instead of the raw corpus slice. Both the docs
+    # write and the segment shuffle read from this cache, so text is
+    # extracted and tokenized exactly once per document.
+    combined = ded.mapInPandas(
+        make_tokenize_fn(salt_plan, max_fanout, max_term_bytes),
+        schema=COMBINED_SCHEMA,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         docs_obs = Observation()
-        docs_out = ded.select(
-            "doc_id", "url", doclen_udf(F.col("html"), F.col("text")).alias("doclen")
-        ).observe(docs_obs, F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sum_dl"))
+        docs_out = (
+            combined.filter(F.col("kind") == 0)
+            .select("doc_id", "url", "doclen")
+            .observe(
+                docs_obs, F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sum_dl")
+            )
+        )
         docs_out.write.mode("overwrite").parquet(
             os.path.join(docs_path(index_dir), f"unit={unit}")
         )
 
-        salt_plan = dict(plan_salts(ded, sample_fraction, salt_target, max_fanout))
-        partials = ded.mapInPandas(
-            make_partial_postings_fn(salt_plan, max_fanout), schema=PARTIAL_SCHEMA
+        dropped_terms = (
+            combined.filter(F.col("kind") == 2).agg(F.sum("df")).collect()[0][0] or 0
         )
 
+        partials = combined.filter(F.col("kind") == 1).select(
+            "term", "salt", "df", "postings"
+        )
         seg_obs = Observation()
         # Map-side combine: only compressed partial lists cross this shuffle
         # (~3.5 B/posting vs ~14+ B/posting raw rows), and JVM<->Arrow row
@@ -388,12 +523,13 @@ def build_unit(
             "sum_doclen": int(docs_obs.get["sum_dl"] or 0),
             "term_count": int(seg_obs.get["term_rows"] or 0),
             "bytes": int(seg_obs.get["bytes"] or 0),
+            "dropped_terms": int(dropped_terms),
             "status": manifest.STATUS_COMPLETED,
         }
         manifest.commit_unit(index_dir, row)
         return row
     finally:
-        ded.unpersist()
+        combined.unpersist()
 
 
 def build_index(
@@ -408,6 +544,9 @@ def build_index(
     sample_fraction: float = 0.02,
     max_fanout: int = 64,
     units: list[int] | None = None,
+    ignore_unit_errors: bool = False,
+    max_term_bytes: int | None = 32766,
+    max_id_bytes: int | None = 512,
 ) -> dict:
     """Full (resumable) build. ``units`` limits work for tests/incremental.
 
@@ -417,7 +556,11 @@ def build_index(
     Resume = set subtraction of requested work minus committed manifest rows
     (snapshot_generator_recorder.go:241-379's anti-join, driver-side here
     because the unit list is tiny; the data-scale anti-join lives in the
-    incremental path)."""
+    incremental path). A failing unit is recorded in the manifest with
+    status=failed + error (the recorder's failure ledger) and retried on
+    the next resume; with ``ignore_unit_errors`` the build continues past
+    it, DATALOSS-logged (the reference's ignore_send_errors knob,
+    wal_batch_sender.go:281-283,353-367)."""
     docs_provider = source if callable(source) else webtext_unit_provider(source)
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     requested = list(range(num_units)) if units is None else list(units)
@@ -425,23 +568,46 @@ def build_index(
     if resume:
         done = manifest.completed_units(index_dir, input_snapshot_id)
         todo = [u for u in requested if u not in done]
-    built = []
+    salt_plan = plan_salts_source(
+        source, num_units, sample_fraction, salt_target, max_fanout
+    ) if todo else {}
+    built, failed = [], []
     for u in todo:
-        built.append(
-            build_unit(
-                spark,
-                docs_provider,
-                index_dir,
-                u,
-                num_units,
-                partitions,
-                input_snapshot_id,
-                salt_target,
-                sample_fraction,
-                max_fanout,
+        try:
+            built.append(
+                build_unit(
+                    spark,
+                    docs_provider,
+                    index_dir,
+                    u,
+                    num_units,
+                    partitions,
+                    input_snapshot_id,
+                    salt_target,
+                    sample_fraction,
+                    max_fanout,
+                    salt_plan=salt_plan,
+                    max_term_bytes=max_term_bytes,
+                    max_id_bytes=max_id_bytes,
+                )
             )
-        )
+        except Exception as exc:  # noqa: BLE001 — ledger + re-raise/skip
+            manifest.commit_unit(
+                index_dir,
+                {
+                    "segment_id": f"u{u}",
+                    "unit": u,
+                    "input_snapshot_id": input_snapshot_id,
+                    "status": manifest.STATUS_FAILED,
+                    "error": f"{type(exc).__name__}: {exc}"[:2000],
+                },
+            )
+            if not ignore_unit_errors:
+                raise
+            print(f"DATALOSS unit={u} skipped after error: {exc}")
+            failed.append(u)
     return {
         "built_units": [r["unit"] for r in built],
         "skipped_units": [u for u in requested if u not in todo],
+        "failed_units": failed,
     }

@@ -13,81 +13,8 @@ machines and parallelism levels.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
-
-from .textnorm import extract_text, token_counts
-
-# (dl, [(term, tf)] sorted by term) per document
-TOKEN_STRUCT = T.StructType(
-    [
-        T.StructField("dl", T.IntegerType(), False),
-        T.StructField(
-            "counts",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("term", T.StringType(), False),
-                        T.StructField("tf", T.IntegerType(), False),
-                    ]
-                )
-            ),
-            False,
-        ),
-    ]
-)
-
-
-@F.pandas_udf(T.StringType())
-def extract_text_udf(html: pd.Series, text: pd.Series) -> pd.Series:
-    """(html bytes | null, text | null) -> normalized extracted text."""
-    return pd.Series(
-        [
-            extract_text(
-                h if isinstance(h, (bytes, bytearray)) else None,
-                t if isinstance(t, str) else None,
-            )
-            for h, t in zip(html, text)
-        ],
-        dtype="object",
-    )
-
-
-@F.pandas_udf(TOKEN_STRUCT)
-def token_counts_udf(text: pd.Series) -> pd.DataFrame:
-    """text -> struct(dl, counts[(term, tf)] sorted by term).
-
-    Applies ``normalize`` internally (idempotent), so the stage accepts both
-    pre-normalized webtext extraction output and raw table text columns."""
-    from .textnorm import normalize
-
-    dls, counts = [], []
-    for t in text:
-        dl, c = token_counts(normalize(t) if isinstance(t, str) else "")
-        dls.append(dl)
-        counts.append(c)
-    return pd.DataFrame({"dl": pd.Series(dls, dtype="int32"), "counts": counts})
-
-
-@F.pandas_udf(T.IntegerType())
-def doclen_udf(html: pd.Series, text: pd.Series) -> pd.Series:
-    """Extract+tokenize -> token count only (Arrow output = one int column —
-    cheap). Used for the docs side table."""
-    from .textnorm import extract_text as _extract, token_counts as _tc
-
-    return pd.Series(
-        [
-            _tc(
-                _extract(
-                    h if isinstance(h, (bytes, bytearray)) else None,
-                    t if isinstance(t, str) else None,
-                )
-            )[0]
-            for h, t in zip(html, text)
-        ],
-        dtype="int32",
-    )
-
 
 EXPLODED_SCHEMA = "doc_id bigint, dl int, term string, tf int"
 

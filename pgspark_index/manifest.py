@@ -30,6 +30,13 @@ import pyarrow.parquet as pq
 STATUS_REQUESTED = "requested"
 STATUS_IN_PROGRESS = "in progress"
 STATUS_COMPLETED = "completed"  # statuses from /root/reference/pkg/snapshot/snapshot.go:30-34
+# failure ledger: a unit that errored is recorded with its message and
+# RETRIED on the next resume (completed_units never returns it) — the
+# recorder's re-add-failed-tables semantics
+# (/root/reference/pkg/snapshot/generator/snapshot_generator_recorder.go:241-379).
+STATUS_FAILED = "failed"
+
+FORMAT_VERSION = 2  # index layout version (manifest + lexicon + stats)
 
 _FIELDS = {
     "segment_id": pa.string(),
@@ -39,6 +46,8 @@ _FIELDS = {
     "sum_doclen": pa.int64(),      # total tokens (for global avgdl)
     "term_count": pa.int64(),      # distinct (term, salt) rows
     "bytes": pa.int64(),           # compressed postings bytes
+    "dropped_terms": pa.int64(),   # oversize-guard dropped postings
+    "format_version": pa.int32(),
     "status": pa.string(),
     "error": pa.string(),
     "started_at": pa.timestamp("us"),
@@ -58,6 +67,8 @@ def commit_unit(index_dir: str, row: dict) -> None:
     os.makedirs(d, exist_ok=True)
     defaults = {
         "error": None,
+        "dropped_terms": 0,
+        "format_version": FORMAT_VERSION,
         "started_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         "finished_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
     }
@@ -74,7 +85,10 @@ def read_manifest(index_dir: str) -> pd.DataFrame:
     files = sorted(glob.glob(os.path.join(_dir(index_dir), "unit-*.parquet")))
     if not files:
         return SCHEMA.empty_table().to_pandas()
-    return pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+    # promote unifies manifests written by older format versions
+    return pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    ).to_pandas()
 
 
 def completed_units(index_dir: str, input_snapshot_id: int | None = None) -> set[int]:
@@ -103,4 +117,6 @@ def global_stats(index_dir: str) -> dict:
         "units": sorted(int(u) for u in m["unit"]),
         "postings_bytes": int(m["bytes"].sum()),
         "term_rows": int(m["term_count"].sum()),
+        "dropped_terms": int(m["dropped_terms"].fillna(0).sum()) if "dropped_terms" in m else 0,
+        "format_version": FORMAT_VERSION,
     }

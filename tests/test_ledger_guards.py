@@ -1,0 +1,114 @@
+"""Failure ledger + oversize guards.
+
+Reference semantics being mirrored:
+- failed units are recorded with status + error and RETRIED on resume
+  (/root/reference/pkg/snapshot/generator/snapshot_generator_recorder.go:241-379);
+- ignore-errors knob drops the failed batch, counts it, logs DATALOSS
+  (/root/reference/pkg/wal/processor/batch/wal_batch_sender.go:281-283,353-367);
+- doc IDs > 512 bytes are skipped (search_store.go:137-143) and terms over
+  the Lucene byte cap are dropped with accounting
+  (opensearch_mapper.go:44-53).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgspark_index import build, manifest, merge, query
+
+
+def _mini_webtext(spark, long_token_doc=False, long_url_doc=False):
+    rows = []
+    for i in range(30):
+        rows.append((f"https://ex.com/p{i}", f"common text page {i} alpha beta", i))
+    if long_token_doc:
+        rows.append(
+            ("https://ex.com/giant", "normal words then " + "x" * 40 + " tail", 99)
+        )
+    if long_url_doc:
+        rows.append(("https://ex.com/" + "u" * 600, "oversized identity doc", 98))
+    df = spark.createDataFrame(rows, "url string, text string, n int")
+    return df.select(
+        "url",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("n")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+
+
+def test_failed_unit_recorded_and_retried(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    corpus = _mini_webtext(spark)
+    base = build.webtext_unit_provider(corpus)
+    boom = {"armed": True}
+
+    def provider(unit, num_units):
+        if unit == 1 and boom["armed"]:
+            raise RuntimeError("injected unit failure")
+        return base(unit, num_units)
+
+    with pytest.raises(RuntimeError, match="injected"):
+        build.build_index(spark, provider, idx, num_units=2, partitions=4,
+                          sample_fraction=1.0)
+    m = manifest.read_manifest(idx)
+    failed = m[m["status"] == manifest.STATUS_FAILED]
+    assert list(failed["unit"]) == [1]
+    assert "injected unit failure" in failed.iloc[0]["error"]
+    # unit 0 committed before the failure; resume retries ONLY unit 1
+    assert manifest.completed_units(idx) == {0}
+
+    boom["armed"] = False
+    res = build.build_index(spark, provider, idx, num_units=2, partitions=4,
+                            sample_fraction=1.0)
+    assert res["built_units"] == [1] and res["skipped_units"] == [0]
+    m2 = manifest.read_manifest(idx)
+    assert set(m2["status"]) == {manifest.STATUS_COMPLETED}
+    assert manifest.completed_units(idx) == {0, 1}
+
+
+def test_ignore_unit_errors_continues(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    base = build.webtext_unit_provider(_mini_webtext(spark))
+
+    def provider(unit, num_units):
+        if unit == 1:
+            raise RuntimeError("still broken")
+        return base(unit, num_units)
+
+    res = build.build_index(spark, provider, idx, num_units=3, partitions=4,
+                            sample_fraction=1.0, ignore_unit_errors=True)
+    assert res["failed_units"] == [1]
+    assert set(res["built_units"]) == {0, 2}
+
+
+def test_oversize_term_guard_drops_and_accounts(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    corpus = _mini_webtext(spark, long_token_doc=True)
+    build.build_index(spark, corpus, idx, num_units=1, partitions=4,
+                      sample_fraction=1.0, max_term_bytes=20)
+    merge.merge_index(spark, idx)
+    lex = merge.read_lexicon(spark, idx)
+    assert lex.filter(F.length("term") > 20).count() == 0
+    m = manifest.read_manifest(idx)
+    assert int(m["dropped_terms"].sum()) == 1  # the x*40 token, one posting
+    # doclen still counts the dropped token (Lucene norm semantics)
+    docs = spark.read.parquet(build.docs_path(idx))
+    giant = docs.filter(F.col("url") == "https://ex.com/giant").collect()[0]
+    assert giant["doclen"] == 5
+    # and the doc is still searchable by its surviving terms
+    res = query.search(spark, idx, ["tail"], k=3).collect()
+    assert giant["doc_id"] in [r["doc_id"] for r in res]
+
+
+def test_oversize_id_guard_skips_doc(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    corpus = _mini_webtext(spark, long_url_doc=True)
+    build.build_index(spark, corpus, idx, num_units=1, partitions=4,
+                      sample_fraction=1.0)
+    docs = spark.read.parquet(build.docs_path(idx))
+    assert docs.filter(F.octet_length("url") > 512).count() == 0
+    assert docs.count() == 30  # the oversized-identity doc was skipped
