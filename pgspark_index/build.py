@@ -23,19 +23,23 @@ the raw corpus slice):
 
   scan (column-pruned: url, warc_ts, html, text)
    -> filter pmod(xxhash64(url), num_units) = unit        [unit predicate]
-   -> window last-writer-wins per url                     [shuffle 1: url]
-   -> ONE tokenize pass (mapInPandas): emits BOTH
+   -> repartitionByRange(P, doc_id)                       [shuffle 1]
+      + sortWithinPartitions(doc_id ASC, version DESC, ...)
+   -> ONE tokenize pass (mapInPandas): streaming LWW dedup
+      (keep-first per doc_id over the sorted stream), then emits BOTH
         kind=0 doc rows (doc_id, url, doclen)             [docs by-product]
         kind=1 PARTIAL posting lists: local group +
-        delta/varbyte encode per map partition            [map-side combine]
+        delta/varbyte encode + block-max meta per map
+        partition (doc ranges DISJOINT across tasks)      [map-side combine]
    -> persist the combined output (compressed blobs + doc
       rows — far smaller than the raw slice)
    -> docs parquet  = filter kind=0                       [cache read]
    -> segments      = filter kind=1
       -> repartition(P, term, salt) hash                  [shuffle 2: blobs only]
-      -> sortWithinPartitions(term, salt)
-      -> mapInPandas(merge partials: one vectorized decode/
-         sort/re-encode per partition, block-max metadata) [Arrow, vectorized]
+      -> sortWithinPartitions(term, salt, first_doc)
+      -> mapInPandas(SPLICE partials: byte-concat blobs,
+         one varint patched per partial, block tables
+         concatenated — O(rows), postings never decoded)  [Arrow]
       -> segments parquet under segments/unit=<u>/
 
 The skew-salt plan is computed ONCE PER BUILD from a window-free sample of
@@ -91,10 +95,14 @@ _PARTIAL_CHUNK_ROWS = 1 << 23
 PARTIAL_SCHEMA = "term string, salt int, df bigint, postings binary"
 
 # ONE tokenize pass emits two row kinds (union schema): kind=0 doc rows and
-# kind=1 partial posting lists. Sentinels (not NULLs) keep every column a
-# plain non-nullable Arrow primitive.
+# kind=1 partial posting lists (block metadata included — partials are
+# FINAL-form slices of the segment list; the merge only splices them).
+# Sentinels (not NULLs) keep every column a plain non-nullable Arrow
+# primitive.
 COMBINED_SCHEMA = (
-    "kind int, term string, salt int, df bigint, postings binary, "
+    "kind int, term string, salt int, df bigint, cf bigint, first_doc bigint, "
+    "block_last_doc array<bigint>, block_max_tf array<int>, "
+    "block_min_dl array<int>, block_offset array<bigint>, postings binary, "
     "doc_id bigint, url string, doclen int"
 )
 
@@ -116,39 +124,55 @@ def make_tokenize_fn(
     """mapInPandas factory: corpus rows -> doc rows + PARTIAL posting lists
     in ONE tokenization pass (COMBINED_SCHEMA).
 
+    Input contract (enforced by build_unit): rows arrive range-partitioned
+    by doc_id and sorted within the partition by (doc_id ASC, version DESC,
+    text-not-null DESC, html DESC). Two things follow:
+
+    - last-writer-wins dedup is a streaming keep-first-per-doc_id mask
+      (pgstream's LSN-as-version resolution, search_adapter.go:179-184) —
+      no Window exec needed;
+    - every partial list this task emits covers a doc range DISJOINT from
+      (and ordered against) every other task's — so the downstream merge
+      can SPLICE compressed blobs instead of decode/sort/re-encode.
+
     The map-side combine of the classic MapReduce index build: each input
     partition tokenizes its docs, groups locally by (term, salt), and emits
-    delta+varbyte-encoded partial lists. Only compressed blobs cross the
-    shuffle (~3.5 B/posting instead of ~14+ B/posting raw rows), and the
-    JVM never materializes per-posting rows — Arrow row counts drop from
-    O(postings) to O(distinct terms per partition).
+    delta+varbyte-encoded partial lists WITH final block-max metadata. Only
+    compressed blobs cross the shuffle (~3.5 B/posting instead of ~14+
+    B/posting raw rows), and the JVM never materializes per-posting rows.
 
     The docs side table (doc_id, url, doclen) falls out of the same pass as
     kind=0 rows — the reference precedent for one-touch row adaptation is
     pg_snapshot_generator.go:409-467 (each scanned row adapted exactly once).
 
     Partial lists may be emitted more than once per (term, salt, partition)
-    (chunked flushes) — the merge stage handles any number of partials."""
+    (chunked flushes — still doc-ordered and disjoint, because input rows
+    are doc-sorted) — the splice merge handles any number of partials."""
 
     def fn(batches):
         import numpy as np
         import pandas as pd
 
-        from .textnorm import extract_text as _extract, token_counts as _tc
+        from .textnorm import fast_token_counts as _ftc
 
-        acc_doc, acc_dl, acc_tf = [], [], []
+        # flat python accumulators (no per-doc numpy allocations)
         acc_term: list[str] = []
+        acc_tf: list[int] = []
+        acc_docid: list[int] = []  # per contributing doc
+        acc_m: list[int] = []      # distinct terms per contributing doc
+        acc_dl: list[int] = []     # doclen per contributing doc
         buffered = 0
-
         dropped_postings = 0
+        prev_doc = None  # streaming-dedup carry across batches
 
         def flush():
-            nonlocal acc_doc, acc_dl, acc_tf, acc_term, buffered, dropped_postings
+            nonlocal acc_term, acc_tf, acc_docid, acc_m, acc_dl, buffered, dropped_postings
             if buffered == 0:
                 return None
-            doc = np.concatenate(acc_doc)
-            dl = np.concatenate(acc_dl)
-            tf = np.concatenate(acc_tf)
+            m_arr = np.asarray(acc_m, dtype=np.int64)
+            doc = np.repeat(np.asarray(acc_docid, dtype=np.int64), m_arr)
+            dl = np.repeat(np.asarray(acc_dl, dtype=np.int64), m_arr)
+            tf = np.asarray(acc_tf, dtype=np.int64)
             codes, uniques = pd.factorize(np.asarray(acc_term, dtype=object))
             if max_term_bytes is not None:
                 # Lucene-analog oversize guard (term byte cap 32766,
@@ -164,7 +188,8 @@ def make_tokenize_fn(
                     dropped_postings += int((~keep).sum())
                     doc, dl, tf, codes = doc[keep], dl[keep], tf[keep], codes[keep]
                     if doc.size == 0:
-                        acc_doc, acc_dl, acc_tf, acc_term = [], [], [], []
+                        acc_term, acc_tf = [], []
+                        acc_docid, acc_m, acc_dl = [], [], []
                         buffered = 0
                         return None
             fan = np.fromiter(
@@ -175,7 +200,7 @@ def make_tokenize_fn(
             order = np.lexsort((doc, key))
             doc, dl, tf, key = doc[order], dl[order], tf[order], key[order]
             starts = np.concatenate(([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
-            rows = codecs.encode_groups(starts, doc, tf, dl, with_blocks=False)
+            rows = codecs.encode_groups(starts, doc, tf, dl, with_blocks=True)
             ng = len(rows)
             out = pd.DataFrame(
                 {
@@ -183,47 +208,80 @@ def make_tokenize_fn(
                     "term": uniques[(key[starts] // max_fanout)],
                     "salt": (key[starts] % max_fanout).astype("int32"),
                     "df": np.array([r["df"] for r in rows], dtype="int64"),
+                    "cf": np.array([r["cf"] for r in rows], dtype="int64"),
+                    "first_doc": doc[starts],
+                    "block_last_doc": [r["block_last_doc"] for r in rows],
+                    "block_max_tf": [r["block_max_tf"] for r in rows],
+                    "block_min_dl": [r["block_min_dl"] for r in rows],
+                    "block_offset": [r["block_offset"] for r in rows],
                     "postings": [r["postings"] for r in rows],
                     "doc_id": np.full(ng, -1, dtype="int64"),
                     "url": np.full(ng, "", dtype=object),
                     "doclen": np.full(ng, -1, dtype="int32"),
                 }
             )
-            acc_doc, acc_dl, acc_tf, acc_term = [], [], [], []
+            acc_term, acc_tf = [], []
+            acc_docid, acc_m, acc_dl = [], [], []
             buffered = 0
             return out
+
+        empty_block = np.zeros(0, dtype=np.int64)
 
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
+            doc_ids = pdf["doc_id"].to_numpy(dtype="int64")
+            # streaming LWW dedup: input sorted (doc_id ASC, version DESC,
+            # ...), keep the FIRST row per doc_id (duplicates consecutive)
+            keep = np.ones(n, dtype=bool)
+            keep[1:] = doc_ids[1:] != doc_ids[:-1]
+            if prev_doc is not None and doc_ids[0] == prev_doc:
+                keep[0] = False
+            prev_doc = int(doc_ids[-1])
+            if not keep.all():
+                pdf = pdf[keep]
+                doc_ids = doc_ids[keep]
+                n = len(pdf)
+                if n == 0:
+                    continue
             htmls = pdf["html"] if "html" in pdf.columns else [None] * n
             texts = pdf["text"]
-            doc_ids = pdf["doc_id"].to_numpy(dtype="int64")
             doclens = np.zeros(n, dtype=np.int32)
             for i, (h, t) in enumerate(zip(htmls, texts)):
-                norm = _extract(
+                dl_i, counts = _ftc(
                     h if isinstance(h, (bytes, bytearray)) else None,
                     t if isinstance(t, str) else None,
                 )
-                dl_i, counts = _tc(norm)
                 doclens[i] = dl_i
                 if not counts:
                     continue
-                m = len(counts)
-                acc_doc.append(np.full(m, doc_ids[i], dtype="int64"))
-                acc_dl.append(np.full(m, dl_i, dtype="int64"))
-                acc_term.extend(c[0] for c in counts)
-                acc_tf.append(np.fromiter((c[1] for c in counts), dtype=np.int64, count=m))
-                buffered += m
-            urls = pdf["url"] if "url" in pdf.columns else np.full(n, "", dtype=object)
+                acc_docid.append(int(doc_ids[i]))
+                acc_m.append(len(counts))
+                acc_dl.append(dl_i)
+                ts, vs = zip(*counts)
+                acc_term.extend(ts)
+                acc_tf.extend(vs)
+                buffered += len(counts)
+            urls = (
+                pdf["url"].to_numpy()
+                if "url" in pdf.columns
+                else np.full(n, "", dtype=object)
+            )
+            ng0 = n
             yield pd.DataFrame(
                 {
-                    "kind": np.zeros(n, dtype="int32"),
-                    "term": np.full(n, "", dtype=object),
-                    "salt": np.full(n, -1, dtype="int32"),
-                    "df": np.zeros(n, dtype="int64"),
-                    "postings": [b""] * n,
+                    "kind": np.zeros(ng0, dtype="int32"),
+                    "term": np.full(ng0, "", dtype=object),
+                    "salt": np.full(ng0, -1, dtype="int32"),
+                    "df": np.zeros(ng0, dtype="int64"),
+                    "cf": np.zeros(ng0, dtype="int64"),
+                    "first_doc": np.full(ng0, -1, dtype="int64"),
+                    "block_last_doc": [empty_block] * ng0,
+                    "block_max_tf": [empty_block] * ng0,
+                    "block_min_dl": [empty_block] * ng0,
+                    "block_offset": [empty_block] * ng0,
+                    "postings": [b""] * ng0,
                     "doc_id": doc_ids,
                     "url": urls,
                     "doclen": doclens,
@@ -246,6 +304,12 @@ def make_tokenize_fn(
                     "term": np.array([""], dtype=object),
                     "salt": np.array([-1], dtype="int32"),
                     "df": np.array([dropped_postings], dtype="int64"),
+                    "cf": np.array([0], dtype="int64"),
+                    "first_doc": np.array([-1], dtype="int64"),
+                    "block_last_doc": [empty_block],
+                    "block_max_tf": [empty_block],
+                    "block_min_dl": [empty_block],
+                    "block_offset": [empty_block],
                     "postings": [b""],
                     "doc_id": np.array([-1], dtype="int64"),
                     "url": np.array([""], dtype=object),
@@ -256,85 +320,118 @@ def make_tokenize_fn(
     return fn
 
 
-def _merge_partials_fn(batches):
-    """mapInPandas: shuffled partial lists (sorted by term, salt) -> final
-    segment rows. Fully vectorized: one varbyte decode over the whole
-    partition's concatenated blobs, segmented gap-cumsum to rebuild doc ids,
-    one lexsort per partition, one encode_groups pass.
+def _splice_merge_fn(batches):
+    """mapInPandas: shuffled partial lists (sorted by term, salt, first_doc)
+    -> final segment rows by BLOB SPLICING — O(rows), not O(postings).
 
-    Partition memory = decoded posting arrays for this partition's terms
-    (~24 B/posting); size `partitions` so that stays comfortable — the same
-    knob that bounds any sort/merge operator."""
+    Partials of one (term, salt) group cover disjoint, ordered doc-id
+    ranges (build_unit range-partitions the corpus by doc_id), so the final
+    list is the byte concatenation of the partial blobs with exactly ONE
+    varint patched per partial: its first value (an absolute biased doc id)
+    becomes the gap from the previous partial's last doc. Block-max tables
+    concatenate with offset shifts. Postings are never decoded here — the
+    round-1 decode/lexsort/re-encode merge was memory-bandwidth-bound and
+    capped multi-core scaling; splicing touches ~bytes-of-metadata only.
+
+    Blocks stay valid (decode_block handles ragged blocks); compression is
+    preserved (the patched gap is a true small delta)."""
     import pandas as pd
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
 
-    terms_l, salts_l, dfs_l, blobs_l = [], [], [], []
+    cols = (
+        "term", "salt", "df", "cf", "first_doc",
+        "block_last_doc", "block_max_tf", "block_min_dl", "block_offset", "postings",
+    )
+    parts: dict[str, list] = {c: [] for c in cols}
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        terms_l.append(pdf["term"].to_numpy())
-        salts_l.append(pdf["salt"].to_numpy(dtype=np.int32))
-        dfs_l.append(pdf["df"].to_numpy(dtype=np.int64))
-        blobs_l.append(pdf["postings"].to_numpy())
-    if not terms_l:
+        for c in cols:
+            parts[c].append(pdf[c].to_numpy())
+    if not parts["term"]:
         return
-    terms = np.concatenate(terms_l)
-    salts = np.concatenate(salts_l)
-    dfs = np.concatenate(dfs_l)
-    blobs = np.concatenate(blobs_l)
+    terms = np.concatenate(parts["term"])
+    salts = np.concatenate(parts["salt"]).astype(np.int32)
+    dfs = np.concatenate(parts["df"]).astype(np.int64)
+    cfs = np.concatenate(parts["cf"]).astype(np.int64)
+    first = np.concatenate(parts["first_doc"]).astype(np.int64)
+    blds = np.concatenate(parts["block_last_doc"])
+    bmts = np.concatenate(parts["block_max_tf"])
+    bmds = np.concatenate(parts["block_min_dl"])
+    boffs = np.concatenate(parts["block_offset"])
+    blobs = np.concatenate(parts["postings"])
 
-    stream = codecs.varbyte_decode(b"".join(blobs))
-    total = int(dfs.sum())
-    assert stream.size == 3 * total, (stream.size, total)
-    # per-value row ownership and within-row phase (gap/tf/dl)
-    row_id = np.repeat(np.arange(dfs.size), 3 * dfs)
-    row_val_starts = np.zeros(dfs.size, dtype=np.int64)
-    np.cumsum(3 * dfs[:-1], out=row_val_starts[1:])
-    phase = np.arange(stream.size) - row_val_starts[row_id]
-    gaps = stream[phase % 3 == 0]
-    tf = stream[phase % 3 == 1].astype(np.int64)
-    dl = stream[phase % 3 == 2].astype(np.int64)
-    # segmented cumsum: doc_u[i] = sum of gaps within its row up to i
-    c = np.cumsum(gaps, dtype=np.uint64)
-    gap_row_starts = np.zeros(dfs.size, dtype=np.int64)
-    np.cumsum(dfs[:-1], out=gap_row_starts[1:])
-    base = c[gap_row_starts] - gaps[gap_row_starts]
-    doc_u = c - np.repeat(base, dfs)
-    doc = codecs._to_signed(doc_u)
+    n = terms.shape[0]
+    grp_starts = np.concatenate(
+        ([0], np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1)
+    )
+    grp_ends = np.concatenate((grp_starts[1:], [n]))
 
-    # group = (term, salt) run over ROWS (input sorted by term, salt)
-    row_grp_change = np.flatnonzero(
-        (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-    ) + 1
-    row_grp_id = np.zeros(dfs.size, dtype=np.int64)
-    row_grp_id[row_grp_change] = 1
-    row_grp_id = np.cumsum(row_grp_id)
-    grp_per_posting = np.repeat(row_grp_id, dfs)
+    o_term, o_salt, o_df, o_cf = [], [], [], []
+    o_bld, o_bmt, o_bmd, o_boff, o_post = [], [], [], [], []
+    for s, e in zip(grp_starts, grp_ends):
+        o_term.append(terms[s])
+        o_salt.append(salts[s])
+        if e - s == 1:
+            o_df.append(dfs[s])
+            o_cf.append(cfs[s])
+            o_bld.append(blds[s])
+            o_bmt.append(bmts[s])
+            o_bmd.append(bmds[s])
+            o_boff.append(boffs[s])
+            o_post.append(bytes(blobs[s]))
+            continue
+        frags = [bytes(blobs[s])]
+        offs_out = [np.asarray(boffs[s], dtype=np.int64)]
+        base = len(frags[0])
+        last_prev = int(np.asarray(blds[s])[-1])
+        for j in range(s + 1, e):
+            blob = bytes(blobs[j])
+            fd = int(first[j])
+            if fd <= last_prev:
+                raise ValueError(
+                    "splice-merge invariant violated: overlapping doc ranges "
+                    f"for term={terms[s]!r} salt={int(salts[s])} "
+                    f"(first_doc {fd} <= prev last {last_prev}); build_unit "
+                    "must range-partition the corpus by doc_id"
+                )
+            # patch partial j's first varint: absolute doc -> gap
+            fl = 1
+            while blob[fl - 1] >= 128:
+                fl += 1
+            new_first = codecs.varint_one(fd - last_prev)
+            frags.append(new_first + blob[fl:])
+            delta = len(new_first) - fl
+            off_j = np.asarray(boffs[j], dtype=np.int64) + delta
+            off_j[0] = 0
+            offs_out.append(off_j + base)
+            base += len(blob) + delta
+            last_prev = int(np.asarray(blds[j])[-1])
+        o_df.append(int(dfs[s:e].sum()))
+        o_cf.append(int(cfs[s:e].sum()))
+        o_bld.append(np.concatenate([np.asarray(x, dtype=np.int64) for x in blds[s:e]]))
+        o_bmt.append(np.concatenate([np.asarray(x, dtype=np.int32) for x in bmts[s:e]]))
+        o_bmd.append(np.concatenate([np.asarray(x, dtype=np.int32) for x in bmds[s:e]]))
+        o_boff.append(np.concatenate(offs_out))
+        o_post.append(b"".join(frags))
 
-    order = np.lexsort((doc, grp_per_posting))
-    doc, tf, dl, grp_sorted = doc[order], tf[order], dl[order], grp_per_posting[order]
-    enc_starts = np.concatenate(([0], np.flatnonzero(grp_sorted[1:] != grp_sorted[:-1]) + 1))
-    rows = codecs.encode_groups(enc_starts, doc, tf, dl)
-
-    grp_first_row = np.concatenate(([0], row_grp_change))
-    out = pd.DataFrame(
+    yield pd.DataFrame(
         {
-            "term": terms[grp_first_row],
-            "salt": salts[grp_first_row].astype("int32"),
-            "part_id": np.full(len(rows), pid, dtype="int32"),
-            "df": np.array([r["df"] for r in rows], dtype="int64"),
-            "cf": np.array([r["cf"] for r in rows], dtype="int64"),
-            "block_last_doc": [r["block_last_doc"].tolist() for r in rows],
-            "block_max_tf": [r["block_max_tf"].tolist() for r in rows],
-            "block_min_dl": [r["block_min_dl"].tolist() for r in rows],
-            "block_offset": [r["block_offset"].tolist() for r in rows],
-            "postings": [r["postings"] for r in rows],
+            "term": o_term,
+            "salt": np.asarray(o_salt, dtype="int32"),
+            "part_id": np.full(len(o_term), pid, dtype="int32"),
+            "df": np.asarray(o_df, dtype="int64"),
+            "cf": np.asarray(o_cf, dtype="int64"),
+            "block_last_doc": o_bld,
+            "block_max_tf": o_bmt,
+            "block_min_dl": o_bmd,
+            "block_offset": o_boff,
+            "postings": o_post,
         }
     )
-    yield out
 
 
 def plan_salts(
@@ -407,8 +504,8 @@ def webtext_unit_provider(webtext_df: DataFrame):
     """Unit provider for the (url, warc_ts, html, text, lang) input shape.
 
     The unit predicate is on url (the doc identity source), so Catalyst
-    pushes it below the dedup window straight into the scan — each unit job
-    reads only its slice of the input."""
+    pushes it straight into the scan — each unit job reads only its slice
+    of the input."""
 
     def provider(unit: int, num_units: int) -> DataFrame:
         unit_df = webtext_df.filter(
@@ -421,8 +518,8 @@ def webtext_unit_provider(webtext_df: DataFrame):
 
 def docs_unit_provider(docs_df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
     """Unit provider for already-identified corpora (e.g. a documents table
-    with a native doc_id). No dedup/extraction — text is normalized inside
-    the tokenize stage."""
+    with a native doc_id). No extraction — text is normalized inside the
+    tokenize stage; version is constant (no recrawls in such tables)."""
 
     def provider(unit: int, num_units: int) -> DataFrame:
         return docs_df.filter(
@@ -431,6 +528,7 @@ def docs_unit_provider(docs_df: DataFrame, id_col: str = "doc_id", text_col: str
             F.col(id_col).cast("long").alias("doc_id"),
             F.lit(None).cast("string").alias("url"),
             F.col(text_col).alias("text"),
+            F.lit(0).alias("version"),
         )
 
     return provider
@@ -457,7 +555,10 @@ def build_unit(
     (direct callers) one is computed from this unit's slice."""
     src = docs_provider(unit, num_units)
     html_col = F.col("html") if "html" in src.columns else F.lit(None).cast("binary")
-    ded = src.select("doc_id", "url", html_col.alias("html"), "text")
+    version_col = F.col("version") if "version" in src.columns else F.lit(0)
+    ded = src.select(
+        "doc_id", "url", html_col.alias("html"), "text", version_col.alias("version")
+    )
     if max_id_bytes is not None:
         # doc-identity oversize guard (search_store.go:137-143: IDs > 512 B
         # are skipped): drop the doc, account it below via row-count delta.
@@ -466,6 +567,18 @@ def build_unit(
         )
     if salt_plan is None:
         salt_plan = dict(plan_salts(ded, sample_fraction, salt_target, max_fanout))
+    # Range-partition by doc_id and sort within partitions by (doc_id ASC,
+    # version DESC, ...): the ONE data shuffle of the build. It gives the
+    # tokenize stage (a) streaming last-writer-wins dedup for free (keep
+    # first row per doc_id — same tie-break as the old Window), and (b) the
+    # splice-merge invariant: every task's partials cover a disjoint,
+    # ordered doc-id range, so segment merge never decodes postings.
+    ded = ded.repartitionByRange(partitions, "doc_id").sortWithinPartitions(
+        F.asc("doc_id"),
+        F.desc("version"),
+        F.desc(F.col("text").isNotNull()),
+        F.desc("html"),
+    )
     # ONE tokenize pass; persist its (compressed) output — partial posting
     # blobs + int doc rows — instead of the raw corpus slice. Both the docs
     # write and the segment shuffle read from this cache, so text is
@@ -492,7 +605,9 @@ def build_unit(
         )
 
         partials = combined.filter(F.col("kind") == 1).select(
-            "term", "salt", "df", "postings"
+            "term", "salt", "df", "cf", "first_doc",
+            "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+            "postings",
         )
         seg_obs = Observation()
         # Map-side combine: only compressed partial lists cross this shuffle
@@ -500,11 +615,12 @@ def build_unit(
         # counts are O(distinct terms), not O(postings). Hash repartition
         # (no range-sampler pass); sortWithinPartitions keeps every output
         # FILE term-sorted so parquet row-group min/max stats stay selective
-        # for the query-time term IN (...) pushdown.
+        # for the query-time term IN (...) pushdown; first_doc in the sort
+        # key is the splice order.
         segments = (
             partials.repartition(partitions, "term", "salt")
-            .sortWithinPartitions("term", "salt")
-            .mapInPandas(_merge_partials_fn, schema=SEG_SCHEMA)
+            .sortWithinPartitions("term", "salt", "first_doc")
+            .mapInPandas(_splice_merge_fn, schema=SEG_SCHEMA)
             .observe(
                 seg_obs,
                 F.count(F.lit(1)).alias("term_rows"),

@@ -243,7 +243,6 @@ def decode_postings(blob: bytes, df: int) -> tuple[np.ndarray, np.ndarray, np.nd
 
 def decode_block(
     blob: bytes,
-    df: int,
     block_idx: int,
     block_offset: np.ndarray,
     prev_last_doc: int | None,
@@ -252,14 +251,32 @@ def decode_block(
 
     ``prev_last_doc`` is block_last_doc[block_idx-1] (None for block 0):
     the first gap in a block is relative to the previous block's last doc.
+
+    Blocks may be RAGGED (< BLOCK postings): spliced segment merges
+    concatenate per-partial block tables, so interior blocks can be short.
+    The byte slice between consecutive offsets contains exactly the block's
+    varints — the decode needs no posting-count arithmetic.
     """
-    start_posting = block_idx * BLOCK
-    count = min(BLOCK, df - start_posting)
     off = int(block_offset[block_idx])
     end = int(block_offset[block_idx + 1]) if block_idx + 1 < len(block_offset) else len(blob)
-    stream = varbyte_decode(memoryview(blob)[off:end], count=3 * count)
+    stream = varbyte_decode(memoryview(blob)[off:end])
     gaps = stream[0::3].copy()
     if prev_last_doc is not None:
         gaps[0] += _to_unsigned(np.array([prev_last_doc], dtype=np.int64))[0]
     doc_u = np.cumsum(gaps, dtype=np.uint64)
     return _to_signed(doc_u), stream[1::3].astype(np.int64), stream[2::3].astype(np.int64)
+
+
+def varint_one(value: int) -> bytes:
+    """LEB128-encode ONE unsigned value (splice patching of a partial's
+    first gap — O(1) per partial row, never per posting)."""
+    u = int(value)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)

@@ -79,14 +79,20 @@ def dedup_last_writer_wins(df: DataFrame, key: str = "url", version: str = "warc
 
 
 def webtext_to_docs(df: DataFrame) -> DataFrame:
-    """(url, warc_ts, html, text, lang) -> (doc_id, url, html, text).
+    """(url, warc_ts, html, text, lang) -> (doc_id, url, html, text, version).
 
     doc_id = xxhash64(url): stable identity under recrawl, the analog of
     pgstream's immutable column/table IDs (docs/architecture.md:47).
-    Extraction happens inside the downstream tokenize/doclen stages;
-    Catalyst prunes the scan to these columns.
+    ``version`` (= warc_ts) rides along so the build's range-partitioned
+    sort can do streaming last-writer-wins dedup (LSN-as-version,
+    search_adapter.go:179-184) without a separate Window shuffle.
+    Extraction happens inside the downstream tokenize stage; Catalyst
+    prunes the scan to these columns.
     """
-    deduped = dedup_last_writer_wins(df)
-    return deduped.select(
-        F.xxhash64("url").alias("doc_id"), "url", "html", "text"
+    return df.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        "html",
+        "text",
+        F.col("warc_ts").alias("version"),
     )

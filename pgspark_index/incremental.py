@@ -13,6 +13,10 @@ re-expression over snapshot tables:
   version wins — snapshot ordering is the LSN analog).
 - query-time: scorers exclude tombstoned docs (vectorized np filter), so
   reads are correct immediately after a delta lands — no rewrite needed.
+  Between a delta and the next compaction, global stats (n_docs / avgdl /
+  df) still count superseded doc versions — exactly Lucene's
+  deleted-docs-affect-docFreq-until-merge semantics; compaction restores
+  bit-equality with a from-scratch build (asserted in tests).
 - ``compact`` — physically applies tombstones: decode -> drop -> re-encode
   every affected posting list (mapInPandas, no raw text required because
   postings carry (doc, tf, doclen)), rewrite docs tables, refresh manifest
@@ -37,6 +41,7 @@ from .build import (
     SEG_SCHEMA,
     build_unit,
     docs_path,
+    plan_salts_source,
     segments_path,
     webtext_unit_provider,
 )
@@ -46,11 +51,20 @@ def tombstones_path(index_dir: str) -> str:
     return os.path.join(index_dir, "tombstones")
 
 
-def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+def _tombstone_files(index_dir: str) -> list[str]:
+    # snapshot dirs (distributed writes) and any legacy single files
     d = tombstones_path(index_dir)
-    if not glob.glob(os.path.join(d, "*.parquet")):
+    return sorted(
+        glob.glob(os.path.join(d, "snapshot-*", "*.parquet"))
+        + glob.glob(os.path.join(d, "*.parquet"))
+    )
+
+
+def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    files = _tombstone_files(index_dir)
+    if not files:
         return None
-    return spark.read.parquet(d)
+    return spark.read.parquet(*files)
 
 
 def load_tombstones(index_dir: str):
@@ -59,25 +73,28 @@ def load_tombstones(index_dir: str):
     units whose input_snapshot_id < s are superseded — exclusion is
     UNIT-SCOPED (the delta unit of snapshot s holds the live version!).
 
-    At 10^12-doc scale this would be a broadcast DF semi-join / bloom
-    filter; the set stays small between compactions by design."""
+    Fully vectorized (pyarrow read + numpy lexsort group-max): no per-row
+    Python. The array rides query/compact closures broadcast-style; the set
+    stays small between compactions by design — at 10^12-doc scale with
+    huge deltas this becomes a bloom-filter/anti-join instead."""
     import numpy as np
 
-    d = tombstones_path(index_dir)
-    files = glob.glob(os.path.join(d, "*.parquet"))
+    files = _tombstone_files(index_dir)
     if not files:
         return None
-    best: dict[int, int] = {}
-    for f in files:
-        t = pq.read_table(f, columns=["doc_id", "snapshot"])
-        for doc, snap in zip(t["doc_id"].to_pylist(), t["snapshot"].to_pylist()):
-            if doc not in best or snap > best[doc]:
-                best[doc] = snap
-    if not best:
+    t = pa.concat_tables(
+        [pq.read_table(f, columns=["doc_id", "snapshot"]) for f in files]
+    )
+    if t.num_rows == 0:
         return None
-    docs = np.array(sorted(best), dtype=np.int64)
-    snaps = np.array([best[int(x)] for x in docs], dtype=np.int64)
-    return docs, snaps
+    docs = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snaps = t["snapshot"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # group-max by doc: sort by (doc, snap) and keep each run's LAST row
+    order = np.lexsort((snaps, docs))
+    docs, snaps = docs[order], snaps[order]
+    last = np.ones(docs.size, dtype=bool)
+    last[:-1] = docs[1:] != docs[:-1]
+    return docs[last], snaps[last]
 
 
 def unit_snapshots(index_dir: str) -> dict[int, int]:
@@ -113,21 +130,34 @@ def build_delta(
     # the inverse order would make updated docs vanish.
     done = manifest.completed_units(index_dir, input_snapshot_id)
     built = []
-    for i in range(num_units):
+    todo = [i for i in range(num_units) if base_unit + i not in done]
+    salt_plan = build_kwargs.pop("salt_plan", None)
+    if todo and salt_plan is None:
+        salt_plan = plan_salts_source(
+            provider,
+            num_units,
+            build_kwargs.get("sample_fraction", 0.02),
+            build_kwargs.get("salt_target", 100_000),
+            build_kwargs.get("max_fanout", 64),
+        )
+    for i in todo:
         uid = base_unit + i
-        if uid in done:
-            continue
 
         def shifted(unit, total, _provider=provider, _i=i, _n=num_units):
             return _provider(_i, _n)
 
         row = build_unit(
             spark, shifted, index_dir, uid, num_units, partitions,
-            input_snapshot_id=input_snapshot_id, **build_kwargs,
+            input_snapshot_id=input_snapshot_id, salt_plan=salt_plan, **build_kwargs,
         )
         built.append(row)
 
-    # tombstones: delta doc_ids that exist in OTHER (older) units' docs
+    # tombstones: delta doc_ids that exist in OTHER (older) units' docs.
+    # DISTRIBUTED parquet write of the semi-join result — a delta that
+    # recrawls 10^9 urls never touches the driver (round-1 used toPandas).
+    os.makedirs(tombstones_path(index_dir), exist_ok=True)
+    final = os.path.join(tombstones_path(index_dir), f"snapshot-{input_snapshot_id}")
+    tmp = final + ".tmp"
     other_units = [
         u
         for u in manifest.completed_units(index_dir)
@@ -139,21 +169,27 @@ def build_delta(
             .filter(F.col("unit").isin(other_units))
             .select("doc_id")
         )
-        delta_docs = provider(0, 1).select("doc_id").distinct()
-        tomb_pdf = delta_docs.join(existing, "doc_id", "left_semi").toPandas()
+        tomb = (
+            provider(0, 1)
+            .select("doc_id")
+            .distinct()
+            .join(existing, "doc_id", "left_semi")
+            .withColumn("snapshot", F.lit(input_snapshot_id).cast("long"))
+        )
     else:  # first snapshot ever — nothing to supersede
-        import pandas as pd
+        tomb = spark.createDataFrame([], "doc_id bigint, snapshot bigint")
+    tomb.write.mode("overwrite").parquet(tmp)
+    n_tomb = spark.read.parquet(tmp).count()
+    if os.path.exists(final):
+        import shutil
 
-        tomb_pdf = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
-    tomb_pdf["snapshot"] = input_snapshot_id
-    os.makedirs(tombstones_path(index_dir), exist_ok=True)
-    tmp = os.path.join(
-        tombstones_path(index_dir), f"snapshot-{input_snapshot_id}.parquet.tmp"
-    )
-    final = tmp[: -len(".tmp")]
-    pq.write_table(pa.Table.from_pandas(tomb_pdf, preserve_index=False), tmp)
-    os.replace(tmp, final)
-    return {"built_units": [r["unit"] for r in built], "tombstones": len(tomb_pdf)}
+        shutil.rmtree(final)
+    os.replace(tmp, final)  # atomic publish (commit-after-write)
+    # refresh the lexicon/stats so terms that exist ONLY in the delta are
+    # immediately visible (they'd otherwise be absent until the caller's
+    # next merge_index)
+    merge.merge_index(spark, index_dir)
+    return {"built_units": [r["unit"] for r in built], "tombstones": n_tomb}
 
 
 def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) -> dict:
@@ -171,17 +207,17 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
     m = manifest.read_manifest(index_dir)
     units = sorted(int(u) for u in m[m["status"] == manifest.STATUS_COMPLETED]["unit"])
 
-    def make_rewrite(tomb_arr):
-        return lambda batches: rewrite(batches, tomb_arr)
+    def make_rewrite(tomb_bc):
+        return lambda batches: rewrite(batches, tomb_bc)
 
-    def rewrite(batches, tomb_arr):
+    def rewrite(batches, tomb_bc):
         import numpy as np
         import pandas as pd
         from pyspark import TaskContext
 
         from . import codecs
 
-        t = np.asarray(tomb_arr, dtype=np.int64)
+        t = np.asarray(tomb_bc.value, dtype=np.int64)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         for pdf in batches:
@@ -214,6 +250,7 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
             if len(pdf_out):
                 yield pdf_out.drop(columns=["Index"], errors="ignore")
 
+    tomb_all = read_tombstones(spark, index_dir)
     removed_total = 0
     for u in units:
         # unit-scoped tombstones: only docs superseded by a LATER snapshot
@@ -224,7 +261,13 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
         doc_dir = os.path.join(docs_path(index_dir), f"unit={u}")
         docs = spark.read.parquet(doc_dir)
         n_before = docs.count()
-        docs_kept = docs.filter(~F.col("doc_id").isin([int(x) for x in unit_tomb]))
+        # docs-table tombstone application: broadcast ANTI-JOIN on doc_id
+        # (never a literal IN list in the plan — a million tombstones would
+        # otherwise explode the plan tree)
+        unit_tomb_df = F.broadcast(
+            tomb_all.filter(F.col("snapshot") > F.lit(usnap.get(u, 0))).select("doc_id")
+        )
+        docs_kept = docs.join(unit_tomb_df, "doc_id", "left_anti")
         stats = docs_kept.agg(
             F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sum_dl")
         ).collect()[0]
@@ -233,8 +276,11 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
             continue  # unit untouched by tombstones
         removed_total += n_before - n_after
 
+        # posting-level filter: the sorted array rides a broadcast variable
+        # into the Arrow-grouped rewrite (np.isin per list, vectorized)
+        tomb_bc = spark.sparkContext.broadcast(unit_tomb)
         seg = spark.read.parquet(seg_dir)
-        new_seg = seg.mapInPandas(make_rewrite(unit_tomb), schema=SEG_SCHEMA)
+        new_seg = seg.mapInPandas(make_rewrite(tomb_bc), schema=SEG_SCHEMA)
         tmp_seg, tmp_doc = seg_dir + ".compact", doc_dir + ".compact"
         new_seg.write.mode("overwrite").parquet(tmp_seg)
         docs_kept.write.mode("overwrite").parquet(tmp_doc)
@@ -265,7 +311,12 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
             },
         )
 
-    for f in glob.glob(os.path.join(tombstones_path(index_dir), "*.parquet")):
+    import shutil
+
+    d = tombstones_path(index_dir)
+    for f in glob.glob(os.path.join(d, "*.parquet")):
         os.remove(f)
+    for sub in glob.glob(os.path.join(d, "snapshot-*")):
+        shutil.rmtree(sub, ignore_errors=True)
     merge.merge_index(spark, index_dir)
     return {"compacted_units": units, "removed_docs": removed_total}

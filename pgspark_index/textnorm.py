@@ -92,3 +92,35 @@ def token_counts(norm_text: str) -> tuple[int, list[tuple[str, int]]]:
     for t in toks:
         counts[t] = counts.get(t, 0) + 1
     return len(toks), sorted(counts.items())
+
+
+def fast_token_counts(
+    html_bytes: bytes | None, text: str | None
+) -> tuple[int, list[tuple[str, int]]]:
+    """Hot-path tokenizer: TOKEN-STREAM-EQUIVALENT to
+    ``token_counts(extract_text(html, text))`` but ~2x faster.
+
+    Safe shortcuts (each provably token-invariant, property-tested in
+    tests/test_textnorm.py):
+    - whitespace collapse + strip skipped — ``[a-z0-9]+`` runs can never
+      span whitespace, so collapsing separators changes nothing;
+    - NUL strip only when a NUL is present (C-scan ``in`` check) — NULs DO
+      merge adjacent runs ("a\\x00b" -> "ab"), so the strip itself is kept;
+    - counting via collections.Counter (C-accelerated) and returned
+      UNSORTED — per-doc term order is irrelevant to the index build (the
+      flush lexsort orders postings); query-side score accumulation order
+      comes from the sorted lexicon, not from here.
+    """
+    from collections import Counter
+
+    if text is not None:
+        t = text
+    elif html_bytes is not None:
+        t = strip_html(html_bytes)
+    else:
+        return 0, []
+    t = unicodedata.normalize("NFKC", t).lower()
+    if "\x00" in t:
+        t = t.replace("\x00", "")
+    toks = TOKEN_RE.findall(t)
+    return len(toks), list(Counter(toks).items())

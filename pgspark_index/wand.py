@@ -131,7 +131,7 @@ def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float):
     out_docs, out_contribs = [], []
     for b in needed:
         prev = int(last[b - 1]) if b > 0 else None
-        doc, tf, dl = codecs.decode_block(lst["postings"], lst["df"], int(b), offs, prev)
+        doc, tf, dl = codecs.decode_block(lst["postings"], int(b), offs, prev)
         mask = _member_mask(cand_docs, doc)
         if mask.any():
             out_docs.append(doc[mask])
@@ -229,7 +229,7 @@ def score_bmw(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray | Non
             lst = self.lst
             prev = int(lst["block_last_doc"][b - 1]) if b > 0 else None
             self.docs, self.tfs, self.dls = codecs.decode_block(
-                lst["postings"], lst["df"], b,
+                lst["postings"], b,
                 np.asarray(lst["block_offset"], dtype=np.int64), prev,
             )
             self.block = b

@@ -96,7 +96,7 @@ def test_block_meta_and_block_decode():
         assert enc["block_min_dl"][b] == dls[lo:hi].min()
         prev = None if b == 0 else int(doc_ids[lo - 1])
         bd, bt, bl = codecs.decode_block(
-            enc["postings"], n, b, enc["block_offset"], prev
+            enc["postings"], b, enc["block_offset"], prev
         )
         assert bd.tolist() == doc_ids[lo:hi].tolist()
         assert bt.tolist() == tfs[lo:hi].tolist()

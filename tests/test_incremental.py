@@ -103,3 +103,44 @@ def test_resume_delta_units(spark, corpora, tmp_index):
                                   num_units=2, partitions=4, sample_fraction=1.0)
     assert res["built_units"] == []
     assert manifest.completed_units(tmp_index, 3) == {3_000_000, 3_000_001}
+
+def test_compact_with_1e5_tombstones(spark, tmp_index, tmp_path):
+    """Scale-shape check: compaction with >=10^5 tombstones goes through the
+    distributed anti-join / broadcast-array paths (never a literal IN list
+    or a driver toPandas of superseded ids)."""
+    import numpy as np
+    import os
+
+    base_pdf = fixtures.make_webtext_pdf(300, seed=21).drop_duplicates(
+        subset=["url"], keep="last"
+    )
+    base = spark.createDataFrame(base_pdf, schema=fixtures.WEBTEXT_DDL)
+    build.build_index(spark, base, tmp_index, num_units=1, partitions=4,
+                      sample_fraction=1.0)
+    merge.merge_index(spark, tmp_index)
+    docs = spark.read.parquet(build.docs_path(tmp_index))
+    real_ids = [r["doc_id"] for r in docs.limit(50).collect()]
+
+    # fabricate a large tombstone set: 50 real ids + ~2e5 synthetic
+    n_fake = 200_000
+    rng = np.random.RandomState(3)
+    tomb = spark.createDataFrame(
+        [(int(x), 9) for x in rng.randint(-2**62, 2**62, size=n_fake)]
+        + [(int(x), 9) for x in real_ids],
+        "doc_id bigint, snapshot bigint",
+    )
+    d = incremental.tombstones_path(tmp_index)
+    os.makedirs(d, exist_ok=True)
+    tomb.write.mode("overwrite").parquet(os.path.join(d, "snapshot-9"))
+
+    docs_arr, snaps = incremental.load_tombstones(tmp_index)
+    assert docs_arr.size >= n_fake  # vectorized load handled the volume
+
+    res = incremental.compact(spark, tmp_index)
+    assert res["removed_docs"] == 50
+    assert incremental.load_tombstones(tmp_index) is None
+    left = spark.read.parquet(build.docs_path(tmp_index))
+    assert left.count() == len(base_pdf) - 50
+    # surviving docs still searchable, removed ones not
+    got = query.search(spark, tmp_index, fixtures.make_query_set(4, seed=9)[0]["terms"], 10_000).collect()
+    assert not ({r["doc_id"] for r in got} & set(real_ids))

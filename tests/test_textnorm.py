@@ -58,3 +58,39 @@ def test_fixture_determinism():
     assert a.equals(b)
     assert (a["text"].isna().mean()) > 0.01  # some html-only rows
     assert a["url"].duplicated().any()  # recrawls exist
+
+
+def test_fast_token_counts_equivalence():
+    """fast_token_counts must be token-stream-equivalent to
+    token_counts(extract_text(...)) — same doclen, same (term, tf) set —
+    on fixtures AND adversarial unicode/NUL/whitespace cases."""
+    from hypothesis import given, settings, strategies as st
+
+    cases = [
+        (None, None),
+        (None, ""),
+        (None, "a\x00b c d  e\tf"),
+        (None, "Ｆｕｌｌｗｉｄｔｈ１２３ and ﬁligature"),
+        (b"<html><script>no()</script><p>Hi &amp; bye</p></html>", None),
+        (b"\xff\xfe broken <b>utf8</b>", None),
+        (None, "x" * 5 + "\x00" + "y" * 5),
+    ]
+    pdf = make_webtext_pdf(300, seed=7)
+    cases += list(zip(pdf["html"], pdf["text"]))
+    for h, t in cases:
+        h = h if isinstance(h, (bytes, bytearray)) else None
+        t = t if isinstance(t, str) else None
+        dl_slow, counts_slow = textnorm.token_counts(textnorm.extract_text(h, t))
+        dl_fast, counts_fast = textnorm.fast_token_counts(h, t)
+        assert dl_fast == dl_slow
+        assert sorted(counts_fast) == counts_slow
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=120))
+    def prop(t):
+        dl_slow, counts_slow = textnorm.token_counts(textnorm.extract_text(None, t))
+        dl_fast, counts_fast = textnorm.fast_token_counts(None, t)
+        assert dl_fast == dl_slow
+        assert sorted(counts_fast) == counts_slow
+
+    prop()
