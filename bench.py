@@ -44,13 +44,13 @@ def main():
     timings: dict[str, float] = {}
     try:
         t0 = time.time()
-        df = fixtures.make_webtext_df_dist(spark, n_docs, seed=42, partitions=cpus)
+        df = fixtures.make_webtext_df_dist(spark, n_docs, seed=42, partitions=cpus * 4)
         df.persist().count()  # materialize input so build timing excludes datagen
         timings["datagen"] = round(time.time() - t0, 3)
 
         t0 = time.time()
         build.build_index(
-            spark, df, index_dir, num_units=2, partitions=cpus,
+            spark, df, index_dir, num_units=2, partitions=cpus * 4,
             salt_target=50_000, sample_fraction=0.05,
         )
         build_sec = time.time() - t0

@@ -71,7 +71,8 @@ from .extract import (
 SEG_SCHEMA = (
     "term string, salt int, part_id int, df bigint, cf bigint, "
     "block_last_doc array<bigint>, block_max_tf array<int>, "
-    "block_min_dl array<int>, block_offset array<bigint>, postings binary"
+    "block_min_dl array<int>, block_offset array<bigint>, postings binary, "
+    "positions binary"
 )
 
 DOCS_SCHEMA = "doc_id bigint, url string, doclen int"
@@ -86,10 +87,12 @@ def docs_path(index_dir: str) -> str:
 
 
 _CHUNK_ROWS = 1 << 20  # ~1M postings (~50 MB of arrays) per vectorized flush
-# partial-list chunks are larger: fewer flushes -> each (term, salt) emits
-# fewer partials per task (less per-group overhead, fewer merge inputs).
-# ~8M postings = ~250 MB working set per task.
-_PARTIAL_CHUNK_ROWS = 1 << 23
+# flush granularity of the tokenize stage: ~2M postings bounds the python
+# accumulator working set (~150 MB incl. term strings) — measured faster
+# than one huge flush per task (allocator/cache pressure grows superlinear)
+# while keeping per-flush numpy fixed costs negligible. The splice merge
+# handles any number of per-(term,salt) partials.
+_PARTIAL_CHUNK_ROWS = 2_000_000
 
 
 PARTIAL_SCHEMA = "term string, salt int, df bigint, postings binary"
@@ -103,7 +106,7 @@ COMBINED_SCHEMA = (
     "kind int, term string, salt int, df bigint, cf bigint, first_doc bigint, "
     "block_last_doc array<bigint>, block_max_tf array<int>, "
     "block_min_dl array<int>, block_offset array<bigint>, postings binary, "
-    "doc_id bigint, url string, doclen int"
+    "positions binary, doc_id bigint, url string, doclen int"
 )
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -111,15 +114,23 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 def _doc_salt(doc_ids: np.ndarray, fanouts: np.ndarray) -> np.ndarray:
     """Deterministic per-doc salt in [0, fanout): golden-ratio mix of the
-    doc_id (cheap numpy, engine-internal — nothing external depends on it)."""
-    u = doc_ids.astype(np.int64).view(np.uint64) * _GOLDEN
-    return ((u >> np.uint64(33)).astype(np.int64) % fanouts).astype(np.int32)
+    doc_id (cheap numpy, engine-internal — nothing external depends on it).
+
+    Fast path: only head-term postings (fanout > 1, typically a small
+    fraction) pay the multiply/shift/mod — tail postings are salt 0."""
+    salt = np.zeros(doc_ids.size, dtype=np.int32)
+    m = fanouts > 1
+    if m.any():
+        u = np.asarray(doc_ids[m], dtype=np.int64).view(np.uint64) * _GOLDEN
+        salt[m] = ((u >> np.uint64(33)).astype(np.int64) % fanouts[m]).astype(np.int32)
+    return salt
 
 
 def make_tokenize_fn(
     salt_map: dict[str, int],
     max_fanout: int = 64,
     max_term_bytes: int | None = 32766,
+    with_positions: bool = False,
 ):
     """mapInPandas factory: corpus rows -> doc rows + PARTIAL posting lists
     in ONE tokenization pass (COMBINED_SCHEMA).
@@ -153,11 +164,12 @@ def make_tokenize_fn(
         import numpy as np
         import pandas as pd
 
-        from .textnorm import fast_token_counts as _ftc
+        from .textnorm import fast_token_counts as _ftc, fast_token_positions as _ftp
 
         # flat python accumulators (no per-doc numpy allocations)
         acc_term: list[str] = []
         acc_tf: list[int] = []
+        acc_pos: list[int] = []    # flat positions (with_positions only)
         acc_docid: list[int] = []  # per contributing doc
         acc_m: list[int] = []      # distinct terms per contributing doc
         acc_dl: list[int] = []     # doclen per contributing doc
@@ -166,7 +178,8 @@ def make_tokenize_fn(
         prev_doc = None  # streaming-dedup carry across batches
 
         def flush():
-            nonlocal acc_term, acc_tf, acc_docid, acc_m, acc_dl, buffered, dropped_postings
+            nonlocal acc_term, acc_tf, acc_pos, acc_docid, acc_m, acc_dl
+            nonlocal buffered, dropped_postings
             if buffered == 0:
                 return None
             m_arr = np.asarray(acc_m, dtype=np.int64)
@@ -174,6 +187,7 @@ def make_tokenize_fn(
             dl = np.repeat(np.asarray(acc_dl, dtype=np.int64), m_arr)
             tf = np.asarray(acc_tf, dtype=np.int64)
             codes, uniques = pd.factorize(np.asarray(acc_term, dtype=object))
+            sel = None  # final posting order as indices into the ORIGINAL arrays
             if max_term_bytes is not None:
                 # Lucene-analog oversize guard (term byte cap 32766,
                 # opensearch_mapper.go:44-53): drop oversized terms from the
@@ -186,9 +200,10 @@ def make_tokenize_fn(
                 if bad.any():
                     keep = ~bad[codes]
                     dropped_postings += int((~keep).sum())
+                    sel = np.flatnonzero(keep)
                     doc, dl, tf, codes = doc[keep], dl[keep], tf[keep], codes[keep]
                     if doc.size == 0:
-                        acc_term, acc_tf = [], []
+                        acc_term, acc_tf, acc_pos = [], [], []
                         acc_docid, acc_m, acc_dl = [], [], []
                         buffered = 0
                         return None
@@ -197,11 +212,35 @@ def make_tokenize_fn(
             )
             salt = _doc_salt(doc, fan[codes])
             key = codes.astype(np.int64) * max_fanout + salt
-            order = np.lexsort((doc, key))
+            # postings are accumulated doc-major over an ASCENDING doc
+            # stream, so a STABLE sort on the group key alone yields
+            # doc-ascending order within each group — no second sort key
+            order = np.argsort(key, kind="stable")
             doc, dl, tf, key = doc[order], dl[order], tf[order], key[order]
             starts = np.concatenate(([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
             rows = codecs.encode_groups(starts, doc, tf, dl, with_blocks=True)
             ng = len(rows)
+            if with_positions:
+                # ragged gather: reorder (and filter) each posting's
+                # position slice into the sorted posting order, then one
+                # vectorized encode for the whole flush
+                tf_orig = np.asarray(acc_tf, dtype=np.int64)
+                st = np.zeros(tf_orig.size, dtype=np.int64)
+                np.cumsum(tf_orig[:-1], out=st[1:])
+                final_idx = order if sel is None else sel[order]
+                lens = tf_orig[final_idx]
+                out_starts = np.zeros(lens.size, dtype=np.int64)
+                np.cumsum(lens[:-1], out=out_starts[1:])
+                total = int(lens.sum())
+                gidx = (
+                    np.repeat(st[final_idx], lens)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(out_starts, lens)
+                )
+                pos_sorted = np.asarray(acc_pos, dtype=np.int64)[gidx]
+                pos_blobs = codecs.encode_position_groups(starts, lens, pos_sorted)
+            else:
+                pos_blobs = [b""] * ng
             out = pd.DataFrame(
                 {
                     "kind": np.ones(ng, dtype="int32"),
@@ -215,12 +254,13 @@ def make_tokenize_fn(
                     "block_min_dl": [r["block_min_dl"] for r in rows],
                     "block_offset": [r["block_offset"] for r in rows],
                     "postings": [r["postings"] for r in rows],
+                    "positions": pos_blobs,
                     "doc_id": np.full(ng, -1, dtype="int64"),
                     "url": np.full(ng, "", dtype=object),
                     "doclen": np.full(ng, -1, dtype="int32"),
                 }
             )
-            acc_term, acc_tf = [], []
+            acc_term, acc_tf, acc_pos = [], [], []
             acc_docid, acc_m, acc_dl = [], [], []
             buffered = 0
             return out
@@ -249,10 +289,23 @@ def make_tokenize_fn(
             texts = pdf["text"]
             doclens = np.zeros(n, dtype=np.int32)
             for i, (h, t) in enumerate(zip(htmls, texts)):
-                dl_i, counts = _ftc(
-                    h if isinstance(h, (bytes, bytearray)) else None,
-                    t if isinstance(t, str) else None,
-                )
+                h = h if isinstance(h, (bytes, bytearray)) else None
+                t = t if isinstance(t, str) else None
+                if with_positions:
+                    dl_i, items = _ftp(h, t)
+                    doclens[i] = dl_i
+                    if not items:
+                        continue
+                    acc_docid.append(int(doc_ids[i]))
+                    acc_m.append(len(items))
+                    acc_dl.append(dl_i)
+                    for term, tfv, ps in items:
+                        acc_term.append(term)
+                        acc_tf.append(tfv)
+                        acc_pos.extend(ps)
+                    buffered += len(items)
+                    continue
+                dl_i, counts = _ftc(h, t)
                 doclens[i] = dl_i
                 if not counts:
                     continue
@@ -282,6 +335,7 @@ def make_tokenize_fn(
                     "block_min_dl": [empty_block] * ng0,
                     "block_offset": [empty_block] * ng0,
                     "postings": [b""] * ng0,
+                    "positions": [b""] * ng0,
                     "doc_id": doc_ids,
                     "url": urls,
                     "doclen": doclens,
@@ -311,6 +365,7 @@ def make_tokenize_fn(
                     "block_min_dl": [empty_block],
                     "block_offset": [empty_block],
                     "postings": [b""],
+                    "positions": [b""],
                     "doc_id": np.array([-1], dtype="int64"),
                     "url": np.array([""], dtype=object),
                     "doclen": np.array([-1], dtype="int32"),
@@ -343,7 +398,8 @@ def _splice_merge_fn(batches):
 
     cols = (
         "term", "salt", "df", "cf", "first_doc",
-        "block_last_doc", "block_max_tf", "block_min_dl", "block_offset", "postings",
+        "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+        "postings", "positions",
     )
     parts: dict[str, list] = {c: [] for c in cols}
     for pdf in batches:
@@ -363,6 +419,7 @@ def _splice_merge_fn(batches):
     bmds = np.concatenate(parts["block_min_dl"])
     boffs = np.concatenate(parts["block_offset"])
     blobs = np.concatenate(parts["postings"])
+    posb = np.concatenate(parts["positions"])
 
     n = terms.shape[0]
     grp_starts = np.concatenate(
@@ -371,7 +428,7 @@ def _splice_merge_fn(batches):
     grp_ends = np.concatenate((grp_starts[1:], [n]))
 
     o_term, o_salt, o_df, o_cf = [], [], [], []
-    o_bld, o_bmt, o_bmd, o_boff, o_post = [], [], [], [], []
+    o_bld, o_bmt, o_bmd, o_boff, o_post, o_pos = [], [], [], [], [], []
     for s, e in zip(grp_starts, grp_ends):
         o_term.append(terms[s])
         o_salt.append(salts[s])
@@ -383,6 +440,7 @@ def _splice_merge_fn(batches):
             o_bmd.append(bmds[s])
             o_boff.append(boffs[s])
             o_post.append(bytes(blobs[s]))
+            o_pos.append(bytes(posb[s]))
             continue
         frags = [bytes(blobs[s])]
         offs_out = [np.asarray(boffs[s], dtype=np.int64)]
@@ -417,6 +475,8 @@ def _splice_merge_fn(batches):
         o_bmd.append(np.concatenate([np.asarray(x, dtype=np.int32) for x in bmds[s:e]]))
         o_boff.append(np.concatenate(offs_out))
         o_post.append(b"".join(frags))
+        # positions are doc-local gaps — plain concatenation, no patching
+        o_pos.append(b"".join(bytes(x) for x in posb[s:e]))
 
     yield pd.DataFrame(
         {
@@ -430,6 +490,7 @@ def _splice_merge_fn(batches):
             "block_min_dl": o_bmd,
             "block_offset": o_boff,
             "postings": o_post,
+            "positions": o_pos,
         }
     )
 
@@ -548,16 +609,29 @@ def build_unit(
     salt_plan: dict[str, int] | None = None,
     max_term_bytes: int | None = 32766,
     max_id_bytes: int | None = 512,
+    with_positions: bool = False,
 ) -> dict:
     """Build one work unit end-to-end and commit its manifest row.
 
     ``salt_plan``: the per-build skew plan from plan_salts_source; when None
-    (direct callers) one is computed from this unit's slice."""
+    (direct callers) one is computed from this unit's slice.
+    ``with_positions``: also store per-posting token positions (enables
+    phrase/proximity queries; ~Lucene DOCS_AND_FREQS_AND_POSITIONS vs the
+    default DOCS_AND_FREQS — costs index bytes and build CPU)."""
     src = docs_provider(unit, num_units)
     html_col = F.col("html") if "html" in src.columns else F.lit(None).cast("binary")
     version_col = F.col("version") if "version" in src.columns else F.lit(0)
+    # html is only consumed when text is NULL — prune it to NULL otherwise,
+    # BEFORE the shuffle: on web corpora this halves the bytes through the
+    # exchange, the in-partition sort, and the Arrow transfer to Python.
     ded = src.select(
-        "doc_id", "url", html_col.alias("html"), "text", version_col.alias("version")
+        "doc_id",
+        "url",
+        F.when(F.col("text").isNotNull(), F.lit(None).cast("binary"))
+        .otherwise(html_col)
+        .alias("html"),
+        "text",
+        version_col.alias("version"),
     )
     if max_id_bytes is not None:
         # doc-identity oversize guard (search_store.go:137-143: IDs > 512 B
@@ -570,21 +644,23 @@ def build_unit(
     # Range-partition by doc_id and sort within partitions by (doc_id ASC,
     # version DESC, ...): the ONE data shuffle of the build. It gives the
     # tokenize stage (a) streaming last-writer-wins dedup for free (keep
-    # first row per doc_id — same tie-break as the old Window), and (b) the
-    # splice-merge invariant: every task's partials cover a disjoint,
+    # first row per doc_id — LSN-as-version semantics, deterministic
+    # fixed-width tie-break keys instead of comparing raw blobs), and (b)
+    # the splice-merge invariant: every task's partials cover a disjoint,
     # ordered doc-id range, so segment merge never decodes postings.
     ded = ded.repartitionByRange(partitions, "doc_id").sortWithinPartitions(
         F.asc("doc_id"),
         F.desc("version"),
         F.desc(F.col("text").isNotNull()),
-        F.desc("html"),
+        F.desc(F.xxhash64("text")),
+        F.desc(F.xxhash64("html")),
     )
     # ONE tokenize pass; persist its (compressed) output — partial posting
     # blobs + int doc rows — instead of the raw corpus slice. Both the docs
     # write and the segment shuffle read from this cache, so text is
     # extracted and tokenized exactly once per document.
     combined = ded.mapInPandas(
-        make_tokenize_fn(salt_plan, max_fanout, max_term_bytes),
+        make_tokenize_fn(salt_plan, max_fanout, max_term_bytes, with_positions),
         schema=COMBINED_SCHEMA,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -607,7 +683,7 @@ def build_unit(
         partials = combined.filter(F.col("kind") == 1).select(
             "term", "salt", "df", "cf", "first_doc",
             "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
-            "postings",
+            "postings", "positions",
         )
         seg_obs = Observation()
         # Map-side combine: only compressed partial lists cross this shuffle
@@ -663,6 +739,7 @@ def build_index(
     ignore_unit_errors: bool = False,
     max_term_bytes: int | None = 32766,
     max_id_bytes: int | None = 512,
+    with_positions: bool = False,
 ) -> dict:
     """Full (resumable) build. ``units`` limits work for tests/incremental.
 
@@ -705,6 +782,7 @@ def build_index(
                     salt_plan=salt_plan,
                     max_term_bytes=max_term_bytes,
                     max_id_bytes=max_id_bytes,
+                    with_positions=with_positions,
                 )
             )
         except Exception as exc:  # noqa: BLE001 — ledger + re-raise/skip

@@ -37,7 +37,7 @@ _BIAS = np.uint64(1) << np.uint64(63)  # int64 -> order-preserving uint64
 
 def _to_unsigned(doc_ids: np.ndarray) -> np.ndarray:
     """int64 docids -> order-preserving uint64 (bias by 2^63)."""
-    return doc_ids.astype(np.int64).view(np.uint64) + _BIAS
+    return np.asarray(doc_ids, dtype=np.int64).view(np.uint64) + _BIAS
 
 
 def _to_signed(doc_u: np.ndarray) -> np.ndarray:
@@ -47,29 +47,44 @@ def _to_signed(doc_u: np.ndarray) -> np.ndarray:
 def varbyte_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """uint64 array -> (LEB128 bytes, per-value byte length).
 
-    Vectorized: computes each value's byte count from its bit length, then
-    scatters 7-bit payload groups with continuation bits in one pass per
-    byte position (max 10 positions for 64-bit values).
+    Bandwidth-tuned (the encode runs 32-way concurrent inside the build's
+    tokenize stage, where full-array passes hit the DRAM wall):
+    - byte lengths via SHRINKING index subsets — a value needs k+1 bytes
+      iff v >= 2^(7k), and almost all values (gaps/tf/dl) are 1-3 bytes,
+      so later thresholds only touch the few survivors (~1.3 full passes
+      total instead of 9);
+    - output scattered per byte-LENGTH BUCKET: each bucket writes exactly
+      its own bytes (sum k*|bucket_k| = total output bytes — optimal);
+    - np.empty instead of zeroed allocations (every byte is written).
     """
-    v = values.astype(np.uint64, copy=False)
+    v = values if values.dtype == np.uint64 else values.astype(np.uint64)
     n = v.shape[0]
     if n == 0:
         return b"", np.zeros(0, dtype=np.int64)
-    # byte length = ceil(bitlen/7): 9 vectorized threshold compares (a
-    # value needs k+1 LEB128 bytes iff v >= 2^(7k)), no data-dependent loop
-    nbytes = np.ones(n, dtype=np.int64)
-    for k in range(1, 10):
-        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    nbytes = np.ones(n, dtype=np.int8)  # max 10 — int8 halves the passes' bytes
+    alive = np.flatnonzero(v >= np.uint64(128))
+    k = 1
+    while alive.size:
+        nbytes[alive] += 1
+        k += 1
+        if k >= 10:
+            break
+        alive = alive[v[alive] >= (np.uint64(1) << np.uint64(7 * k))]
     offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(nbytes[:-1], out=offsets[1:])
+    np.cumsum(nbytes[:-1], dtype=np.int64, out=offsets[1:])
     total = int(offsets[-1] + nbytes[-1])
-    out = np.zeros(total, dtype=np.uint8)
-    max_b = int(nbytes.max())
-    for j in range(max_b):
-        mask = nbytes > j
-        payload = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
-        out[offsets[mask] + j] = payload.astype(np.uint8) | cont
+    out = np.empty(total, dtype=np.uint8)
+    for k in range(1, int(nbytes.max()) + 1):
+        idx = np.flatnonzero(nbytes == k)
+        if idx.size == 0:
+            continue
+        vals = v[idx]
+        offs = offsets[idx]
+        for j in range(k):
+            payload = ((vals >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+            if j < k - 1:
+                payload |= np.uint8(0x80)
+            out[offs + j] = payload
     return out.tobytes(), nbytes
 
 
@@ -121,7 +136,7 @@ def encode_postings(
     blob, nbytes = varbyte_encode(stream)
     # block boundaries every BLOCK postings
     nblocks = (n + BLOCK - 1) // BLOCK if n else 0
-    byte_ends = np.cumsum(nbytes)
+    byte_ends = np.cumsum(nbytes, dtype=np.int64)  # nbytes is int8 — upcast
     block_starts = np.arange(nblocks) * BLOCK
     block_ends = np.minimum(block_starts + BLOCK, n) - 1
     block_offset = np.zeros(nblocks, dtype=np.int64)
@@ -169,21 +184,26 @@ def encode_groups(
     group_ends = np.concatenate((g[1:], [n]))
     sizes = group_ends - g
 
-    doc_u = _to_unsigned(doc_ids.astype(np.int64))
+    doc_u = _to_unsigned(doc_ids)
     gaps = np.empty(n, dtype=np.uint64)
     gaps[0] = doc_u[0]
     gaps[1:] = doc_u[1:] - doc_u[:-1]
     gaps[g] = doc_u[g]  # reset delta chain at every group start
 
-    stream = np.empty(3 * n, dtype=np.uint64)
-    stream[0::3] = gaps
-    stream[1::3] = tfs.astype(np.uint64)
-    stream[2::3] = doclens.astype(np.uint64)
+    # (n, 3) row-major view == interleaved [gap, tf, dl] stream; column
+    # assignment casts in place — no intermediate astype copies
+    stream2 = np.empty((n, 3), dtype=np.uint64)
+    stream2[:, 0] = gaps
+    stream2[:, 1] = tfs
+    stream2[:, 2] = doclens
+    stream = stream2.reshape(-1)
     blob, nbytes = varbyte_encode(stream)
     byte_start = np.zeros(3 * n + 1, dtype=np.int64)
     np.cumsum(nbytes, out=byte_start[1:])  # byte_start[i] = offset of value i
 
-    cf = np.add.reduceat(tfs.astype(np.int64), g)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doclens = np.asarray(doclens, dtype=np.int64)
+    cf = np.add.reduceat(tfs, g)
     mv = memoryview(blob)
     glo = byte_start[3 * g]
     ghi = np.concatenate((glo[1:], [byte_start[3 * n]]))
@@ -208,8 +228,8 @@ def encode_groups(
     blk_start = g[blk_group] + blk_j * BLOCK
     blk_end = np.minimum(blk_start + BLOCK, group_ends[blk_group]) - 1
 
-    blk_max_tf = np.maximum.reduceat(tfs.astype(np.int64), blk_start).astype(np.int32)
-    blk_min_dl = np.minimum.reduceat(doclens.astype(np.int64), blk_start).astype(np.int32)
+    blk_max_tf = np.maximum.reduceat(tfs, blk_start).astype(np.int32)
+    blk_min_dl = np.minimum.reduceat(doclens, blk_start).astype(np.int32)
     blk_last_doc = doc_ids[blk_end].astype(np.int64)
     # byte offset of each block, relative to its group's blob start
     blk_offset = (byte_start[3 * blk_start] - byte_start[3 * g[blk_group]]).astype(np.int64)
@@ -265,6 +285,59 @@ def decode_block(
         gaps[0] += _to_unsigned(np.array([prev_last_doc], dtype=np.int64))[0]
     doc_u = np.cumsum(gaps, dtype=np.uint64)
     return _to_signed(doc_u), stream[1::3].astype(np.int64), stream[2::3].astype(np.int64)
+
+
+def encode_position_groups(
+    group_starts: np.ndarray, tfs: np.ndarray, pos_flat: np.ndarray
+) -> list[bytes]:
+    """Encode per-posting position lists for MANY (term, salt) groups.
+
+    ``group_starts``: posting-index start of each group (sorted order);
+    ``tfs``: per-posting position counts, posting order; ``pos_flat``: all
+    positions concatenated in the same posting order (ascending within a
+    posting). Wire format per posting: tf varints — first absolute token
+    index, then gaps; self-delimiting given tf from the main stream.
+
+    Positions are DOC-LOCAL, so splice merges concatenate these blobs
+    verbatim (no patching). One vectorized varbyte pass for the whole
+    partition; per-group blobs sliced by byte offsets.
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n_post = tfs.size
+    if n_post == 0 or pos_flat.size == 0:
+        return [b"" for _ in range(len(group_starts))]
+    val_starts = np.zeros(n_post, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=val_starts[1:])
+    pos_u = np.asarray(pos_flat, dtype=np.int64).view(np.uint64)
+    gaps = np.empty(pos_u.size, dtype=np.uint64)
+    gaps[0] = pos_u[0]
+    gaps[1:] = pos_u[1:] - pos_u[:-1]
+    gaps[val_starts] = pos_u[val_starts]  # reset delta chain per posting
+    blob, nbytes = varbyte_encode(gaps)
+    byte_start = np.zeros(pos_u.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, dtype=np.int64, out=byte_start[1:])
+    g = np.asarray(group_starts, dtype=np.int64)
+    # first position-value index of each group
+    gv = np.concatenate((val_starts, [pos_u.size]))[g]
+    glo = byte_start[gv]
+    ghi = np.concatenate((glo[1:], [byte_start[-1]]))
+    mv = memoryview(blob)
+    return [bytes(mv[int(a) : int(b)]) for a, b in zip(glo, ghi)]
+
+
+def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Positions blob + per-posting tf counts -> flat int64 position array
+    (posting-major, ascending within each posting)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    gaps = varbyte_decode(blob, count=total)
+    val_starts = np.zeros(tfs.size, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=val_starts[1:])
+    c = np.cumsum(gaps, dtype=np.uint64)
+    base = c[val_starts] - gaps[val_starts]
+    return (c - np.repeat(base, tfs)).astype(np.int64)
 
 
 def varint_one(value: int) -> bytes:

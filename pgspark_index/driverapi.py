@@ -18,7 +18,18 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import ann, build, dedup, manifest, merge, multimodal, query, textops
+from . import (
+    ann,
+    build,
+    dedup,
+    manifest,
+    merge,
+    multimodal,
+    query,
+    tablefilter,
+    textops,
+    transformers,
+)
 
 # --------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect)
@@ -54,7 +65,8 @@ def docs_index(spark: SparkSession, sf_dir: str) -> str:
     idx = tempfile.mkdtemp(prefix="pgspark_docs_index_")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     provider = build.docs_unit_provider(docs)
-    build.build_index(spark, provider, idx, num_units=2, partitions=8)
+    build.build_index(spark, provider, idx, num_units=2, partitions=8,
+                      with_positions=True)
     merge.merge_index(spark, idx)
     _INDEX_CACHE[key] = idx
     return idx
@@ -86,23 +98,35 @@ BM25_HEAD_TERMS = ["data", "query", "fast"]
 BM25_TAIL_TERMS = ["vector", "stream"]
 
 
-def bm25_sql(terms: list[str], k: int = 10) -> str:
-    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+def bm25_sql(
+    terms: list[str],
+    k: int = 10,
+    require_all: bool = False,
+    doc_filter_cte: str | None = None,
+) -> str:
+    """BM25 top-k oracle. ``require_all`` = conjunctive (every term);
+    ``doc_filter_cte`` = SQL for a `match(doc_id)` CTE restricting the
+    scored docs (metadata filters, phrase matches)."""
+    uniq = sorted(set(terms))
+    tlist = ", ".join(f"'{t}'" for t in uniq)
+    match_cte = f",\nmatch AS ({doc_filter_cte})" if doc_filter_cte else ""
+    match_join = "JOIN match USING (doc_id)" if doc_filter_cte else ""
+    having = f"HAVING count(*) = {len(uniq)}" if require_all else ""
     return f"""
 WITH {TOK_CTE},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
 st AS (SELECT (SELECT count(*) FROM documents) AS n,
               (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
-df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1){match_cte},
 contrib AS (
   SELECT tf.doc_id,
          ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
            * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
-  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) {match_join} CROSS JOIN st
   WHERE tf.term IN ({tlist})
 ),
-scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id {having})
 SELECT doc_id, round(score, 4) AS score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
@@ -132,6 +156,49 @@ def _registry() -> dict[str, tuple]:
         _bm25_query(BM25_HEAD_TERMS, strategy="bmw"),
         bm25_sql(BM25_HEAD_TERMS),
     )
+
+    # boolean AND (conjunctive intersection inside the scorer)
+    def bm25_conjunctive(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.search(spark, idx, ["data", "query", "fast"], 10, mode="and")
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_conjunctive"] = (
+        bm25_conjunctive,
+        bm25_sql(["data", "query", "fast"], require_all=True),
+    )
+
+    # metadata pre-filter (lang = 'de') applied via distributed semi-join
+    def bm25_filtered(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        flt = _documents(spark, sf_dir).filter(F.col("lang") == "de").select("doc_id")
+        res = query.search(spark, idx, ["data", "query", "fast"], 10, filter_df=flt)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_filtered"] = (
+        bm25_filtered,
+        bm25_sql(
+            ["data", "query", "fast"],
+            doc_filter_cte="SELECT doc_id FROM documents WHERE lang = 'de'",
+        ),
+    )
+
+    # exact phrase over the positional index (match_phrase analog)
+    PHRASE = ["table", "hash"]
+
+    def bm25_phrase(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.search_phrase(spark, idx, PHRASE, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    _phrase_cte = (
+        "SELECT doc_id FROM "
+        "(SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents) "
+        "WHERE len(toks) >= 2 AND list_contains("
+        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]), "
+        f"'{' '.join(PHRASE)}')"
+    )
+    R["bm25_phrase"] = (bm25_phrase, bm25_sql(PHRASE, doc_filter_cte=_phrase_cte))
 
     def index_doc_stats(spark, sf_dir):
         idx = docs_index(spark, sf_dir)
@@ -206,6 +273,64 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
 SELECT doc_id, source FROM documents
 WHERE (source IN ('src2', 'src3') OR source LIKE 'src1%')
   AND source NOT IN ('src3', 'src12')
+""",
+    )
+
+    # ---- transformer rule map (SURVEY §2.11) ----
+    def transform_rules(spark, sf_dir):
+        d = _documents(spark, sf_dir).withColumn(
+            "email", F.concat_ws("@", F.col("source"), F.lit("example.com"))
+        )
+        rules = {
+            "source": {"type": "masking", "keep_first": 2, "keep_last": 2},
+            "lang": {"type": "template", "fmt": "%s/%s", "cols": ["source", "lang"]},
+            "email": {"type": "hash_email"},
+            "text": {"type": "hash_int"},
+        }
+        out = transformers.apply_rules(d, rules)
+        return out.select(
+            "doc_id",
+            F.col("source").alias("source_masked"),
+            F.col("lang").alias("source_lang"),
+            F.col("email").alias("email_hashed"),
+            F.col("text").alias("text_hash"),
+        )
+
+    R["transform_rules"] = (
+        transform_rules,
+        """
+SELECT doc_id,
+       CASE WHEN strlen(source) <= 4 THEN repeat('*', strlen(source))
+            ELSE substr(source, 1, 2) || repeat('*', strlen(source) - 4)
+                 || substr(source, strlen(source) - 1, 2) END AS source_masked,
+       printf('%s/%s', source, lang) AS source_lang,
+       substr(md5(source), 1, 12) || '@example.com' AS email_hashed,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT AS text_hash
+FROM documents
+""",
+    )
+
+    # ---- wildcard table filter engine (SURVEY §2.3) ----
+    def filter_wildcard(spark, sf_dir):
+        rel = _documents(spark, sf_dir).select(
+            "doc_id", F.col("source").alias("schema"), F.col("lang").alias("tbl")
+        )
+        cfg = tablefilter.FilterConfig(
+            include=["src1.*", "src2.en", "src5.de"],
+            exclude=["src1.fr"],
+            schema_only=["src4"],
+        )
+        return rel.filter(tablefilter.allowed_expr(cfg, "schema", "tbl"))
+
+    R["filter_wildcard"] = (
+        filter_wildcard,
+        """
+SELECT doc_id, source AS schema, lang AS tbl FROM documents
+WHERE CASE WHEN source = 'src1' AND lang = 'fr' THEN FALSE
+           WHEN (source = 'src2' AND lang = 'en') OR (source = 'src5' AND lang = 'de') THEN TRUE
+           WHEN source = 'src4' THEN FALSE
+           WHEN source = 'src1' THEN TRUE
+           ELSE FALSE END
 """,
     )
 

@@ -231,6 +231,13 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
                 if not keep.any():
                     continue
                 enc = codecs.encode_postings(doc[keep], tf[keep], dl[keep])
+                positions = b""
+                if isinstance(r.positions, (bytes, bytearray)) and len(r.positions):
+                    pos = codecs.decode_positions(r.positions, tf)
+                    pos_keep = np.repeat(keep, tf)
+                    positions = codecs.encode_position_groups(
+                        np.array([0]), tf[keep], pos[pos_keep]
+                    )[0]
                 out.append(
                     {
                         "Index": 0,
@@ -244,6 +251,7 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
                         "block_min_dl": enc["block_min_dl"].tolist(),
                         "block_offset": enc["block_offset"].tolist(),
                         "postings": enc["postings"],
+                        "positions": positions,
                     }
                 )
             pdf_out = pd.DataFrame(out)

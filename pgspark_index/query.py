@@ -80,6 +80,7 @@ def _term_idfs(spark: SparkSession, index_dir: str, terms: list[str], n_docs: in
 
 
 def _rows_to_lists(pdf, idfs: dict[str, float]) -> list[dict]:
+    with_pos = "positions" in pdf.columns
     return [
         {
             "term": r.term,
@@ -90,6 +91,7 @@ def _rows_to_lists(pdf, idfs: dict[str, float]) -> list[dict]:
             "block_max_tf": r.block_max_tf,
             "block_min_dl": r.block_min_dl,
             "block_offset": r.block_offset,
+            **({"positions": r.positions} if with_pos else {}),
         }
         for r in pdf.itertuples()
     ]
@@ -101,17 +103,36 @@ def search(
     terms: list[str],
     k: int = 10,
     strategy: str = "maxscore",
+    mode: str = "or",
+    filter_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k BM25 -> DataFrame(doc_id, score), (score DESC, doc_id ASC)."""
+    """Top-k BM25 -> DataFrame(doc_id, score), (score DESC, doc_id ASC).
+
+    ``mode``: "or" (default — any query term) or "and" (conjunctive: docs
+    must contain every term; the reference's search traffic shape via the
+    OpenSearch bool/must DSL).
+    ``filter_df``: optional DataFrame with a doc_id column — a metadata
+    pre-filter (e.g. docs.filter(lang = 'en')). Implemented scale-first:
+    units emit ALL their scored docs, one distributed semi-join applies the
+    filter, then TakeOrderedAndProject takes the global top-k — no doc-id
+    collect to the driver, no literal IN lists.
+
+    Between an incremental delta and the next compaction, global stats
+    still count superseded doc versions (Lucene deleted-docs semantics);
+    tombstoned docs are excluded from results either way."""
     stats = merge.load_stats(index_dir)
     terms = sorted(set(terms))
     idfs = _term_idfs(spark, index_dir, terms, stats["n_docs"])
     present = sorted(idfs)
-    if not present:
+    if not present or (mode == "and" and len(present) < len(terms)):
         return spark.createDataFrame([], RESULT_SCHEMA)
     avgdl = float(stats["avgdl"])
-    scorer = wand.STRATEGIES[strategy]
+    scorer = wand.score_conjunctive if mode == "and" else wand.STRATEGIES[strategy]
     excluder = _tombstone_excluder(index_dir)
+    # with a metadata filter, per-unit top-k pruning is unsafe (the filter
+    # may remove arbitrarily many of a unit's best docs) — score everything
+    # that matches, filter distributively, then take the global top-k
+    unit_k = stats["n_docs"] if filter_df is not None else k
 
     seg = (
         spark.read.parquet(segments_path(index_dir))
@@ -126,8 +147,56 @@ def search(
         import pandas as pd
 
         docs, scores = scorer(
-            _rows_to_lists(pdf, idfs), avgdl, k, exclude=excluder(key[0])
+            _rows_to_lists(pdf, idfs), avgdl, unit_k, exclude=excluder(key[0])
         )
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    per_unit = seg.groupBy("unit").applyInPandas(score_unit, schema=RESULT_SCHEMA)
+    if filter_df is not None:
+        per_unit = per_unit.join(filter_df.select("doc_id"), "doc_id", "left_semi")
+    return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase top-k (requires an index built with_positions=True).
+
+    Matches docs where the phrase's tokens occur consecutively (token
+    positions p, p+1, ..., the Lucene match_phrase semantics the reference
+    gets from its OpenSearch text fields, opensearch_mapper.go:17-68);
+    matching docs are ranked by BM25 over the phrase's distinct terms.
+    -> DataFrame(doc_id, score), (score DESC, doc_id ASC)."""
+    stats = merge.load_stats(index_dir)
+    uniq_terms = sorted(set(phrase))
+    idfs = _term_idfs(spark, index_dir, uniq_terms, stats["n_docs"])
+    if len(idfs) < len(uniq_terms) or not phrase:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    avgdl = float(stats["avgdl"])
+    excluder = _tombstone_excluder(index_dir)
+    phrase_order = list(phrase)
+
+    seg = (
+        spark.read.parquet(segments_path(index_dir))
+        .filter(F.col("term").isin(uniq_terms))
+        .select(
+            "unit", "term", "df", "postings", "positions",
+            "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+        )
+    )
+
+    def score_unit(key, pdf):
+        import pandas as pd
+
+        lists = _rows_to_lists(pdf, idfs)
+        by_term: dict[str, list[dict]] = {}
+        for lst in lists:
+            by_term.setdefault(lst["term"], []).append(lst)
+        slot_lists = [by_term.get(t, []) for t in phrase_order]
+        docs, scores = wand.score_phrase(slot_lists, avgdl, k, exclude=excluder(key[0]))
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     per_unit = seg.groupBy("unit").applyInPandas(score_unit, schema=RESULT_SCHEMA)

@@ -124,3 +124,33 @@ def fast_token_counts(
         t = t.replace("\x00", "")
     toks = TOKEN_RE.findall(t)
     return len(toks), list(Counter(toks).items())
+
+
+def fast_token_positions(
+    html_bytes: bytes | None, text: str | None
+) -> tuple[int, list[tuple[str, int, list[int]]]]:
+    """Positional variant of fast_token_counts:
+    -> (doclen, [(term, tf, ascending 0-based token positions)]).
+
+    Same normalization shortcuts as fast_token_counts (token-stream
+    equivalent to the slow path); positions are token indices in the
+    normalized stream — the coordinates phrase/proximity queries match on
+    (Lucene text-field position semantics)."""
+    if text is not None:
+        t = text
+    elif html_bytes is not None:
+        t = strip_html(html_bytes)
+    else:
+        return 0, []
+    t = unicodedata.normalize("NFKC", t).lower()
+    if "\x00" in t:
+        t = t.replace("\x00", "")
+    toks = TOKEN_RE.findall(t)
+    d: dict[str, list[int]] = {}
+    for i, tok in enumerate(toks):
+        ps = d.get(tok)
+        if ps is None:
+            d[tok] = [i]
+        else:
+            ps.append(i)
+    return len(toks), [(tok, len(ps), ps) for tok, ps in d.items()]

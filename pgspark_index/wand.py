@@ -329,6 +329,115 @@ def score_bmw(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray | Non
     return doc_ids, scores
 
 
+def score_conjunctive(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray | None = None):
+    """AND semantics: only docs containing EVERY distinct query term score.
+
+    Candidate set = intersection of the per-term doc sets (salted lists of
+    one term are doc-disjoint, so their concatenation sorts to the term's
+    doc set); surviving docs are then scored exactly like the OR path —
+    per-term contributions summed in sorted term order (bit-exact vs the
+    SQL oracle's HAVING count(distinct term) = n form)."""
+    if not lists:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    ranks = _term_ranks(lists)
+    decoded = []
+    term_docs: dict[str, list] = {}
+    for lst in lists:
+        doc, contrib = _decoded_contribs(lst, avgdl, exclude)
+        decoded.append((doc, contrib, ranks[lst["term"]]))
+        term_docs.setdefault(lst["term"], []).append(doc)
+    cand = None
+    for docs in term_docs.values():
+        u = np.sort(np.concatenate(docs)) if len(docs) > 1 else docs[0]
+        cand = u if cand is None else cand[_member_mask(u, cand)]
+        if cand.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    all_docs, all_contribs, all_tranks = [], [], []
+    for doc, contrib, trank in decoded:
+        mask = _member_mask(cand, doc)
+        all_docs.append(doc[mask])
+        all_contribs.append(contrib[mask])
+        all_tranks.append(np.full(int(mask.sum()), trank, dtype=np.int32))
+    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+
+
+def score_phrase(
+    slot_lists: list[list[dict]], avgdl: float, k: int, exclude: np.ndarray | None = None
+):
+    """Exact-phrase top-k over positional lists (one slot per phrase word).
+
+    Match = docs where slot i+1 has a position exactly one past some slot-i
+    position (chained vectorized membership over doc-indexed position
+    keys). Matching docs are BM25-scored over the phrase's DISTINCT terms
+    in sorted term order (bit-exact vs the SQL n-gram oracle)."""
+    from . import codecs
+
+    if not slot_lists or any(not ls for ls in slot_lists):
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+
+    def slot_doc_pos(lists):
+        docs_l, pos_l = [], []
+        for lst in lists:
+            doc, tf, _dl = codecs.decode_postings(lst["postings"], lst["df"])
+            pos = codecs.decode_positions(lst["positions"], tf)
+            docs_l.append(np.repeat(doc, tf))
+            pos_l.append(pos)
+        d = np.concatenate(docs_l)
+        p = np.concatenate(pos_l)
+        return d, p
+
+    slots = [slot_doc_pos(ls) for ls in slot_lists]
+    # candidate docs: in every slot's doc set (and not tombstoned)
+    cand = None
+    for d, _ in slots:
+        u = np.unique(d)
+        cand = u if cand is None else cand[_member_mask(u, cand)]
+        if cand.size == 0:
+            break
+    if exclude is not None and cand is not None and cand.size and exclude.size:
+        cand = cand[~_member_mask(exclude, cand)]
+    if cand is None or cand.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+
+    # chain: survivors are (doc_index, position) keys; slot i+1 must contain
+    # key+1. doc_index (not raw 64-bit doc id) keeps the packing exact.
+    def keys_of(d, p):
+        idx = np.searchsorted(cand, d)
+        idx = np.minimum(idx, cand.size - 1)
+        m = cand[idx] == d
+        return np.sort(idx[m].astype(np.int64) * (np.int64(1) << np.int64(32)) + p[m])
+
+    survivors = keys_of(*slots[0])
+    for d, p in slots[1:]:
+        nxt = keys_of(d, p)
+        survivors = survivors + 1
+        survivors = survivors[_member_mask(nxt, survivors)]
+        if survivors.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    matched = cand[np.unique(survivors >> np.int64(32))]
+
+    # score matched docs over the phrase's DISTINCT lists (repeated phrase
+    # words share the same row objects — dedup by identity)
+    seen_ids, uniq = set(), []
+    for ls in slot_lists:
+        for lst in ls:
+            if id(lst) not in seen_ids:
+                seen_ids.add(id(lst))
+                uniq.append(lst)
+    ranks = _term_ranks(uniq)
+    all_docs, all_contribs, all_tranks = [], [], []
+    for lst in uniq:
+        doc, contrib = _decoded_contribs(lst, avgdl, None)
+        mask = _member_mask(matched, doc)
+        all_docs.append(doc[mask])
+        all_contribs.append(contrib[mask])
+        all_tranks.append(np.full(int(mask.sum()), ranks[lst["term"]], dtype=np.int32))
+    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+
+
+# OR-semantics strategies (all return identical results — property-tested);
+# score_conjunctive/score_phrase are separate entry points with different
+# match semantics.
 STRATEGIES = {
     "exhaustive": score_exhaustive,
     "maxscore": score_maxscore,

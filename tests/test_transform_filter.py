@@ -1,0 +1,113 @@
+"""Transformer rule map + wildcard table filter engine (pure rule logic
+plus the Spark expression form)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgspark_index import tablefilter, transformers
+from pgspark_index.tablefilter import FilterConfig, find_tables, table_allowed
+
+
+def test_table_filter_precedence():
+    cfg = FilterConfig(
+        include=["app.users", "app.*", "logs.events"],
+        exclude=["app.secrets", "tmp.*"],
+        schema_only=["meta"],
+    )
+    assert table_allowed(cfg, "app", "users")          # exact include
+    assert table_allowed(cfg, "app", "orders")         # wildcard include
+    assert not table_allowed(cfg, "app", "secrets")    # exclude beats include
+    assert not table_allowed(cfg, "tmp", "anything")   # schema exclude
+    assert table_allowed(cfg, "logs", "events")        # exact include
+    assert not table_allowed(cfg, "logs", "other")     # not included
+    assert not table_allowed(cfg, "meta", "tables")    # schema-only: no data
+
+    # exact include OVERRIDES schema-only (reference precedence)
+    cfg2 = FilterConfig(include=["meta.pins"], schema_only=["meta"])
+    assert table_allowed(cfg2, "meta", "pins")
+    assert not table_allowed(cfg2, "meta", "other")
+
+    # *.* include
+    cfg3 = FilterConfig(include=["*.*"], exclude=["x.y"])
+    assert table_allowed(cfg3, "a", "b")
+    assert not table_allowed(cfg3, "x", "y")
+
+    # no include list at all -> default allow
+    cfg4 = FilterConfig(exclude=["a.b"])
+    assert table_allowed(cfg4, "q", "r")
+    assert not table_allowed(cfg4, "a", "b")
+
+
+def test_filter_expr_matches_python(spark):
+    cfg = FilterConfig(
+        include=["app.users", "app.*", "logs.events"],
+        exclude=["app.secrets", "tmp.*"],
+        schema_only=["meta"],
+    )
+    rows = [
+        (s, t)
+        for s in ("app", "logs", "tmp", "meta", "other")
+        for t in ("users", "secrets", "events", "pins", "x")
+    ]
+    df = spark.createDataFrame(rows, "schema string, table string")
+    got = {
+        (r["schema"], r["table"])
+        for r in tablefilter.filter_tables(df, cfg).collect()
+    }
+    want = {(s, t) for s, t in rows if table_allowed(cfg, s, t)}
+    assert got == want
+
+
+def test_find_tables_wildcards():
+    cat = [("app", "users"), ("app", "orders"), ("logs", "events"), ("tmp", "x")]
+    assert find_tables(cat, ["app.*"]) == [("app", "orders"), ("app", "users")]
+    assert find_tables(cat, ["*.*"]) == sorted(cat)
+    assert find_tables(cat, ["logs.events", "app.users"]) == [
+        ("app", "users"), ("logs", "events")
+    ]
+    assert find_tables(cat, ["nope.*"]) == []
+
+
+def test_transformers_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "alice", "alice@corp.io", "Hello  World\x00!"),
+         (2, "bo", "bo@x.y", "t"),
+         (3, "charlie", "charlie@corp.io", "Hello  World\x00!")],
+        "id long, name string, email string, note string",
+    )
+    rules = {
+        "name": {"type": "masking", "keep_first": 1, "keep_last": 1},
+        "email": {"type": "hash_email"},
+        "note": {"type": "normalize_text"},
+        "id": {"type": "hash_int"},
+    }
+    out = {r["id"]: r for r in transformers.apply_rules(df, rules)
+           .withColumn("orig", F.lit(None)).collect()}
+    import hashlib
+
+    assert out[list(out)[0]]["name"].count("*") >= 1
+    a = [r for r in out.values() if r["email"].endswith("@corp.io")]
+    assert len(a) == 2 and a[0]["email"] != a[1]["email"]
+    assert a[0]["email"].split("@")[0] == hashlib.md5(b"alice").hexdigest()[:12] or \
+           a[1]["email"].split("@")[0] == hashlib.md5(b"alice").hexdigest()[:12]
+    notes = [r["note"] for r in out.values() if len(r["note"]) > 2]
+    assert all(n == "hello world!" for n in notes)
+    # deterministic: same input -> same output
+    out2 = {r["id"]: r for r in transformers.apply_rules(df, rules).collect()}
+    for k in out:
+        assert out[k]["email"] == out2[k]["email"]
+
+
+def test_apply_rules_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    with pytest.raises(ValueError, match="missing column"):
+        transformers.apply_rules(df, {"nope": {"type": "masking"}})
+    with pytest.raises(ValueError, match="unknown transformer"):
+        transformers.apply_rules(df, {"v": {"type": "wat"}})
+    # relaxed mode skips
+    out = transformers.apply_rules(
+        df, {"nope": {"type": "masking"}, "v": {"type": "wat"}}, validation="relaxed"
+    )
+    assert out.collect() == df.collect()
