@@ -754,6 +754,8 @@ def build_index(
     the next resume; with ``ignore_unit_errors`` the build continues past
     it, DATALOSS-logged (the reference's ignore_send_errors knob,
     wal_batch_sender.go:281-283,353-367)."""
+    from . import fields
+
     docs_provider = source if callable(source) else webtext_unit_provider(source)
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     requested = list(range(num_units)) if units is None else list(units)
@@ -761,6 +763,13 @@ def build_index(
     if resume:
         done = manifest.completed_units(index_dir, input_snapshot_id)
         todo = [u for u in requested if u not in done]
+    # schema-first: the typed field mapping is committed BEFORE any data
+    # segment (the reference creates the index mapping before bulk writes,
+    # search_store.go:203-229) so every segment is readable under a known
+    # schema version
+    if todo and fields.read_mapping(index_dir) is None:
+        src_df = source if not callable(source) else source(0, 1)
+        fields.write_mapping(index_dir, fields.mapping_for(src_df))
     salt_plan = plan_salts_source(
         source, num_units, sample_fraction, salt_target, max_fanout
     ) if todo else {}

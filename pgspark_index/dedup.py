@@ -228,44 +228,54 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    block_cols: tuple = ("source", "lang"),
+    candidates: DataFrame | None = None,
     min_jaccard: float = 0.2,
+    num_hashes: int = 16,
+    rows_per_band: int = 8,
 ) -> DataFrame:
-    """Blocked pairwise token-set Jaccard: pairs inside the same block
-    (default (source, lang)) with J >= threshold.
-    -> (doc_a, doc_b, jaccard rounded 4).
+    """Exact token-set Jaccard as a VERIFIER over candidate pairs.
 
-    Blocking bounds the quadratic term: the self-join is per block, so the
-    shuffle key is the block and pair generation never crosses blocks —
-    the standard scale pattern for pairwise similarity."""
+    ``candidates``: (doc_a, doc_b) DataFrame — defaults to the MinHash-LSH
+    bucket pairs (the scale path: candidate generation is the banded LSH
+    self-equi-join, never an all-pairs self-join; this stage only joins
+    token sets onto the candidate pairs, so its cost is
+    O(|candidates| x avg tokens), linear in the corpus for a fixed dup
+    rate). -> (doc_a, doc_b, jaccard rounded 4) with J >= threshold.
+    """
+    if candidates is None:
+        candidates = minhash_lsh_pairs(
+            docs, id_col, text_col, num_hashes=num_hashes, rows_per_band=rows_per_band
+        )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in block_cols],
         F.array_distinct(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
         ).alias("toks"),
-    ).withColumn("n", F.size("toks"))
-    ex = toks.select("doc_id", *block_cols, "n", F.explode("toks").alias("term"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    cond = (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    )
+    sizes = toks.select("doc_id", F.size("toks").alias("n"))
+    ex = toks.select("doc_id", F.explode("toks").alias("term"))
+    # pair-scoped intersection: candidates x tokens(doc_a) joined to
+    # tokens(doc_b) on (doc, term) — shuffle keys are doc ids/terms, never
+    # a block-wide cross product
     inter = (
-        a.join(b, cond)
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
+        candidates.join(ex.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            ex.alias("tb"),
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.term") == F.col("ta.term")),
         )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        inter.withColumn(
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .withColumn(
             "jaccard",
             F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+                F.col("inter")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
+                4,
             ),
         )
         .filter(F.col("jaccard") >= min_jaccard)
@@ -273,17 +283,118 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup PAIRING stage: signatures alone don't deduplicate —
+    candidates are docs sharing at least one of ``bands`` signature bands
+    (pigeonhole: any pair within Hamming distance < bands shares a band),
+    verified by exact popcount(xor) <= max_hamming.
+    -> (doc_a, doc_b, hamming) distinct, doc_a < doc_b.
+
+    Pure JVM expressions; the only joins are the banded self-equi-join
+    (bucketed, like MinHash-LSH) and integer xor/bit_count on the pairs."""
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    sig = simhash(docs, id_col, text_col, bits)
+    band_bits = bits // bands
+    spark = docs.sparkSession
+    bands_df = spark.createDataFrame(
+        [(b, 2 ** (b * band_bits), 2 ** band_bits) for b in range(bands)],
+        "band int, shift long, width long",
+    )
+    banded = sig.crossJoin(F.broadcast(bands_df)).select(
+        "doc_id",
+        "simhash",
+        "band",
+        (F.expr("simhash div shift") % F.col("width")).alias("band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_lsh_candidates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 3,
+    bits: int = 6,
+) -> DataFrame:
+    """Sign-LSH candidate pairs: vectors sharing a bucket in ANY of
+    ``num_tables`` hyperplane tables. -> (id_a, id_b) distinct.
+
+    The bucket join is per (table, bucket) — bucket population ~n/2^bits,
+    so pair generation is n^2/2^bits per table, tunable to linear."""
+    from .ann import bucket_of, plane_weights
+
+    spark = embeddings.sparkSession
+    dims = embeddings.select(F.size(vec_col)).first()[0]
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    buckets = []
+    for t in range(num_tables):
+        planes = plane_weights(spark, bits, dims, table=t)
+        buckets.append(
+            e.select(
+                "id",
+                F.lit(t).alias("tbl"),
+                bucket_of(F.col("v"), planes).alias("bucket"),
+            )
+        )
+    allb = buckets[0]
+    for b in buckets[1:]:
+        allb = allb.unionByName(b)
+    a, b = allb.alias("a"), allb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
     threshold: float = 0.95,
+    candidates: DataFrame | None = None,
+    num_tables: int = 3,
+    bits: int = 6,
 ) -> DataFrame:
-    """Near-duplicate vectors by cosine >= threshold, blocked (default by
-    label) to bound the pairwise join. Dot/norm via F.aggregate — sequential
-    left-to-right float64 fold, reproducible in the SQL oracle.
-    -> (id_a, id_b, cos rounded 4)."""
+    """Embedding near-duplicates: exact cosine VERIFICATION over LSH
+    candidate pairs (never an all-pairs self-join — round-1's label-blocked
+    form was quadratic on any dominant block). Dot/norm via F.aggregate —
+    sequential left-to-right float64 fold, reproducible in the SQL oracle.
+    -> (id_a, id_b, cos rounded 4) with cos >= threshold."""
 
     def dot(u, v):
         return F.aggregate(
@@ -293,19 +404,20 @@ def embedding_near_dup_pairs(
         )
 
     norm = lambda u: F.sqrt(dot(u, u))  # noqa: E731
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
-    )
-    a, b = e.alias("a"), e.alias("b")
+    if candidates is None:
+        candidates = embedding_lsh_candidates(
+            embeddings, id_col, vec_col, num_tables, bits
+        )
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        candidates.join(e.alias("ea"), F.col("ea.id") == F.col("id_a"))
+        .join(e.alias("eb"), F.col("eb.id") == F.col("id_b"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(
-                dot(F.col("a.v"), F.col("b.v")) / (norm(F.col("a.v")) * norm(F.col("b.v"))),
+                dot(F.col("ea.v"), F.col("eb.v"))
+                / (norm(F.col("ea.v")) * norm(F.col("eb.v"))),
                 4,
             ).alias("cos"),
         )

@@ -586,42 +586,134 @@ FROM votes GROUP BY doc_id
 """,
     )
 
+    # exact Jaccard as a VERIFIER over MinHash-LSH candidate pairs (never a
+    # blocked all-pairs self-join — the scale-safe shape)
+    _LSH_PAIRS_CTES = f"""
+raw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         ELSE list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]))
+    END) AS term
+  FROM raw
+),
+params AS (SELECT i, (2 * i + 3)::BIGINT AS a, (101 * i + 17)::BIGINT AS b
+           FROM range(0, 16) t(i)),
+mh AS (
+  SELECT doc_id, i, min((a * {_sql_hash32('term')} + b) % 2147483647) AS minhash
+  FROM sh CROSS JOIN params GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, (i // 8)::INT AS band,
+         md5(string_agg(minhash::VARCHAR, ',' ORDER BY i)) AS band_sig
+  FROM mh GROUP BY doc_id, (i // 8)
+),
+lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)"""
+
     R["dedup_ngram_jaccard"] = (
         lambda spark, sf_dir: dedup.ngram_jaccard_pairs(_documents(spark, sf_dir)),
-        """
-WITH t AS (
-  SELECT doc_id, source, lang,
-         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
-  FROM documents
-),
-ex AS (SELECT doc_id, source, lang, len(toks)::BIGINT AS n, unnest(toks) AS term FROM t),
+        f"""
+WITH {_LSH_PAIRS_CTES},
+t2 AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+       FROM documents),
+sizes AS (SELECT doc_id, len(toks)::BIGINT AS n FROM t2),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM t2),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-         count(*)::BIGINT AS inter
-  FROM ex a JOIN ex b
-    ON a.term = b.term AND a.doc_id < b.doc_id
-   AND a.source = b.source AND a.lang = b.lang
-  GROUP BY 1, 2, 3, 4
+  SELECT doc_a, doc_b, count(*)::BIGINT AS inter
+  FROM lsh_pairs
+  JOIN ex ta ON ta.doc_id = doc_a
+  JOIN ex tb ON tb.doc_id = doc_b AND tb.term = ta.term
+  GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, round(inter / (na + nb - inter), 4) AS jaccard
-FROM inter WHERE round(inter / (na + nb - inter), 4) >= 0.2
+SELECT doc_a, doc_b, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.2
 """,
+    )
+
+    # SimHash PAIRING stage: banded candidates + exact Hamming verify
+    R["dedup_simhash_pairs"] = (
+        lambda spark, sf_dir: dedup.simhash_pairs(_documents(spark, sf_dir)),
+        f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, {_sql_hash60('term')} AS h
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents) GROUP BY doc_id, term
+),
+bits AS (SELECT b, (1::BIGINT << b) AS p2 FROM range(0, 32) t(b)),
+votes AS (
+  SELECT doc_id, b, p2, sum(tf * (2 * ((h // p2) % 2) - 1)) AS v
+  FROM tf CROSS JOIN bits GROUP BY doc_id, b, p2
+),
+sim AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN p2 ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b,
+         (simhash // (1::BIGINT << (b * 8))) % 256 AS band_val
+  FROM sim, range(0, 4) bb(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+""",
+    )
+
+    # embedding near-dups: sign-LSH candidates + exact cosine verify
+    _T, _B = 3, 6
+
+    def _bucket_ctes(num_tables: int, bits: int) -> str:
+        return f"""
+planes AS (
+  SELECT t, p, d,
+         (2 * (('0x' || substr(md5(t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT % 2) - 1)::DOUBLE AS w
+  FROM range(0, {num_tables}) tt(t), range(0, {bits}) pp(p), range(0, 64) dd(d)
+),
+vecel AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+dots AS (
+  SELECT v.vec_id, pl.t, pl.p, sum(v.x * pl.w) AS dot
+  FROM vecel v JOIN planes pl USING (d) GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, t
+)"""
+
+    _COS = (
+        "round(list_sum(list_transform(list_zip(ea.embedding, eb.embedding), "
+        "z -> z[1]::DOUBLE * z[2]::DOUBLE)) "
+        "/ (sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE))) "
+        "* sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)"
     )
 
     R["dedup_embedding_cosine"] = (
         lambda spark, sf_dir: dedup.embedding_near_dup_pairs(
-            _embeddings(spark, sf_dir), threshold=0.3
+            _embeddings(spark, sf_dir), threshold=0.3, num_tables=_T, bits=_B
         ),
-        """
-WITH e AS (SELECT vec_id AS id, label AS blk, embedding AS v FROM embeddings),
-pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b,
-         round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]::DOUBLE * z[2]::DOUBLE))
-               / (sqrt(list_sum(list_transform(a.v, x -> x::DOUBLE * x::DOUBLE)))
-                  * sqrt(list_sum(list_transform(b.v, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
-  FROM e a JOIN e b ON a.blk = b.blk AND a.id < b.id
+        f"""
+WITH {_bucket_ctes(_T, _B)},
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
 )
-SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.3
+SELECT id_a, id_b, {_COS} AS cos
+FROM cand JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b
+WHERE {_COS} >= 0.3
 """,
     )
 
@@ -645,36 +737,42 @@ SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
 """,
     )
 
+    _ANN_T, _ANN_B = 4, 6
+
+    def ann_index(spark, sf_dir) -> str:
+        key = "ann:" + os.path.abspath(sf_dir)
+        idx = _INDEX_CACHE.get(key)
+        if idx and os.path.exists(os.path.join(idx, "_ann_meta.json")):
+            return idx
+        idx = tempfile.mkdtemp(prefix="pgspark_ann_index_")
+        ann.index_embeddings(
+            _embeddings(spark, sf_dir), idx, num_tables=_ANN_T, bits=_ANN_B
+        )
+        _INDEX_CACHE[key] = idx
+        return idx
+
     def ann_lsh(spark, sf_dir):
         qv = _query_vec(spark, sf_dir)
-        return ann.lsh_topk(_embeddings(spark, sf_dir), qv, k=10, num_planes=6, exclude_id=0)
+        idx = ann_index(spark, sf_dir)
+        return ann.lsh_topk(spark, idx, qv, k=10, multiprobe=True, exclude_id=0)
 
     R["ann_lsh_topk"] = (
         ann_lsh,
         f"""
-WITH planes AS (
-  SELECT p, d,
-         (2 * ({_sql_hash60("p::VARCHAR || '_' || d::VARCHAR")} % 2) - 1)::DOUBLE AS w
-  FROM range(0, 6) t(p), range(0, 64) s(d)
+WITH {_bucket_ctes(_ANN_T, _ANN_B)},
+qb AS (SELECT t, bucket FROM buckets WHERE vec_id = 0),
+probes AS (
+  SELECT t, bucket FROM qb
+  UNION
+  SELECT qb.t, xor(qb.bucket, (1::BIGINT << i)) AS bucket
+  FROM qb, range(0, {_ANN_B}) ii(i)
 ),
-vecel AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, unnest(embedding)::DOUBLE AS x
-  FROM embeddings
-),
-dots AS (
-  SELECT v.vec_id, pl.p, sum(v.x * pl.w) AS dot
-  FROM vecel v JOIN planes pl USING (d) GROUP BY 1, 2
-),
-buckets AS (
-  SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
-  FROM dots GROUP BY vec_id
-),
-qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 cand AS (
-  SELECT e.vec_id, e.embedding FROM embeddings e
-  JOIN buckets bu ON e.vec_id = bu.vec_id CROSS JOIN qb
-  WHERE bu.bucket = qb.bucket AND e.vec_id <> 0
+  SELECT DISTINCT e.vec_id, e.embedding FROM embeddings e
+  JOIN buckets bu ON e.vec_id = bu.vec_id
+  JOIN probes pr ON bu.t = pr.t AND bu.bucket = pr.bucket
+  WHERE e.vec_id <> 0
 ),
 scored AS (
   SELECT vec_id,

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 EXPLODED_SCHEMA = "doc_id bigint, dl int, term string, tf int"
 
@@ -61,21 +60,6 @@ def explode_token_counts_fn(batches):
                 "tf": np.concatenate(out_tf),
             }
         )
-
-
-def dedup_last_writer_wins(df: DataFrame, key: str = "url", version: str = "warc_ts") -> DataFrame:
-    """Keep the latest version per key — pgstream's LSN-as-version conflict
-    resolution (/root/reference/pkg/wal/processor/search/search_adapter.go:179-184):
-    later commit position wins. One hash shuffle on the key; ties broken
-    deterministically by preferring non-null text then html bytes."""
-    w = Window.partitionBy(key).orderBy(
-        F.desc(version), F.desc(F.col("text").isNotNull()), F.desc(F.col("html"))
-    )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
 
 
 def webtext_to_docs(df: DataFrame) -> DataFrame:

@@ -83,7 +83,8 @@ def load_tombstones(index_dir: str):
     if not files:
         return None
     t = pa.concat_tables(
-        [pq.read_table(f, columns=["doc_id", "snapshot"]) for f in files]
+        [pq.read_table(f, columns=["doc_id", "snapshot"]) for f in files],
+        promote_options="default",  # files may differ in nullability
     )
     if t.num_rows == 0:
         return None

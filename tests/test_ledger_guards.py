@@ -112,3 +112,23 @@ def test_oversize_id_guard_skips_doc(spark, tmp_path):
     docs = spark.read.parquet(build.docs_path(idx))
     assert docs.filter(F.octet_length("url") > 512).count() == 0
     assert docs.count() == 30  # the oversized-identity doc was skipped
+
+
+def test_schema_first_mapping(spark, tmp_path):
+    """Typed field mapping is written BEFORE data segments (schema-first,
+    search_store.go:203-229 analog) and types follow the search_pg_mapper
+    lattice."""
+    from pgspark_index import fields
+
+    idx = str(tmp_path / "idx")
+    corpus = _mini_webtext(spark)
+    build.build_index(spark, corpus, idx, num_units=1, partitions=4,
+                      sample_fraction=1.0)
+    m = fields.read_mapping(idx)
+    assert m is not None and m["format"].startswith("pgspark-field-mapping")
+    f = m["fields"]
+    assert f["text"]["type"] == "text"       # the full-text-indexed field
+    assert f["url"]["type"] == "keyword"
+    assert f["warc_ts"]["type"] == "date"
+    assert f["html"]["type"] == "binary"
+    assert f["lang"]["type"] == "keyword"

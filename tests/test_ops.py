@@ -59,21 +59,52 @@ def test_simhash_identical_docs_equal(docs):
 
 
 def test_ngram_jaccard(docs):
-    out = {
+    # default path: candidates come from MinHash-LSH (identical docs always
+    # collide); exact-Jaccard VERIFIER values checked via explicit candidates
+    out_default = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in dedup.ngram_jaccard_pairs(docs, min_jaccard=0.2).collect()
     }
+    assert out_default[(1, 2)] == 1.0
+    cand = docs.sparkSession.createDataFrame(
+        [(1, 2), (1, 3), (1, 5)], "doc_a bigint, doc_b bigint"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, candidates=cand, min_jaccard=0.0).collect()
+    }
     assert out[(1, 2)] == 1.0
     assert 0.5 < out[(1, 3)] < 1.0
+    assert out.get((1, 5), 0.0) < 0.2
+
+
+def test_simhash_pairs(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical docs: same signature
+    assert all(h <= 3 for h in pairs.values())
+    assert (1, 5) not in pairs
 
 
 def test_embedding_near_dups(vecs):
+    # verifier over explicit candidates: exact cosine thresholding
+    cand = vecs.sparkSession.createDataFrame(
+        [(0, 1), (0, 2), (0, 4), (1, 4)], "id_a bigint, id_b bigint"
+    )
     pairs = {
         (r["id_a"], r["id_b"]): r["cos"]
-        for r in dedup.embedding_near_dup_pairs(vecs, threshold=0.9).collect()
+        for r in dedup.embedding_near_dup_pairs(vecs, threshold=0.9, candidates=cand).collect()
     }
     assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
     assert (0, 2) not in pairs
+    # default path: LSH candidates — near-identical vectors collide
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(vecs, threshold=0.9).collect()
+    }
+    assert lsh_pairs <= {(0, 1), (0, 4), (1, 4)}
 
 
 def test_ann_bruteforce(vecs):
@@ -82,12 +113,41 @@ def test_ann_bruteforce(vecs):
     assert got[0]["cos"] > 0.99
 
 
-def test_ann_lsh_subset_of_bruteforce(vecs):
-    brute = {r["vec_id"] for r in ann.cosine_topk(vecs, [1.0, 0, 0, 0], k=5, exclude_id=0).collect()}
-    lsh = {r["vec_id"] for r in ann.lsh_topk(vecs, [1.0, 0, 0, 0], k=5, num_planes=2, exclude_id=0).collect()}
-    assert lsh <= brute
-    # LSH candidates must share the query's bucket -> contains the near-identical vec
-    assert 4 in lsh or 1 in lsh
+def test_ann_index_recall_and_pruning(spark, tmp_path):
+    """The VERDICT done-criterion: multi-table multi-probe LSH index reaches
+    recall >= 0.9 of brute-force top-10 while reading < 10% of stored rows
+    (partition pruning over write-time bucket columns)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(400, 64)
+    q = rng.randn(64)
+    planted = q[None, :] + 0.15 * rng.randn(12, 64)  # cos ~ 0.95+
+    vecs = np.vstack([base, planted])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    qv = [float(x) for x in q]
+
+    idx = str(tmp_path / "annidx")
+    ann.index_embeddings(df, idx, num_tables=4, bits=10)
+    brute = [r["vec_id"] for r in ann.cosine_topk(df, qv, k=10).collect()]
+    got = [r["vec_id"] for r in ann.lsh_topk(spark, idx, qv, k=10).collect()]
+    recall = len(set(got) & set(brute)) / 10
+    assert recall >= 0.9, (recall, got, brute)
+    frac = ann.probed_fraction(spark, idx, qv)
+    assert frac < 0.10, frac
+    # and the probe plan actually prunes partitions (not a full scan + filter)
+    import json
+    with open(idx + "/_ann_meta.json") as f:
+        meta = json.load(f)
+    probes = []
+    for t in range(meta["num_tables"]):
+        planes = ann.plane_weights(spark, meta["bits"], meta["dims"], table=t)
+        qb = ann.query_buckets(qv, planes)
+        probes.extend((t, b) for b in [qb] + [qb ^ (1 << i) for i in range(meta["bits"])])
+    plan = (spark.read.parquet(idx).filter(ann._probe_cond(probes))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [" in plan and "tbl" in plan
 
 
 def test_lang_id(docs):

@@ -1,6 +1,7 @@
 """Dump .explain('formatted') for the engine's load-bearing plans into
 PLANS.md, with the properties each plan must exhibit (pushdown, broadcast,
-TakeOrderedAndProject, codegen spans). Run after any plan-shaped change.
+TakeOrderedAndProject, partition pruning, codegen spans). Run after any
+plan-shaped change.
 
 Usage: python tools/explain_plans.py
 """
@@ -15,9 +16,10 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from pgspark_index import build, fixtures, merge, query  # noqa: E402
+from pgspark_index import ann, build, fixtures, incremental, merge, query  # noqa: E402
 from pgspark_index.session import get_spark  # noqa: E402
 
 
@@ -54,26 +56,40 @@ def main():
     sections.append(
         ("Query: end-to-end top-k",
          "MUST end in `TakeOrderedAndProject` (distributed partial top-k, no full sort) "
-         "above an ArrowEvalPython/FlatMapGroupsInPandas scoring stage.",
+         "above a FlatMapGroupsInPandas scoring stage.",
          formatted(q))
     )
 
-    # 3. unit-filtered webtext scan: unit predicate pushed below the LWW window
+    # 3. build input: unit predicate pushed into the scan, ONE range
+    # exchange + in-partition sort, NO Window exec (streaming LWW dedup
+    # happens inside the tokenize stage over the sorted stream)
     src = tempfile.mkdtemp(prefix="pgspark_plansrc_")
     df.write.mode("overwrite").parquet(src)
     pq_df = spark.read.parquet(src)
-    unit_df = pq_df.filter(F.pmod(F.xxhash64(F.col("url")), F.lit(4)) == 0)
-    from pgspark_index.extract import dedup_last_writer_wins
-
-    d = dedup_last_writer_wins(unit_df).select("url", "text")
+    provider = build.webtext_unit_provider(pq_df)
+    ded = (
+        provider(0, 4)
+        .select(
+            "doc_id", "url",
+            F.when(F.col("text").isNotNull(), F.lit(None).cast("binary"))
+            .otherwise(F.col("html")).alias("html"),
+            "text", "version",
+        )
+        .repartitionByRange(4, "doc_id")
+        .sortWithinPartitions(
+            F.asc("doc_id"), F.desc("version"), F.desc(F.col("text").isNotNull()),
+            F.desc(F.xxhash64("text")), F.desc(F.xxhash64("html")),
+        )
+    )
     sections.append(
-        ("Build: unit predicate below the dedup window (parquet source)",
-         "The pmod(xxhash64(url)) filter MUST sit between the scan and the Window "
-         "(it references only the partition key), so each unit job reads and "
-         "shuffles ~1/num_units of the input. Bonus: WindowGroupLimit(Partial) "
-         "shows Spark's map-side rank-limit — the LWW dedup partially aggregates "
-         "before the shuffle.",
-         formatted(d))
+        ("Build: unit-sliced scan -> ONE range exchange + in-partition sort",
+         "The pmod(xxhash64(url)) unit predicate MUST sit directly on the scan "
+         "(each unit job reads ~1/num_units of the input); exactly one Exchange "
+         "(rangepartitioning on doc_id) and a partition-local Sort follow — and "
+         "NO Window operator: last-writer-wins dedup is a streaming keep-first "
+         "mask inside the Arrow tokenize stage, which also gets the splice-merge "
+         "doc-range-disjointness invariant from this plan.",
+         formatted(ded))
     )
 
     # 4. broadcast join from the driver registry
@@ -84,6 +100,36 @@ def main():
         ("Lookup join: broadcast",
          "MUST show `BroadcastHashJoin` (the injector-style dimension lookup never shuffles the fact side).",
          formatted(j))
+    )
+
+    # 5. ANN index probe: partition pruning over write-time bucket dirs
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(300, 16)
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    ann_dir = tempfile.mkdtemp(prefix="pgspark_plans_ann_")
+    ann.index_embeddings(vdf, ann_dir, num_tables=2, bits=4)
+    qv = [float(x) for x in rng.randn(16)]
+    probe = ann.lsh_topk(spark, ann_dir, qv, k=5)
+    sections.append(
+        ("ANN: multi-probe scan of the partitioned LSH index",
+         "MUST show `PartitionFilters` on (tbl, bucket) — probes prune to the "
+         "bucket DIRECTORIES at planning time; the data scan never touches "
+         "unprobed buckets (no full scan + filter).",
+         formatted(probe))
+    )
+
+    # 6. incremental compact: tombstones applied by broadcast ANTI-join
+    tomb = spark.createDataFrame([(1, 9), (2, 9)], "doc_id bigint, snapshot bigint")
+    docs = spark.read.parquet(build.docs_path(idx))
+    kept = docs.join(F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti")
+    sections.append(
+        ("Incremental compact: tombstone anti-join",
+         "MUST show `BroadcastHashJoin ... LeftAnti` — tombstones are never a "
+         "literal IN list in the plan and never collected to the driver.",
+         formatted(kept))
     )
 
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
