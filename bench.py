@@ -44,13 +44,16 @@ def main():
     timings: dict[str, float] = {}
     try:
         t0 = time.time()
-        df = fixtures.make_webtext_df_dist(spark, n_docs, seed=42, partitions=cpus * 4)
+        # partitions scale with the data (4x cores at real sizes; fewer at
+        # toy sizes where per-task overhead and file count would dominate)
+        parts = max(8, min(cpus * 4, n_docs // 1500))
+        df = fixtures.make_webtext_df_dist(spark, n_docs, seed=42, partitions=parts)
         df.persist().count()  # materialize input so build timing excludes datagen
         timings["datagen"] = round(time.time() - t0, 3)
 
         t0 = time.time()
         build.build_index(
-            spark, df, index_dir, num_units=2, partitions=cpus * 4,
+            spark, df, index_dir, num_units=2, partitions=parts,
             salt_target=50_000, sample_fraction=0.05,
         )
         build_sec = time.time() - t0
