@@ -164,29 +164,35 @@ def make_tokenize_fn(
         import numpy as np
         import pandas as pd
 
-        from .textnorm import fast_token_counts as _ftc, fast_token_positions as _ftp
+        from .textnorm import batch_token_stream as _bts
 
-        # flat python accumulators (no per-doc numpy allocations)
-        acc_term: list[str] = []
-        acc_tf: list[int] = []
-        acc_pos: list[int] = []    # flat positions (with_positions only)
-        acc_docid: list[int] = []  # per contributing doc
-        acc_m: list[int] = []      # distinct terms per contributing doc
-        acc_dl: list[int] = []     # doclen per contributing doc
+        # numpy-chunk accumulators, one tuple of arrays per input batch —
+        # the Arrow batch tokenizer emits arrays, never per-token Python
+        acc_uniq: list[np.ndarray] = []   # object arrays of term strings
+        acc_code: list[np.ndarray] = []   # codes into the GLOBAL vocab
+        acc_tf: list[np.ndarray] = []
+        acc_doc: list[np.ndarray] = []    # doc_id per posting
+        acc_dl: list[np.ndarray] = []     # doclen per posting
+        acc_pos: list[np.ndarray] = []    # flat positions (with_positions)
+        vocab_off = 0
         buffered = 0
         dropped_postings = 0
         prev_doc = None  # streaming-dedup carry across batches
 
         def flush():
-            nonlocal acc_term, acc_tf, acc_pos, acc_docid, acc_m, acc_dl
-            nonlocal buffered, dropped_postings
+            nonlocal acc_uniq, acc_code, acc_tf, acc_doc, acc_dl, acc_pos
+            nonlocal vocab_off, buffered, dropped_postings
             if buffered == 0:
                 return None
-            m_arr = np.asarray(acc_m, dtype=np.int64)
-            doc = np.repeat(np.asarray(acc_docid, dtype=np.int64), m_arr)
-            dl = np.repeat(np.asarray(acc_dl, dtype=np.int64), m_arr)
-            tf = np.asarray(acc_tf, dtype=np.int64)
-            codes, uniques = pd.factorize(np.asarray(acc_term, dtype=object))
+            vocab = np.concatenate(acc_uniq)
+            codes_g = np.concatenate(acc_code)
+            doc = np.concatenate(acc_doc)
+            dl = np.concatenate(acc_dl)
+            tf = np.concatenate(acc_tf)
+            # per-chunk vocabularies may repeat terms — one factorize over
+            # the concatenated vocab canonicalizes them for the whole flush
+            canon, uniques = pd.factorize(vocab)
+            codes = canon[codes_g]
             sel = None  # final posting order as indices into the ORIGINAL arrays
             if max_term_bytes is not None:
                 # Lucene-analog oversize guard (term byte cap 32766,
@@ -203,8 +209,9 @@ def make_tokenize_fn(
                     sel = np.flatnonzero(keep)
                     doc, dl, tf, codes = doc[keep], dl[keep], tf[keep], codes[keep]
                     if doc.size == 0:
-                        acc_term, acc_tf, acc_pos = [], [], []
-                        acc_docid, acc_m, acc_dl = [], [], []
+                        acc_uniq, acc_code, acc_tf = [], [], []
+                        acc_doc, acc_dl, acc_pos = [], [], []
+                        vocab_off = 0
                         buffered = 0
                         return None
             fan = np.fromiter(
@@ -214,9 +221,20 @@ def make_tokenize_fn(
             key = codes.astype(np.int64) * max_fanout + salt
             # postings are accumulated doc-major over an ASCENDING doc
             # stream, so a STABLE sort on the group key alone yields
-            # doc-ascending order within each group — no second sort key
-            order = np.argsort(key, kind="stable")
-            doc, dl, tf, key = doc[order], dl[order], tf[order], key[order]
+            # doc-ascending order within each group. Composite pack+sort
+            # (key<<k | index) is ~6x a stable argsort; key < 2^(63-k)
+            # always holds here (key <= uniques*64 <= postings*64).
+            n_post = key.shape[0]
+            kbits = max(1, int(n_post - 1).bit_length())
+            if int(key.max()) < (1 << (62 - kbits)):
+                comp = (key << np.int64(kbits)) | np.arange(n_post, dtype=np.int64)
+                comp.sort()
+                order = comp & np.int64((1 << kbits) - 1)
+                key = comp >> np.int64(kbits)
+                doc, dl, tf = doc[order], dl[order], tf[order]
+            else:
+                order = np.argsort(key, kind="stable")
+                doc, dl, tf, key = doc[order], dl[order], tf[order], key[order]
             starts = np.concatenate(([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
             rows = codecs.encode_groups(starts, doc, tf, dl, with_blocks=True)
             ng = len(rows)
@@ -224,7 +242,7 @@ def make_tokenize_fn(
                 # ragged gather: reorder (and filter) each posting's
                 # position slice into the sorted posting order, then one
                 # vectorized encode for the whole flush
-                tf_orig = np.asarray(acc_tf, dtype=np.int64)
+                tf_orig = np.concatenate(acc_tf)  # original accumulation order
                 st = np.zeros(tf_orig.size, dtype=np.int64)
                 np.cumsum(tf_orig[:-1], out=st[1:])
                 final_idx = order if sel is None else sel[order]
@@ -237,7 +255,7 @@ def make_tokenize_fn(
                     + np.arange(total, dtype=np.int64)
                     - np.repeat(out_starts, lens)
                 )
-                pos_sorted = np.asarray(acc_pos, dtype=np.int64)[gidx]
+                pos_sorted = np.concatenate(acc_pos)[gidx]
                 pos_blobs = codecs.encode_position_groups(starts, lens, pos_sorted)
             else:
                 pos_blobs = [b""] * ng
@@ -260,8 +278,9 @@ def make_tokenize_fn(
                     "doclen": np.full(ng, -1, dtype="int32"),
                 }
             )
-            acc_term, acc_tf, acc_pos = [], [], []
-            acc_docid, acc_m, acc_dl = [], [], []
+            acc_uniq, acc_code, acc_tf = [], [], []
+            acc_doc, acc_dl, acc_pos = [], [], []
+            vocab_off = 0
             buffered = 0
             return out
 
@@ -285,37 +304,22 @@ def make_tokenize_fn(
                 n = len(pdf)
                 if n == 0:
                     continue
-            htmls = pdf["html"] if "html" in pdf.columns else [None] * n
-            texts = pdf["text"]
-            doclens = np.zeros(n, dtype=np.int32)
-            for i, (h, t) in enumerate(zip(htmls, texts)):
-                h = h if isinstance(h, (bytes, bytearray)) else None
-                t = t if isinstance(t, str) else None
+            htmls = pdf["html"].tolist() if "html" in pdf.columns else [None] * n
+            texts = pdf["text"].tolist()
+            dl_b, doc_idx_b, code_b, tf_b, uniq_b, pos_b = _bts(
+                htmls, texts, with_positions
+            )
+            doclens = dl_b.astype(np.int32)
+            if code_b.size:
+                acc_uniq.append(uniq_b)
+                acc_code.append(code_b + vocab_off)
+                vocab_off += len(uniq_b)
+                acc_tf.append(tf_b)
+                acc_doc.append(doc_ids[doc_idx_b])
+                acc_dl.append(dl_b[doc_idx_b])
                 if with_positions:
-                    dl_i, items = _ftp(h, t)
-                    doclens[i] = dl_i
-                    if not items:
-                        continue
-                    acc_docid.append(int(doc_ids[i]))
-                    acc_m.append(len(items))
-                    acc_dl.append(dl_i)
-                    for term, tfv, ps in items:
-                        acc_term.append(term)
-                        acc_tf.append(tfv)
-                        acc_pos.extend(ps)
-                    buffered += len(items)
-                    continue
-                dl_i, counts = _ftc(h, t)
-                doclens[i] = dl_i
-                if not counts:
-                    continue
-                acc_docid.append(int(doc_ids[i]))
-                acc_m.append(len(counts))
-                acc_dl.append(dl_i)
-                ts, vs = zip(*counts)
-                acc_term.extend(ts)
-                acc_tf.extend(vs)
-                buffered += len(counts)
+                    acc_pos.append(pos_b)
+                buffered += int(code_b.size)
             urls = (
                 pdf["url"].to_numpy()
                 if "url" in pdf.columns

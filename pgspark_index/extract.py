@@ -26,38 +26,24 @@ def explode_token_counts_fn(batches):
     string/int arrays are the fast path. Used by the salt planner's sample
     pass (the main build path goes further and emits encoded PARTIAL lists,
     see build.make_partial_postings_fn)."""
-    import numpy as np
-
-    from .textnorm import extract_text as _extract, token_counts as _tc
+    from .textnorm import batch_token_stream as _bts
 
     for pdf in batches:
         n = len(pdf)
         if n == 0:
             continue
-        htmls = pdf["html"] if "html" in pdf.columns else [None] * n
-        texts = pdf["text"]
+        htmls = pdf["html"].tolist() if "html" in pdf.columns else [None] * n
+        texts = pdf["text"].tolist()
         doc_ids = pdf["doc_id"].to_numpy(dtype="int64")
-        out_doc, out_dl, out_term, out_tf = [], [], [], []
-        for i, (h, t) in enumerate(zip(htmls, texts)):
-            norm = _extract(
-                h if isinstance(h, (bytes, bytearray)) else None,
-                t if isinstance(t, str) else None,
-            )
-            dl, counts = _tc(norm)
-            if not counts:
-                continue
-            out_doc.append(np.full(len(counts), doc_ids[i], dtype="int64"))
-            out_dl.append(np.full(len(counts), dl, dtype="int32"))
-            out_term.extend(c[0] for c in counts)
-            out_tf.append(np.fromiter((c[1] for c in counts), dtype="int32", count=len(counts)))
-        if not out_doc:
+        dls, doc_idx, codes, tfs, uniques, _ = _bts(htmls, texts)
+        if codes.size == 0:
             continue
         yield pd.DataFrame(
             {
-                "doc_id": np.concatenate(out_doc),
-                "dl": np.concatenate(out_dl),
-                "term": out_term,
-                "tf": np.concatenate(out_tf),
+                "doc_id": doc_ids[doc_idx],
+                "dl": dls[doc_idx].astype("int32"),
+                "term": uniques[codes],
+                "tf": tfs.astype("int32"),
             }
         )
 

@@ -94,3 +94,65 @@ def test_fast_token_counts_equivalence():
         assert sorted(counts_fast) == counts_slow
 
     prop()
+
+
+def test_batch_token_stream_equivalence():
+    """The Arrow batch tokenizer must produce EXACTLY the per-doc fast path's
+    (doclen, {term: tf}) per document — including non-ASCII fallback docs,
+    NULs, html-only docs, empties — and globally doc-ascending postings
+    (the splice-merge invariant). Positions must match the positional path."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    cases = [
+        (None, None),
+        (None, ""),
+        (None, "a\x00b c d  e\tf"),
+        (None, "Ｆｕｌｌｗｉｄｔｈ１２３ and ﬁligature"),
+        (b"<html><script>no()</script><p>Hi &amp; bye</p></html>", None),
+        (b"\xff\xfe broken <b>utf8</b>", None),
+        (None, "x" * 5 + "\x00" + "y" * 5),
+        (None, "café naïve ™ mixed ascii words"),
+    ]
+    pdf = make_webtext_pdf(300, seed=11)
+    cases += list(zip(pdf["html"], pdf["text"]))
+    htmls = [h if isinstance(h, (bytes, bytearray)) else None for h, _ in cases]
+    texts = [t if isinstance(t, str) else None for _, t in cases]
+
+    dls, doc_idx, codes, tfs, uniq, _ = textnorm.batch_token_stream(htmls, texts)
+    assert (np.diff(doc_idx) >= 0).all()
+    for i, (h, t) in enumerate(zip(htmls, texts)):
+        dl_ref, counts_ref = textnorm.fast_token_counts(h, t)
+        m = doc_idx == i
+        got = {uniq[c]: int(v) for c, v in zip(codes[m], tfs[m])}
+        assert got == dict(counts_ref), i
+        assert int(dls[i]) == dl_ref, i
+
+    dls, doc_idx, codes, tfs, uniq, pos = textnorm.batch_token_stream(
+        htmls, texts, with_positions=True
+    )
+    st_off = np.zeros(tfs.size, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=st_off[1:])
+    for i, (h, t) in enumerate(zip(htmls, texts)):
+        dl_ref, items = textnorm.fast_token_positions(h, t)
+        exp = {term: (tfv, list(ps)) for term, tfv, ps in items}
+        got = {
+            uniq[codes[j]]: (int(tfs[j]), pos[st_off[j] : st_off[j] + tfs[j]].tolist())
+            for j in np.flatnonzero(doc_idx == i)
+        }
+        assert got == exp, i
+        assert int(dls[i]) == dl_ref, i
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.text(max_size=80), max_size=8))
+    def prop(ts):
+        hs = [None] * len(ts)
+        dls, doc_idx, codes, tfs, uniq, _ = textnorm.batch_token_stream(hs, ts)
+        for i, t in enumerate(ts):
+            dl_ref, counts_ref = textnorm.fast_token_counts(None, t)
+            m = doc_idx == i
+            got = {uniq[c]: int(v) for c, v in zip(codes[m], tfs[m])}
+            assert got == dict(counts_ref)
+            assert int(dls[i]) == dl_ref
+
+    prop()
