@@ -55,7 +55,7 @@ sys.path.insert(0, __REPO__)
 from pyspark.sql import SparkSession
 from pgspark_index import build, fixtures, merge, query
 
-execs = int(sys.argv[1]); n_docs = int(sys.argv[2])
+execs = int(sys.argv[1]); n_docs = int(sys.argv[2]); input_dir = sys.argv[3]
 mem_mb = max(2048, min(8192, 80000 // execs))
 spark = (
     SparkSession.builder.master(f"local-cluster[{execs},1,{mem_mb}]")
@@ -78,8 +78,10 @@ spark = (
 )
 spark.sparkContext.setLogLevel("WARN")
 idx = tempfile.mkdtemp(prefix="pgspark_scale_%d_" % execs)
-df = fixtures.make_webtext_df_dist(spark, n_docs, seed=42, partitions=execs * 4)
-df.persist().count()
+# the corpus is a pre-written parquet table (generated once by the parent):
+# every build attempt SCANS it like a real input table — no cached input,
+# predicate pushdown and column pruning on the real path
+df = spark.read.parquet(input_dir)
 # two attempts in the same cluster: first warms JIT/codegen/Python workers;
 # report BOTH (the parent keeps the best run per level across rounds)
 results = []
@@ -138,13 +140,33 @@ def probe_per_core() -> float:
     return spin_total(8) / 8.0
 
 
-def run(execs: int, n_docs: int) -> dict:
+def gen_input(n_docs: int) -> str:
+    """Generate the corpus parquet ONCE (full machine parallelism, unpinned)."""
+    input_dir = f"/dev/shm/pgspark_scaling_input_{n_docs}"
+    if os.path.isdir(input_dir) and os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        return input_dir
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pgspark_index.session import get_spark\n"
+        "from pgspark_index import fixtures\n"
+        "spark = get_spark(app='scaling-datagen', cores=32, shuffle_partitions=64)\n"
+        "fixtures.make_webtext_df_dist(spark, %d, seed=42, partitions=64)"
+        ".write.mode('overwrite').parquet(%r)\n"
+        "spark.stop()\n" % (REPO, n_docs, input_dir)
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=3600,
+                   env=dict(os.environ, PYTHONPATH=REPO))
+    return input_dir
+
+
+def run(execs: int, n_docs: int, input_dir: str) -> dict:
     code = CHILD.replace("__REPO__", repr(REPO))
     ncpu = os.cpu_count() or 32
     cpuset = f"0-{min(execs, ncpu - 1)}"  # E executor cores + 1 driver core
     env = dict(os.environ, PYTHONPATH=REPO)
     out = subprocess.run(
-        ["taskset", "-c", cpuset, sys.executable, "-c", code, str(execs), str(n_docs)],
+        ["taskset", "-c", cpuset, sys.executable, "-c", code,
+         str(execs), str(n_docs), input_dir],
         capture_output=True, text=True, timeout=7200, env=env,
     )
     for line in out.stdout.splitlines():
@@ -175,6 +197,7 @@ def main():
         for p in os.environ.get("SCALING_PAIRS", "2:8,8:32").split(",")
     ]
     levels = sorted({e for p in pairs for e in p})
+    input_dir = gen_input(n_docs)
     cal = calibrate()
     runs: dict[int, list] = {e: [] for e in levels}
     probes: dict[int, list] = {e: [] for e in levels}
@@ -191,7 +214,7 @@ def main():
                 print(f"SKIP executors={e}: host degraded (probe {p:.1f} < {SPIN_GATE})")
                 time.sleep(20)
                 continue
-            r = run(e, n_docs)
+            r = run(e, n_docs, input_dir)
             r["probe_per_core"] = round(p, 1)
             runs[e].append(r)
             print("RUN " + json.dumps(r))

@@ -103,8 +103,10 @@ def bm25_sql(
     k: int = 10,
     require_all: bool = False,
     doc_filter_cte: str | None = None,
+    min_match: int | None = None,
 ) -> str:
     """BM25 top-k oracle. ``require_all`` = conjunctive (every term);
+    ``min_match`` = minimum distinct matching terms (bool/should shape);
     ``doc_filter_cte`` = SQL for a `match(doc_id)` CTE restricting the
     scored docs (metadata filters, phrase matches)."""
     uniq = sorted(set(terms))
@@ -112,6 +114,8 @@ def bm25_sql(
     match_cte = f",\nmatch AS ({doc_filter_cte})" if doc_filter_cte else ""
     match_join = "JOIN match USING (doc_id)" if doc_filter_cte else ""
     having = f"HAVING count(*) = {len(uniq)}" if require_all else ""
+    if min_match is not None and not require_all:
+        having = f"HAVING count(*) >= {int(min_match)}"
     return f"""
 WITH {TOK_CTE},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
@@ -199,6 +203,58 @@ def _registry() -> dict[str, tuple]:
         f"'{' '.join(PHRASE)}')"
     )
     R["bm25_phrase"] = (bm25_phrase, bm25_sql(PHRASE, doc_filter_cte=_phrase_cte))
+
+    # bool/should with minimum_should_match (between OR and AND)
+    MSM_TERMS = ["data", "query", "fast", "vector"]
+
+    def bm25_min_should(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.search_min_should_match(spark, idx, MSM_TERMS, 3, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_min_should_match"] = (
+        bm25_min_should,
+        bm25_sql(MSM_TERMS, min_match=3),
+    )
+
+    # ordered-window proximity (sloppy phrase) over the positional index
+    PROX = ["table", "hash"]
+
+    def bm25_proximity(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.search_proximity(spark, idx, PROX, slop=1, k=10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    _prox_cte = (
+        "SELECT DISTINCT a.doc_id FROM "
+        "(WITH x AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents) "
+        "SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks)+1)) AS p FROM x) a "
+        "JOIN (WITH x AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents) "
+        "SELECT doc_id, unnest(toks) AS term, unnest(range(1, len(toks)+1)) AS p FROM x) b "
+        f"USING (doc_id) WHERE a.term = '{PROX[0]}' AND b.term = '{PROX[1]}' "
+        "AND b.p > a.p AND b.p <= a.p + 2"
+    )
+    R["bm25_proximity"] = (bm25_proximity, bm25_sql(PROX, doc_filter_cte=_prox_cte))
+
+    # facet counts over the boolean match set (terms-aggregation analog)
+    FACET_TERMS = ["data", "query"]
+
+    def search_facets_lang(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        meta = _documents(spark, sf_dir).select("doc_id", "lang")
+        return query.search_facets(spark, idx, FACET_TERMS, meta, "lang")
+
+    R["search_facets"] = (
+        search_facets_lang,
+        f"""
+WITH {TOK_CTE},
+m AS (SELECT doc_id FROM (SELECT DISTINCT doc_id, term FROM tok
+      WHERE term IN ('data', 'query')) GROUP BY doc_id)
+SELECT lang AS facet, count(*)::BIGINT AS doc_count
+FROM documents JOIN m USING (doc_id)
+GROUP BY 1 ORDER BY doc_count DESC, facet ASC
+""",
+    )
 
     def index_doc_stats(spark, sf_dir):
         idx = docs_index(spark, sf_dir)

@@ -65,7 +65,103 @@ def mapping_for(df: DataFrame, text_fields: tuple[str, ...] = ("text",)) -> dict
         if ft == "knn_vector":
             spec["dims"] = None  # data-dependent; filled by the ANN indexer
         fields[f.name] = spec
-    return {"format": FORMAT, "fields": fields, "dropped_fields": sorted(dropped)}
+    return {
+        "format": FORMAT,
+        "version": 1,
+        "fields": fields,
+        "dropped_fields": sorted(dropped),
+    }
+
+
+def diff_mappings(old: dict, new: dict, renames: dict[str, str] | None = None) -> dict:
+    """Schema diff between two mappings (the reference computes this per
+    DDL event, /root/reference/pkg/wal/wal_schema_diff.go:59-80: columns
+    added / removed / renamed-by-id).
+
+    ``renames``: explicit old-name -> new-name pairs (the reference knows
+    renames from immutable column IDs in the DDL log; a snapshot-table
+    engine must be told). Returns {added, removed, renamed, changed}."""
+    renames = renames or {}
+    of, nf = old.get("fields", {}), new.get("fields", {})
+    aliases = old.get("aliases", {})
+    conflicts = old.get("conflicts", {})
+    # idempotent against already-applied evolution state: existing aliases,
+    # deprecated fields, and recorded conflicts produce no new diff entries
+    added = {
+        c: s
+        for c, s in nf.items()
+        if c not in of and c not in renames.values() and c not in aliases
+    }
+    removed = [
+        c
+        for c in of
+        if c not in nf
+        and c not in renames
+        and c not in set(aliases.values())
+        and not of[c].get("deprecated")
+    ]
+    renamed = {
+        o: n
+        for o, n in renames.items()
+        if o in of and n in nf and o not in nf and aliases.get(n) != o
+    }
+    changed = {
+        c: (of[c]["type"], nf[c]["type"])
+        for c in of
+        if c in nf
+        and of[c]["type"] != nf[c]["type"]
+        and conflicts.get(c) != {"stored": of[c]["type"], "incoming": nf[c]["type"]}
+    }
+    return {"added": added, "removed": removed, "renamed": renamed, "changed": changed}
+
+
+def evolve_mapping(
+    index_dir: str,
+    df: DataFrame,
+    text_fields: tuple[str, ...] = ("text",),
+    renames: dict[str, str] | None = None,
+) -> dict:
+    """Apply a new input schema to a live index WITHOUT rewriting segments.
+
+    Reference semantics (search_store.go:302-316): a renamed column becomes
+    an ALIAS — the stored field keeps its old name, reads under the new
+    name resolve through the alias; added fields extend the mapping;
+    removed fields are kept but marked deprecated (segments still carry
+    them); a changed TYPE is recorded as a conflict requiring a rebuild of
+    that field (the reference drops such writes per-field). Every change
+    bumps ``version``. Returns the diff that was applied."""
+    old = read_mapping(index_dir)
+    if old is None:
+        write_mapping(index_dir, mapping_for(df, text_fields))
+        return {"added": {}, "removed": [], "renamed": {}, "changed": {}}
+    new = mapping_for(df, text_fields)
+    diff = diff_mappings(old, new, renames)
+    if not any(diff.values()):
+        return diff
+    merged = json.loads(json.dumps(old))  # deep copy
+    merged.setdefault("aliases", {})
+    merged.setdefault("conflicts", {})
+    for o, n in diff["renamed"].items():
+        merged["aliases"][n] = o
+    for c, spec in diff["added"].items():
+        merged["fields"][c] = spec
+    for c in diff["removed"]:
+        merged["fields"][c]["deprecated"] = True
+    for c, (ot, nt) in diff["changed"].items():
+        merged["conflicts"][c] = {"stored": ot, "incoming": nt}
+    merged["version"] = int(old.get("version", 1)) + 1
+    write_mapping(index_dir, merged)
+    return diff
+
+
+def resolve_field(mapping: dict, name: str) -> str | None:
+    """Query-side name resolution through rename aliases (bounded walk)."""
+    seen = set()
+    while name in mapping.get("aliases", {}) and name not in seen:
+        seen.add(name)
+        name = mapping["aliases"][name]
+    spec = mapping.get("fields", {}).get(name)
+    return name if spec is not None and not spec.get("deprecated") else None
 
 
 def mapping_path(index_dir: str) -> str:

@@ -203,6 +203,158 @@ def search_phrase(
     return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_min_should_match(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    min_should_match: int,
+    k: int = 10,
+) -> DataFrame:
+    """OR with a should-count threshold: top-k BM25 over docs matching at
+    least ``min_should_match`` distinct query terms (OpenSearch bool/should
+    + minimum_should_match; m=1 is pure OR, m=len(terms) is AND).
+    -> DataFrame(doc_id, score), (score DESC, doc_id ASC)."""
+    stats = merge.load_stats(index_dir)
+    terms = sorted(set(terms))
+    idfs = _term_idfs(spark, index_dir, terms, stats["n_docs"])
+    present = sorted(idfs)
+    m = max(1, int(min_should_match))
+    if len(present) < m:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    avgdl = float(stats["avgdl"])
+    excluder = _tombstone_excluder(index_dir)
+
+    seg = (
+        spark.read.parquet(segments_path(index_dir))
+        .filter(F.col("term").isin(present))
+        .select(
+            "unit", "term", "df", "postings",
+            "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+        )
+    )
+
+    def score_unit(key, pdf):
+        import pandas as pd
+
+        docs, scores = wand.score_min_should(
+            _rows_to_lists(pdf, idfs), avgdl, k, m, exclude=excluder(key[0])
+        )
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    per_unit = seg.groupBy("unit").applyInPandas(score_unit, schema=RESULT_SCHEMA)
+    return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_proximity(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: list[str],
+    slop: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Ordered-window proximity search (requires with_positions=True):
+    each phrase word must follow the previous within ``slop`` intervening
+    tokens (slop=0 = exact phrase — the ordered variant of Lucene's sloppy
+    match_phrase). -> DataFrame(doc_id, score), (score DESC, doc_id ASC)."""
+    stats = merge.load_stats(index_dir)
+    uniq_terms = sorted(set(phrase))
+    idfs = _term_idfs(spark, index_dir, uniq_terms, stats["n_docs"])
+    if len(idfs) < len(uniq_terms) or not phrase:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    avgdl = float(stats["avgdl"])
+    excluder = _tombstone_excluder(index_dir)
+    phrase_order = list(phrase)
+
+    seg = (
+        spark.read.parquet(segments_path(index_dir))
+        .filter(F.col("term").isin(uniq_terms))
+        .select(
+            "unit", "term", "df", "postings", "positions",
+            "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+        )
+    )
+
+    def score_unit(key, pdf):
+        import pandas as pd
+
+        lists = _rows_to_lists(pdf, idfs)
+        by_term: dict[str, list[dict]] = {}
+        for lst in lists:
+            by_term.setdefault(lst["term"], []).append(lst)
+        slot_lists = [by_term.get(t, []) for t in phrase_order]
+        docs, scores = wand.score_proximity(
+            slot_lists, avgdl, k, slop=slop, exclude=excluder(key[0])
+        )
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    per_unit = seg.groupBy("unit").applyInPandas(score_unit, schema=RESULT_SCHEMA)
+    return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+MATCH_SCHEMA = "doc_id bigint, n_matched int"
+
+
+def match_docs(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    mode: str = "or",
+    min_should_match: int = 1,
+) -> DataFrame:
+    """Boolean match set (no scoring) -> DataFrame(doc_id, n_matched).
+
+    The building block for facet aggregations (the reference's users get
+    these from OpenSearch aggs): distributed per unit, postings decode of
+    doc ids only, no driver collect."""
+    terms = sorted(set(terms))
+    need = len(terms) if mode == "and" else max(1, int(min_should_match))
+    excluder = _tombstone_excluder(index_dir)
+    seg = (
+        spark.read.parquet(segments_path(index_dir))
+        .filter(F.col("term").isin(terms))
+        .select("unit", "term", "df", "postings")
+    )
+
+    def match_unit(key, pdf):
+        import pandas as pd
+
+        lists = [
+            {"term": r.term, "df": int(r.df), "postings": r.postings}
+            for r in pdf.itertuples()
+        ]
+        docs, counts = wand.match_doc_counts(lists, exclude=excluder(key[0]))
+        keep = counts >= need
+        return pd.DataFrame(
+            {"doc_id": docs[keep], "n_matched": counts[keep].astype("int32")}
+        )
+
+    return seg.groupBy("unit").applyInPandas(match_unit, schema=MATCH_SCHEMA)
+
+
+def search_facets(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    meta_df: DataFrame,
+    facet_col: str,
+    mode: str = "or",
+) -> DataFrame:
+    """Facet counts over the boolean match set (OpenSearch terms-aggregation
+    analog): -> DataFrame(facet, doc_count), doc_count DESC, facet ASC.
+
+    ``meta_df`` holds (doc_id, <facet_col>) metadata; the join is a
+    distributed semi-join-then-aggregate — match sets never touch the
+    driver. At 100-TB scale the match set is the small side (broadcast
+    candidate); Catalyst/AQE picks the join strategy."""
+    matched = match_docs(spark, index_dir, terms, mode=mode)
+    return (
+        meta_df.join(matched.select("doc_id"), "doc_id")
+        .groupBy(F.col(facet_col).alias("facet"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("facet"))
+    )
+
+
 def search_batch(
     spark: SparkSession,
     index_dir: str,

@@ -435,6 +435,158 @@ def score_phrase(
     return _exact_topk(all_docs, all_contribs, all_tranks, k)
 
 
+def score_min_should(
+    lists: list[dict],
+    avgdl: float,
+    k: int,
+    min_should_match: int,
+    exclude: np.ndarray | None = None,
+):
+    """OR with a should-count threshold: docs matching at least
+    ``min_should_match`` DISTINCT query terms score (the OpenSearch
+    bool/should + minimum_should_match shape — between pure OR (m=1) and
+    AND (m = n_terms)). Scoring is bit-exact with the other strategies:
+    per-term contributions summed in sorted term order."""
+    if not lists:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    ranks = _term_ranks(lists)
+    m = max(1, int(min_should_match))
+    decoded = []
+    term_docs: dict[str, list] = {}
+    for lst in lists:
+        doc, contrib = _decoded_contribs(lst, avgdl, exclude)
+        decoded.append((doc, contrib, ranks[lst["term"]]))
+        term_docs.setdefault(lst["term"], []).append(doc)
+    # distinct-term match count per doc: one sorted concat of per-term doc
+    # sets (salted lists of one term are doc-disjoint, so each term
+    # contributes each doc at most once)
+    per_term_sets = [
+        np.sort(np.concatenate(d)) if len(d) > 1 else d[0]
+        for d in term_docs.values()
+    ]
+    allv = np.sort(np.concatenate(per_term_sets)) if per_term_sets else np.zeros(0, np.int64)
+    if allv.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    starts = np.concatenate(([0], np.flatnonzero(allv[1:] != allv[:-1]) + 1))
+    counts = np.diff(np.append(starts, allv.size))
+    cand = allv[starts][counts >= m]
+    if cand.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    all_docs, all_contribs, all_tranks = [], [], []
+    for doc, contrib, trank in decoded:
+        mask = _member_mask(cand, doc)
+        all_docs.append(doc[mask])
+        all_contribs.append(contrib[mask])
+        all_tranks.append(np.full(int(mask.sum()), trank, dtype=np.int32))
+    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+
+
+def score_proximity(
+    slot_lists: list[list[dict]],
+    avgdl: float,
+    k: int,
+    slop: int = 0,
+    exclude: np.ndarray | None = None,
+):
+    """Ordered-window proximity over positional lists: slot i+1 must occur
+    at a position in (p_i, p_i + 1 + slop] — ``slop = 0`` is the exact
+    phrase; larger slop allows up to ``slop`` intervening tokens per gap
+    (an ordered variant of Lucene's sloppy phrase, semantics pinned so the
+    SQL oracle can replicate it with position joins). Matching docs are
+    BM25-scored over the query's distinct terms, bit-exact with the other
+    entry points."""
+    from . import codecs
+
+    if not slot_lists or any(not ls for ls in slot_lists):
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    span = np.int64(1 + max(0, int(slop)))
+
+    def slot_doc_pos(lists):
+        docs_l, pos_l = [], []
+        for lst in lists:
+            doc, tf, _dl = codecs.decode_postings(lst["postings"], lst["df"])
+            pos = codecs.decode_positions(lst["positions"], tf)
+            docs_l.append(np.repeat(doc, tf))
+            pos_l.append(pos)
+        return np.concatenate(docs_l), np.concatenate(pos_l)
+
+    slots = [slot_doc_pos(ls) for ls in slot_lists]
+    cand = None
+    for d, _ in slots:
+        u = np.unique(d)
+        cand = u if cand is None else cand[_member_mask(u, cand)]
+        if cand.size == 0:
+            break
+    if exclude is not None and cand is not None and cand.size and exclude.size:
+        cand = cand[~_member_mask(exclude, cand)]
+    if cand is None or cand.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+
+    def keys_of(d, p):
+        idx = np.searchsorted(cand, d)
+        idx = np.minimum(idx, cand.size - 1)
+        m = cand[idx] == d
+        return np.sort(idx[m].astype(np.int64) * (np.int64(1) << np.int64(32)) + p[m])
+
+    survivors = keys_of(*slots[0])
+    for d, p in slots[1:]:
+        nxt = keys_of(d, p)
+        # EVERY match in the window continues the chain (earliest-only is
+        # incomplete: a later in-window match can enable the next gap)
+        lo = np.searchsorted(nxt, survivors + 1, side="left")
+        hi = np.searchsorted(nxt, survivors + span, side="right")
+        lens = hi - lo
+        keep = lens > 0
+        lo, lens = lo[keep], lens[keep]
+        if lo.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        out_starts = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=out_starts[1:])
+        total = int(lens.sum())
+        take = np.repeat(lo, lens) + np.arange(total, dtype=np.int64) - np.repeat(out_starts, lens)
+        survivors = np.unique(nxt[take])
+    matched = cand[np.unique(survivors >> np.int64(32))]
+
+    seen_ids, uniq = set(), []
+    for ls in slot_lists:
+        for lst in ls:
+            if id(lst) not in seen_ids:
+                seen_ids.add(id(lst))
+                uniq.append(lst)
+    ranks = _term_ranks(uniq)
+    all_docs, all_contribs, all_tranks = [], [], []
+    for lst in uniq:
+        doc, contrib = _decoded_contribs(lst, avgdl, None)
+        mask = _member_mask(matched, doc)
+        all_docs.append(doc[mask])
+        all_contribs.append(contrib[mask])
+        all_tranks.append(np.full(int(mask.sum()), ranks[lst["term"]], dtype=np.int32))
+    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+
+
+def match_doc_counts(lists: list[dict], exclude: np.ndarray | None = None):
+    """-> (doc_ids, distinct-term match counts) for boolean matching /
+    faceting — no scoring, decode of doc ids only."""
+    term_docs: dict[str, list] = {}
+    for lst in lists:
+        doc, _tf, _dl = codecs.decode_postings(lst["postings"], lst["df"])
+        if exclude is not None and exclude.size and doc.size:
+            doc = doc[~np.isin(doc, exclude, assume_unique=True)]
+        term_docs.setdefault(lst["term"], []).append(doc)
+    sets = [
+        np.sort(np.concatenate(d)) if len(d) > 1 else d[0]
+        for d in term_docs.values()
+    ]
+    if not sets:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    allv = np.sort(np.concatenate(sets))
+    if allv.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.flatnonzero(allv[1:] != allv[:-1]) + 1))
+    counts = np.diff(np.append(starts, allv.size))
+    return allv[starts], counts
+
+
 # OR-semantics strategies (all return identical results — property-tested);
 # score_conjunctive/score_phrase are separate entry points with different
 # match semantics.

@@ -132,3 +132,49 @@ def test_schema_first_mapping(spark, tmp_path):
     assert f["warc_ts"]["type"] == "date"
     assert f["html"]["type"] == "binary"
     assert f["lang"]["type"] == "keyword"
+
+
+def test_schema_evolution_rename_alias(spark, tmp_path):
+    """Schema evolution without segment rewrites (wal_schema_diff.go:59-80;
+    renames become aliases, search_store.go:302-316): added fields extend
+    the mapping, renamed fields resolve through aliases, removed fields are
+    deprecated, type changes are recorded as conflicts — and the version
+    bumps on every change."""
+    from pgspark_index import fields
+
+    idx = str(tmp_path / "idx")
+    corpus = _mini_webtext(spark)
+    build.build_index(spark, corpus, idx, num_units=1, partitions=4,
+                      sample_fraction=1.0)
+    m0 = fields.read_mapping(idx)
+    assert m0["version"] == 1
+
+    # evolve: lang renamed to language, html dropped, score added,
+    # warc_ts changes type (timestamp -> string = conflict)
+    evolved = corpus.select(
+        "url",
+        F.col("warc_ts").cast("string").alias("warc_ts"),
+        "text",
+        F.col("lang").alias("language"),
+        F.lit(0.5).cast("double").alias("score"),
+    )
+    diff = fields.evolve_mapping(idx, evolved, renames={"lang": "language"})
+    assert diff["renamed"] == {"lang": "language"}
+    assert "score" in diff["added"]
+    assert "html" in diff["removed"]
+    assert diff["changed"] == {"warc_ts": ("date", "keyword")}
+
+    m1 = fields.read_mapping(idx)
+    assert m1["version"] == 2
+    # alias resolution: reads under the NEW name hit the stored field
+    assert fields.resolve_field(m1, "language") == "lang"
+    assert m1["fields"]["lang"]["type"] == "keyword"   # stored field intact
+    assert m1["fields"]["score"]["type"] == "double"
+    assert m1["fields"]["html"].get("deprecated") is True
+    assert fields.resolve_field(m1, "html") is None    # deprecated -> gone
+    assert m1["conflicts"]["warc_ts"] == {"stored": "date", "incoming": "keyword"}
+
+    # idempotent: same schema again -> no diff, no version bump
+    diff2 = fields.evolve_mapping(idx, evolved, renames={"lang": "language"})
+    assert not any(diff2.values()) or diff2["renamed"] == {}
+    assert fields.read_mapping(idx)["version"] == 2

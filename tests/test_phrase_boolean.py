@@ -120,3 +120,80 @@ def test_filtered_search(spark, pos_index):
     res2 = query.search(spark, idx, ["alpha"], 3, filter_df=allowed).collect()
     assert len(res2) == min(3, len([d for d in allowed_set]))
     assert {r["doc_id"] for r in res2} <= allowed_set
+
+
+def _brute_proximity(df, phrase, slop):
+    """Ordered chain: word i+1 within (p_i, p_i + 1 + slop]."""
+    rows = df.select(F.xxhash64("url").alias("doc_id"), "text").collect()
+    out = set()
+    for r in rows:
+        toks = tokenize(extract_text(None, r["text"]))
+        pos = {}
+        for i, t in enumerate(toks):
+            pos.setdefault(t, []).append(i)
+        frontier = set(pos.get(phrase[0], []))
+        for w in phrase[1:]:
+            nxt = set()
+            for p in frontier:
+                for q in pos.get(w, []):
+                    if p < q <= p + 1 + slop:
+                        nxt.add(q)
+            frontier = nxt
+            if not frontier:
+                break
+        if frontier:
+            out.add(r["doc_id"])
+    return out
+
+
+def test_proximity_matches_brute_force(spark, pos_index):
+    idx, df = pos_index
+    for phrase, slop in (
+        (["alpha", "beta"], 0),
+        (["alpha", "gamma"], 1),       # alpha beta gamma -> 1 intervening
+        (["beta", "alpha"], 3),        # x1: 'beta then alpha' needs slop >= 1
+        (["alpha", "beta", "gamma"], 1),
+        (["gamma", "beta"], 0),
+        (["zeta", "theta"], 1),
+    ):
+        got = {
+            r["doc_id"]
+            for r in query.search_proximity(spark, idx, phrase, slop=slop, k=1000).collect()
+        }
+        assert got == _brute_proximity(df, phrase, slop), (phrase, slop)
+    # slop=0 must equal the exact phrase path
+    for phrase in (["alpha", "beta"], ["beta", "gamma"]):
+        a = {r["doc_id"] for r in query.search_proximity(spark, idx, phrase, 0, 1000).collect()}
+        b = {r["doc_id"] for r in query.search_phrase(spark, idx, phrase, 1000).collect()}
+        assert a == b
+
+
+def test_min_should_match(spark, pos_index):
+    idx, df = pos_index
+    terms = ["alpha", "beta", "zeta"]
+    rows = df.select(F.xxhash64("url").alias("doc_id"), "text").collect()
+    n_matched = {}
+    for r in rows:
+        toks = set(tokenize(extract_text(None, r["text"])))
+        n_matched[r["doc_id"]] = sum(1 for t in terms if t in toks)
+    for m in (1, 2, 3):
+        got = {
+            r["doc_id"]
+            for r in query.search_min_should_match(spark, idx, terms, m, 1000).collect()
+        }
+        want = {d for d, c in n_matched.items() if c >= m}
+        assert got == want, m
+    # m = 1 == OR; m = n == AND
+    or_docs = {r["doc_id"] for r in query.search(spark, idx, terms, 1000).collect()}
+    assert {r["doc_id"] for r in query.search_min_should_match(spark, idx, terms, 1, 1000).collect()} == or_docs
+
+
+def test_facets(spark, pos_index):
+    idx, df = pos_index
+    meta = df.select(
+        F.xxhash64("url").alias("doc_id"),
+        F.when(F.col("text").contains("page"), "page").otherwise("other").alias("kind"),
+    )
+    res = query.search_facets(spark, idx, ["alpha"], meta, "kind").collect()
+    counts = {r["facet"]: r["doc_count"] for r in res}
+    assert counts == {"page": 40, "other": 3}  # x1..x3 contain alpha, 'only' doesn't
