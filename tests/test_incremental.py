@@ -144,3 +144,42 @@ def test_compact_with_1e5_tombstones(spark, tmp_index, tmp_path):
     # surviving docs still searchable, removed ones not
     got = query.search(spark, tmp_index, fixtures.make_query_set(4, seed=9)[0]["terms"], 10_000).collect()
     assert not ({r["doc_id"] for r in got} & set(real_ids))
+
+
+def test_snapshot_source_adapter(spark, corpora, tmp_path):
+    """sources.py: snapshot-pinned + incremental reads (Iceberg shape,
+    parquet fallback) feeding the same delta pipeline end-to-end."""
+    from pgspark_index import sources
+
+    base, delta, merged, _updated = corpora
+    table = str(tmp_path / "webtable")
+    sources.write_snapshot(base, table, 1)
+    sources.write_snapshot(delta, table, 2)
+
+    assert sources.latest_snapshot_id(spark, table) == 2
+    # snapshot-pinned full reads
+    assert sources.read_snapshot(spark, table, 1).count() == base.count()
+    assert (
+        sources.read_snapshot(spark, table).count() == base.count() + delta.count()
+    )
+    # incremental read = exactly the delta rows
+    inc = sources.incremental_read(spark, table, start_snapshot_id=1)
+    assert inc.count() == delta.count()
+    assert {r["url"] for r in inc.select("url").collect()} == {
+        r["url"] for r in delta.select("url").collect()
+    }
+    # empty range
+    assert sources.incremental_read(spark, table, start_snapshot_id=2).count() == 0
+
+    # end-to-end: base build from snapshot 1, delta from the incremental read
+    idx = str(tmp_path / "idx")
+    build.build_index(
+        spark, sources.read_snapshot(spark, table, 1), idx,
+        num_units=1, partitions=4, input_snapshot_id=1, sample_fraction=1.0,
+    )
+    merge.merge_index(spark, idx)
+    incremental.build_delta(
+        spark, inc, idx, input_snapshot_id=2, partitions=4, sample_fraction=1.0
+    )
+    res = query.search(spark, idx, [SENTINEL_NEW], k=5).collect()
+    assert len(res) == 5  # delta-only term visible right after the delta
