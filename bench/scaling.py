@@ -60,6 +60,9 @@ mem_mb = max(2048, min(8192, 80000 // execs))
 spark = (
     SparkSession.builder.master(f"local-cluster[{execs},1,{mem_mb}]")
     .appName(f"scaling-{execs}x1")
+    # local-cluster's third arg is the WORKER's allocatable memory; the
+    # executor JVM still defaults to 1g — size it to the worker grant
+    .config("spark.executor.memory", f"{mem_mb}m")
     .config("spark.sql.shuffle.partitions", str(execs * 4))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -214,10 +217,14 @@ def main():
                 print(f"SKIP executors={e}: host degraded (probe {p:.1f} < {SPIN_GATE})")
                 time.sleep(20)
                 continue
-            r = run(e, n_docs, input_dir)
+            try:
+                r = run(e, n_docs, input_dir)
+            except Exception as exc:  # noqa: BLE001 — keep the harness alive
+                print(f"FAILED executors={e}: {str(exc)[:500]}")
+                continue
             r["probe_per_core"] = round(p, 1)
             runs[e].append(r)
-            print("RUN " + json.dumps(r))
+            print("RUN " + json.dumps(r), flush=True)
     best = {e: max(runs[e], key=lambda r: r["docs_per_sec"]) for e in levels if runs[e]}
 
     lines = [
