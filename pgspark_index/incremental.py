@@ -13,10 +13,12 @@ re-expression over snapshot tables:
   version wins — snapshot ordering is the LSN analog).
 - query-time: scorers exclude tombstoned docs (vectorized np filter), so
   reads are correct immediately after a delta lands — no rewrite needed.
-  Between a delta and the next compaction, global stats (n_docs / avgdl /
-  df) still count superseded doc versions — exactly Lucene's
-  deleted-docs-affect-docFreq-until-merge semantics; compaction restores
-  bit-equality with a from-scratch build (asserted in tests).
+  Between a delta and the next compaction, global n_docs/avgdl are
+  CORRECTED for superseded versions at merge time (merge._tombstone_stat_
+  adjustment — they equal a from-scratch build of the live corpus);
+  per-term df still counts them — exactly Lucene's deleted-docs-affect-
+  docFreq-until-merge semantics; compaction restores bit-equality with a
+  from-scratch build (asserted in tests).
 - ``compact`` — physically applies tombstones: decode -> drop -> re-encode
   every affected posting list (mapInPandas, no raw text required because
   postings carry (doc, tf, doclen)), rewrite docs tables, refresh manifest

@@ -59,9 +59,65 @@ def merge_index(spark: SparkSession, index_dir: str, lexicon_partitions: int | N
     lex.write.mode("overwrite").parquet(lexicon_path(index_dir))
 
     stats = manifest.global_stats(index_dir)
+    adj = _tombstone_stat_adjustment(spark, index_dir)
+    if adj is not None:
+        stats["n_docs"] -= adj["n"]
+        stats["sum_doclen"] -= adj["sum_dl"]
+        stats["avgdl"] = (
+            stats["sum_doclen"] / stats["n_docs"] if stats["n_docs"] else 0.0
+        )
+        stats["tombstoned_docs"] = adj["n"]
     with open(stats_path(index_dir), "w") as f:
         json.dump(stats, f)
     return stats
+
+
+def _tombstone_stat_adjustment(spark: SparkSession, index_dir: str) -> dict | None:
+    """(count, doclen sum) of superseded doc versions still physically in
+    the segments — subtracted from global stats so n_docs/avgdl between a
+    delta and the next compaction EQUAL those of a from-scratch build of
+    the live corpus (per-term df remains Lucene's deleted-docs-affect-
+    docFreq-until-merge semantics until compaction expunges them).
+
+    A docs-table row (unit u, doc d) is stale iff some tombstone (d, s) has
+    s > u's input snapshot. Distributed: docs tables joined to the
+    (broadcast) tombstone set — no driver-side doc collections."""
+    import glob as _glob
+    import os as _os
+
+    from .build import docs_path
+
+    files = sorted(
+        _glob.glob(_os.path.join(index_dir, "tombstones", "snapshot-*", "*.parquet"))
+        + _glob.glob(_os.path.join(index_dir, "tombstones", "*.parquet"))
+    )
+    if not files:
+        return None
+    tomb = spark.read.parquet(*files)
+    if tomb.isEmpty():
+        return None
+    m = manifest.read_manifest(index_dir)
+    m = m[m["status"] == manifest.STATUS_COMPLETED]
+    usnap = spark.createDataFrame(
+        [(int(u), int(s)) for u, s in zip(m["unit"], m["input_snapshot_id"])],
+        "unit int, unit_snap bigint",
+    )
+    docs = spark.read.parquet(docs_path(index_dir)).select("unit", "doc_id", "doclen")
+    stale = (
+        docs.join(F.broadcast(usnap), "unit")
+        .join(
+            F.broadcast(tomb.groupBy("doc_id").agg(F.max("snapshot").alias("ts"))),
+            "doc_id",
+        )
+        .filter(F.col("ts") > F.col("unit_snap"))
+    )
+    row = stale.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sum_dl")
+    ).collect()[0]
+    n = int(row["n"] or 0)
+    if n == 0:
+        return None
+    return {"n": n, "sum_dl": int(row["sum_dl"] or 0)}
 
 
 def load_stats(index_dir: str) -> dict:

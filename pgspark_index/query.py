@@ -117,9 +117,10 @@ def search(
     filter, then TakeOrderedAndProject takes the global top-k — no doc-id
     collect to the driver, no literal IN lists.
 
-    Between an incremental delta and the next compaction, global stats
-    still count superseded doc versions (Lucene deleted-docs semantics);
-    tombstoned docs are excluded from results either way."""
+    Between an incremental delta and the next compaction, n_docs/avgdl are
+    tombstone-corrected at merge time; per-term df still counts superseded
+    versions (Lucene deleted-docs-affect-docFreq semantics); tombstoned
+    docs are excluded from results either way."""
     stats = merge.load_stats(index_dir)
     terms = sorted(set(terms))
     idfs = _term_idfs(spark, index_dir, terms, stats["n_docs"])

@@ -183,3 +183,29 @@ def test_snapshot_source_adapter(spark, corpora, tmp_path):
     )
     res = query.search(spark, idx, [SENTINEL_NEW], k=5).collect()
     assert len(res) == 5  # delta-only term visible right after the delta
+
+
+def test_pre_compaction_stats_corrected(spark, corpora, tmp_path):
+    """Between a delta and compaction, n_docs/avgdl equal a from-scratch
+    build of the LIVE corpus (superseded versions subtracted at merge
+    time); compaction then makes the whole index bit-equal (covered by
+    test_incremental_lifecycle)."""
+    base, delta, merged, _updated = corpora
+    idx = str(tmp_path / "idx")
+    build.build_index(spark, base, idx, num_units=2, partitions=4,
+                      sample_fraction=1.0)
+    merge.merge_index(spark, idx)
+    incremental.build_delta(spark, delta, idx, input_snapshot_id=1,
+                            num_units=1, partitions=4, sample_fraction=1.0)
+    # build_delta already refreshes the lexicon+stats
+    live = merge.load_stats(idx)
+
+    clean = str(tmp_path / "clean")
+    build.build_index(spark, merged, clean, num_units=2, partitions=4,
+                      sample_fraction=1.0)
+    ref = merge.merge_index(spark, clean)
+
+    assert live["tombstoned_docs"] == 25
+    assert live["n_docs"] == ref["n_docs"]
+    assert live["sum_doclen"] == ref["sum_doclen"]
+    assert abs(live["avgdl"] - ref["avgdl"]) < 1e-12
