@@ -390,6 +390,51 @@ WHERE CASE WHEN source = 'src1' AND lang = 'fr' THEN FALSE
 """,
     )
 
+    # ---- oversize guards + dropped-row accounting (SURVEY §2.3/§2.10) ----
+    def filter_oversize(spark, sf_dir):
+        """Size-limit guards with per-source dropped-row accounting — the
+        declarative form of the build pipeline's guards (build.py:640-645
+        id guard, build.py:198-205 term-byte cap; ref search_store.go:137-143
+        skips ids > 512 B, opensearch_mapper.go:44-53 caps terms at 32766 B,
+        wal_kafka_batch_writer.go:168-179 drops + counts oversized records).
+        Caps are scaled down (doc 400 chars / term 5 B) so the synthetic
+        corpus actually trips both guards."""
+        doc_cap, term_cap = 400, 5
+        toks = _documents(spark, sf_dir).select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias(
+                "term"
+            ),
+        )
+        kept = F.col("n_chars") <= doc_cap
+        return toks.groupBy("source").agg(
+            F.countDistinct(F.when(kept, F.col("doc_id"))).alias("docs_kept"),
+            F.countDistinct(F.when(~kept, F.col("doc_id"))).alias("docs_dropped"),
+            F.sum(
+                F.when(kept & (F.octet_length("term") <= term_cap), 1).otherwise(0)
+            ).alias("terms_kept"),
+            F.sum(
+                F.when(kept & (F.octet_length("term") > term_cap), 1).otherwise(0)
+            ).alias("terms_dropped"),
+        )
+
+    R["filter_oversize"] = (
+        filter_oversize,
+        """
+WITH tok AS (SELECT doc_id, source, n_chars,
+                    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             FROM documents)
+SELECT source,
+       count(DISTINCT CASE WHEN n_chars <= 400 THEN doc_id END)::BIGINT AS docs_kept,
+       count(DISTINCT CASE WHEN n_chars > 400 THEN doc_id END)::BIGINT AS docs_dropped,
+       sum(CASE WHEN n_chars <= 400 AND octet_length(encode(term)) <= 5 THEN 1 ELSE 0 END)::BIGINT AS terms_kept,
+       sum(CASE WHEN n_chars <= 400 AND octet_length(encode(term)) > 5 THEN 1 ELSE 0 END)::BIGINT AS terms_dropped
+FROM tok GROUP BY source
+""",
+    )
+
     # ---- joins (SURVEY §2.4) ----
     def broadcast_lookup_join(spark, sf_dir):
         li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
