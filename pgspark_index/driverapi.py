@@ -366,6 +366,59 @@ FROM documents
 """,
     )
 
+    def transform_generators(spark, sf_dir):
+        """The hash-generator transformer catalog (reference
+        transformer.go:38-63 type list): deterministic fake names / phone /
+        ints / floats / uuid / bool / date / timestamp / keyed pseudonym,
+        all md5-derived Column expressions (JVM-side) and bit-identical in
+        DuckDB."""
+        d = _documents(spark, sf_dir)
+        v = F.col("source")
+        return d.select(
+            "doc_id",
+            transformers.pick(v, transformers.FIRST_NAMES).alias("gen_first"),
+            F.concat_ws(
+                " ",
+                transformers.pick(v, transformers.FIRST_NAMES),
+                transformers.pick(F.concat(v, F.lit("#")), transformers.LAST_NAMES),
+            ).alias("gen_full"),
+            transformers.phone_number(v).alias("gen_phone"),
+            transformers.greenmask_integer(v, 10, 99).alias("gen_int"),
+            transformers.greenmask_float(v, 0.0, 100.0).alias("gen_float"),
+            transformers.greenmask_uuid(v).alias("gen_uuid"),
+            transformers.greenmask_boolean(v).alias("gen_bool"),
+            transformers.greenmask_date(v).alias("gen_date"),
+            transformers.greenmask_utc_timestamp(v).alias("gen_ts"),
+            transformers.keyed_hash(v, "k1").alias("gen_keyed"),
+            transformers.det_string(v, 4, 16).alias("gen_str"),
+        )
+
+    _FN = "'" + "','".join(transformers.FIRST_NAMES) + "'"
+    _LN = "'" + "','".join(transformers.LAST_NAMES) + "'"
+    R["transform_generators"] = (
+        transform_generators,
+        f"""
+SELECT doc_id,
+  ([{_FN}])[(('0x'||substr(md5(source),1,6))::BIGINT % 8 + 1)::INT] AS gen_first,
+  ([{_FN}])[(('0x'||substr(md5(source),1,6))::BIGINT % 8 + 1)::INT] || ' ' ||
+    ([{_LN}])[(('0x'||substr(md5(source||'#'),1,6))::BIGINT % 8 + 1)::INT] AS gen_full,
+  '+' || ((('0x'||substr(md5(source),1,4))::BIGINT % 98) + 1)::VARCHAR || '-' ||
+    lpad(((('0x'||substr(md5(source),5,10))::BIGINT % 10000000))::VARCHAR, 7, '0') AS gen_phone,
+  (('0x'||substr(md5(source),1,12))::BIGINT % 90 + 10)::BIGINT AS gen_int,
+  round((('0x'||substr(md5(source),1,9))::BIGINT / 68719476736.0) * 100.0, 4) AS gen_float,
+  substr(md5(source),1,8)||'-'||substr(md5(source),9,4)||'-'||substr(md5(source),13,4)
+    ||'-'||substr(md5(source),17,4)||'-'||substr(md5(source),21,12) AS gen_uuid,
+  (('0x'||substr(md5(source),1,6))::BIGINT % 2 = 0) AS gen_bool,
+  (DATE '1970-01-01' + ((('0x'||substr(md5(source),1,10))::BIGINT % 20000)::INT))::VARCHAR AS gen_date,
+  strftime(TIMESTAMP '1970-01-01' + (('0x'||substr(md5(source),1,12))::BIGINT % 2000000000)
+    * INTERVAL 1 SECOND, '%Y-%m-%d %H:%M:%S') AS gen_ts,
+  md5('k1' || source) AS gen_keyed,
+  substr(md5(source) || md5(source || '+'), 1,
+         (('0x'||substr(md5(source),1,6))::BIGINT % 13 + 4)::INT) AS gen_str
+FROM documents
+""",
+    )
+
     # ---- wildcard table filter engine (SURVEY §2.3) ----
     def filter_wildcard(spark, sf_dir):
         rel = _documents(spark, sf_dir).select(

@@ -111,3 +111,77 @@ def test_apply_rules_validation(spark):
         df, {"nope": {"type": "masking"}, "v": {"type": "wat"}}, validation="relaxed"
     )
     assert out.collect() == df.collect()
+
+
+def test_generator_transformers(spark):
+    """The hash-generator catalog (string / names / phone / greenmask_* /
+    keyed_hash): deterministic, in-range, and in-pool."""
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta-gamma"), (3, "alpha")], "id long, v string"
+    )
+    rules = {
+        "v": {"type": "string", "min_len": 4, "max_len": 16},
+    }
+    rows = transformers.apply_rules(df, rules).collect()
+    by_id = {r["id"]: r["v"] for r in rows}
+    assert by_id[1] == by_id[3] and by_id[1] != by_id[2]
+    assert 4 <= len(by_id[1]) <= 16
+
+    out = df.select(
+        "id",
+        transformers.pick(F.col("v"), transformers.FIRST_NAMES).alias("fn"),
+        transformers.phone_number(F.col("v")).alias("ph"),
+        transformers.greenmask_integer(F.col("v"), 10, 99).alias("gi"),
+        transformers.greenmask_float(F.col("v"), 0.0, 1.0).alias("gf"),
+        transformers.greenmask_uuid(F.col("v")).alias("uu"),
+        transformers.greenmask_date(F.col("v")).alias("gd"),
+        transformers.greenmask_utc_timestamp(F.col("v")).alias("gu"),
+        transformers.keyed_hash(F.col("v"), "k").alias("kh"),
+    ).collect()
+    import re
+
+    for r in out:
+        assert r["fn"] in transformers.FIRST_NAMES
+        assert re.fullmatch(r"\+\d{1,2}-\d{7}", r["ph"])
+        assert 10 <= r["gi"] <= 99
+        assert 0.0 <= r["gf"] < 1.0
+        assert re.fullmatch(r"[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}", r["uu"])
+        assert re.fullmatch(r"\d{4}-\d{2}-\d{2}", r["gd"])
+        assert re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", r["gu"])
+        assert len(r["kh"]) == 32
+    assert out[0]["kh"] == [r for r in out if r["id"] == 3][0]["kh"]
+
+
+def test_json_and_map_ops(spark):
+    df = spark.createDataFrame(
+        [(1, '{"name":"ann","ssn":"123-45-6789","note":"hi"}'),
+         (2, '{"name":"bo"}')],
+        "id long, j string",
+    )
+    ops = {
+        "ssn": {"op": "mask", "keep_first": 0, "keep_last": 4},
+        "name": {"op": "hash"},
+        "note": {"op": "delete"},
+        "age": {"op": "set", "value": "0"},
+    }
+    rows = {r["id"]: r["j"] for r in transformers.apply_rules(
+        df, {"j": {"type": "json", "ops": ops}}).collect()}
+    import json as _json
+
+    r1, r2 = _json.loads(rows[1]), _json.loads(rows[2])
+    assert r1["ssn"] == "*******6789"
+    assert len(r1["name"]) == 32 and "note" not in r1
+    assert r1["age"] == "0" and r2["age"] == "0"  # set upserts missing keys
+
+
+def test_encrypted_aes_roundtrip(spark):
+    key = "0123456789abcdef"
+    df = spark.createDataFrame([(1, "secret value")], "id long, v string")
+    enc = transformers.apply_rules(df, {"v": {"type": "encrypted_aes", "key": key}})
+    out = enc.withColumn(
+        "dec",
+        F.aes_decrypt(F.unbase64("v"), F.lit(key), F.lit("ECB")).cast("string"),
+    ).collect()[0]
+    assert out["v"] != "secret value" and out["dec"] == "secret value"
+    # deterministic (the SIV property): same plaintext+key -> same token
+    assert enc.collect()[0]["v"] == out["v"]
