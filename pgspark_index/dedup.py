@@ -110,24 +110,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, i, minhash) — one row per doc per hash function.
 
-    Plan: explode distinct shingles -> cross join tiny param table
-    (broadcast, num_hashes rows) -> groupBy(doc_id, i).min. The groupBy is
-    the only shuffle and is keyed by (doc_id, i) — uniform, skew-free."""
-    spark = docs.sparkSession
-    params = spark.createDataFrame(_minhash_params(num_hashes), "i int, a long, b long")
+    Plan: explode distinct shingles -> ONE groupBy(doc_id) computing all
+    ``num_hashes`` mins as separate aggregate columns (map-side combined),
+    then inline-explode the (i, minhash) pairs post-aggregation. No param
+    cross join: shingle rows are never fanned out x num_hashes, and the
+    single shuffle carries one partial row per (doc, map partition)."""
+    params = _minhash_params(num_hashes)
     toks = shingles_df(docs, id_col, text_col, shingle).withColumn(
         "h", hash32(F.col("term"))
     )
-    return (
-        toks.crossJoin(F.broadcast(params))
-        .select(
-            "doc_id",
-            "i",
-            ((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P).alias("mh"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("mh").alias("minhash"))
+    sig = toks.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for (i, a, b) in params
+        ]
     )
+    entries = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.col(f"mh{i}").alias("minhash"))
+            for (i, _a, _b) in params
+        ]
+    )
+    return sig.select("doc_id", F.inline(entries))
 
 
 def lsh_band_signatures(sigs: DataFrame, rows_per_band: int = 4) -> DataFrame:
@@ -192,11 +196,12 @@ def simhash(
 
     bit_b(doc) = sign of sum over terms of tf * (2 * bit_b(h60(term)) - 1);
     near-dups then differ in few bits (Hamming). 32 bits keeps the final
-    sum-of-2^b exact in int64 in both engines."""
-    spark = docs.sparkSession
-    # p2 = 2^b precomputed so bit extraction is exact integer arithmetic
-    # ((h div p2) % 2) in both engines — no float pow, no shift builtins.
-    bits_df = spark.createDataFrame([(b, 2**b) for b in range(bits)], "b int, p2 long")
+    sum-of-2^b exact in int64 in both engines.
+
+    Plan: tf rows are never fanned out x bits — ONE groupBy(doc_id)
+    computes all per-bit vote sums as aggregate columns (exact integer
+    arithmetic (h div 2^b) % 2, no float pow, no shift builtins), then a
+    pure projection folds the sign bits into the signature."""
     tf = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -208,20 +213,19 @@ def simhash(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", hash60(F.col("term")))
     )
-    votes = (
-        tf.crossJoin(F.broadcast(bits_df))
-        .select(
-            "doc_id",
-            "b",
-            "p2",
-            (F.col("tf") * (2 * ((F.expr("h div p2")) % 2) - 1)).alias("vote"),
-        )
-        .groupBy("doc_id", "b", "p2")
-        .agg(F.sum("vote").alias("v"))
+    votes = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf") * (2 * (F.expr(f"h div {2**b}") % 2) - 1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v") > 0, F.col("p2")).otherwise(F.lit(0))).alias("simhash")
-    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -302,17 +306,21 @@ def simhash_pairs(
     assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
     sig = simhash(docs, id_col, text_col, bits)
     band_bits = bits // bands
-    spark = docs.sparkSession
-    bands_df = spark.createDataFrame(
-        [(b, 2 ** (b * band_bits), 2 ** band_bits) for b in range(bands)],
-        "band int, shift long, width long",
+    # post-aggregation inline of the (band, band_val) pairs — one row per
+    # doc per band, no param cross join in the plan
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.expr(f"simhash div {2 ** (b * band_bits)}")
+                    % F.lit(2**band_bits)
+                ).alias("band_val"),
+            )
+            for b in range(bands)
+        ]
     )
-    banded = sig.crossJoin(F.broadcast(bands_df)).select(
-        "doc_id",
-        "simhash",
-        "band",
-        (F.expr("simhash div shift") % F.col("width")).alias("band_val"),
-    )
+    banded = sig.select("doc_id", "simhash", F.inline(band_entries))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

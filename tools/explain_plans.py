@@ -132,6 +132,26 @@ def main():
          formatted(kept))
     )
 
+    # 7. dedup: LSH-verified pair path — candidate generation is a banded
+    # equi-join, verification joins token sets onto the PAIRS: the plan
+    # must contain only hash/sort-merge equi-joins, never a cartesian
+    from pgspark_index import dedup  # local import: keep top imports light
+
+    jac = dedup.ngram_jaccard_pairs(
+        pq_df.select(F.xxhash64("url").alias("doc_id"), "text"), min_jaccard=0.2
+    )
+    jac_plan = formatted(jac)
+    assert "CartesianProduct" not in jac_plan and "BroadcastNestedLoopJoin" not in jac_plan
+    sections.append(
+        ("Dedup: n-gram Jaccard as a verifier over MinHash-LSH candidates",
+         "MUST contain NO `CartesianProduct` / `BroadcastNestedLoopJoin` — "
+         "candidates come from the banded LSH self-equi-join on (band, "
+         "band_sig); exact Jaccard then equi-joins token sets onto the "
+         "candidate pairs. Cost is O(|candidates| x avg tokens): linear in "
+         "the corpus for a fixed dup rate, never quadratic within a block.",
+         jac_plan)
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     for title, requirement, plan in sections:
         out.append(f"## {title}\n\n{requirement}\n\n```\n{plan}```\n")
