@@ -19,10 +19,55 @@ a processing-time trigger gives true continuous tailing.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from . import incremental, merge
 from .fixtures import WEBTEXT_DDL
+
+
+def stateful_lww_stream(stream_df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Event-time last-writer-wins per url as a CUSTOM STATEFUL streaming
+    operator (applyInPandasWithState) — the streaming form of the batch
+    LWW coalesce (extract.py; reference analog: replication events for the
+    same row superseded by LSN order, wal_batch_sender drains per-key in
+    commit order).
+
+    State per url = the winning warc_ts seen so far; a batch emits a row
+    ONLY when the winner changes, so downstream (build_delta) receives a
+    monotone upsert stream. The watermark bounds both late data and state:
+    rows older than the horizon are dropped by Spark before the operator,
+    and at 100-TB scale state holds one tiny tuple per url active within
+    the horizon — not the corpus. Output: (url, warc_ts, text) winners."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "url string, warc_ts timestamp, text string"
+    state_schema = "best_ts timestamp"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        url = key[0]
+        newest = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            row = pdf.loc[pdf["warc_ts"].idxmax()]
+            if newest is None or row["warc_ts"] > newest["warc_ts"]:
+                newest = row
+        best = state.get[0] if state.exists else None
+        if newest is not None and (best is None or newest["warc_ts"] > best):
+            state.update((newest["warc_ts"].to_pydatetime(),))
+            yield pd.DataFrame(
+                {"url": [url], "warc_ts": [newest["warc_ts"]], "text": [newest["text"]]}
+            )
+
+    return (
+        stream_df.withWatermark("warc_ts", watermark)
+        .groupBy("url")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
 
 
 def start_continuous_indexing(
