@@ -1043,6 +1043,31 @@ FROM m GROUP BY media_type
 """,
     )
 
+    def multimodal_frames(spark, sf_dir):
+        """Strided frame sampling over opaque payloads (video frame-sample
+        plumbing): pure JVM sequence+explode+binary substr, map-only; the
+        payload is the UTF-8 text bytes so the DuckDB oracle windows the
+        VARCHAR (ASCII corpus -> byte-identical windows + md5)."""
+        media = multimodal.attach_payload(_documents(spark, sf_dir))
+        return multimodal.sample_frames(media, frame_size=64, stride=128, max_frames=16)
+
+    R["multimodal_frames"] = (
+        multimodal_frames,
+        """
+WITH m AS (SELECT doc_id, text, strlen(text)::BIGINT AS nb FROM documents),
+f AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(least(16, ceil(nb/128.0)::BIGINT), 1)))::INT AS frame_idx,
+         text
+  FROM m
+)
+SELECT doc_id, frame_idx,
+       strlen(substring(text, (frame_idx*128+1)::BIGINT, 64))::BIGINT AS frame_bytes,
+       md5(substring(text, (frame_idx*128+1)::BIGINT, 64)) AS frame_md5
+FROM f
+""",
+    )
+
     # Arrow plumbing over binary payloads; the deterministic fake kernel's
     # integer-exact features are fully SQL-expressible (real decode stays a
     # documented stub — multimodal.decode_image).

@@ -119,6 +119,44 @@ def extract_feature_columns(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_COL_SCHEMA)
 
 
+def sample_frames(
+    media: DataFrame, frame_size: int = 64, stride: int = 128, max_frames: int = 16
+) -> DataFrame:
+    """Frame-sampling plumbing: strided fixed-size windows over the opaque
+    payload — the Spark-side shape of video frame sampling (a real decoder
+    would produce frames from container timestamps; the byte-window stand-in
+    keeps the operator deterministic and library-free).
+
+    Pure JVM expressions (sequence + explode + substr over binary) — no
+    Python in the path; one row per (doc, frame) with byte-count + checksum.
+    Scale: map-only (no shuffle), output rows bounded by max_frames per doc,
+    payload bytes never leave the JVM."""
+    last_idx = F.greatest(
+        F.least(
+            F.lit(max_frames - 1),
+            F.floor((F.col("n_bytes") - 1) / stride).cast("int"),
+        ),
+        F.lit(0),
+    )
+    frames = media.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), last_idx)).alias("frame_idx"),
+        "payload",
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.col("payload")
+        .substr((F.col("frame_idx") * stride + 1).cast("int"), F.lit(frame_size))
+        .alias("frame"),
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("bigint").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Typed-metadata aggregation (JVM-side): per media_type byte accounting."""
     return media.groupBy("media_type").agg(

@@ -180,3 +180,27 @@ def test_multimodal_plumbing(docs):
     assert by_id[1] == by_id[2]
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xxx")
+
+
+def test_sample_frames_windows(spark):
+    """Byte-window frames: strided offsets, tail truncation, max_frames cap."""
+    import hashlib
+
+    from pgspark_index import multimodal
+
+    payload = bytes(range(200)) * 10  # 2000 bytes
+    media = spark.createDataFrame(
+        [(1, "video/mp4", len(payload), payload), (2, "video/mp4", 5, b"abcde")],
+        "doc_id bigint, media_type string, n_bytes bigint, payload binary",
+    )
+    rows = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in multimodal.sample_frames(
+            media, frame_size=64, stride=128, max_frames=4
+        ).collect()
+    }
+    assert sorted(k[1] for k in rows if k[0] == 1) == [0, 1, 2, 3]  # capped at 4
+    assert rows[(1, 1)]["frame_bytes"] == 64
+    assert rows[(1, 1)]["frame_md5"] == hashlib.md5(payload[128:192]).hexdigest()
+    assert rows[(2, 0)]["frame_bytes"] == 5  # tail truncation
+    assert rows[(2, 0)]["frame_md5"] == hashlib.md5(b"abcde").hexdigest()
