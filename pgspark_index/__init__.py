@@ -20,9 +20,16 @@ Modules
 - ``merge``     — segment merge -> global lexicon + stats
 - ``query``     — top-k BM25 with block-max pruning (WAND / MaxScore)
 - ``dedup``     — exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding near-dup
-- ``ann``       — cosine top-k similarity search (brute-force + LSH-bucketed)
+- ``ann``       — cosine top-k similarity search (brute-force + partitioned multi-probe LSH)
 - ``textops``   — language-ID, quality scoring, token counting, fingerprinting
-- ``multimodal``— binary (image/audio) column plumbing with stubbed decoders
+- ``multimodal``— binary (image/audio/video) column plumbing: stubbed decoders,
+                  deterministic feature kernel, strided frame sampling
+- ``transformers`` — 24-type deterministic column-transformer catalog + rule map
+- ``tablefilter``  — wildcard include/exclude table filtering with precedence
+- ``fields``    — typed field mapping, schema evolution (rename -> alias)
+- ``sources``   — snapshot-pinned and incremental snapshot-range source adapters
+- ``incremental``  — delta builds, tombstones, compaction (scale-safe joins)
+- ``streaming`` — continuous indexing (foreachBatch) + stateful LWW operator
 """
 
 __version__ = "0.1.0"
