@@ -200,6 +200,7 @@ def main():
         for p in os.environ.get("SCALING_PAIRS", "2:8,8:32").split(",")
     ]
     levels = sorted({e for p in pairs for e in p})
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     input_dir = gen_input(n_docs)
     cal = calibrate()
     runs: dict[int, list] = {e: [] for e in levels}
@@ -225,6 +226,10 @@ def main():
             r["probe_per_core"] = round(p, 1)
             runs[e].append(r)
             print("RUN " + json.dumps(r), flush=True)
+            # crash-resilience: persist accepted runs as they land so a
+            # killed harness loses nothing (the final report re-reads these)
+            with open(os.path.join(REPO, "BENCH", "runs.jsonl"), "a") as f:
+                f.write(json.dumps(r) + "\n")
     best = {e: max(runs[e], key=lambda r: r["docs_per_sec"]) for e in levels if runs[e]}
 
     lines = [
