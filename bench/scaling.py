@@ -200,17 +200,33 @@ def main():
         for p in os.environ.get("SCALING_PAIRS", "2:8,8:32").split(",")
     ]
     levels = sorted({e for p in pairs for e in p})
+    # SCALING_LEVELS: optionally restrict which levels RUN this session
+    # (the report still covers every level with accepted runs — prior ones
+    # are resumed from BENCH/runs.jsonl)
+    run_levels = sorted(
+        int(x) for x in os.environ.get(
+            "SCALING_LEVELS", ",".join(map(str, levels))
+        ).split(",")
+    )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     input_dir = gen_input(n_docs)
     cal = calibrate()
     runs: dict[int, list] = {e: [] for e in levels}
+    runs_path = os.path.join(REPO, "BENCH", "runs.jsonl")
+    if os.path.exists(runs_path):
+        with open(runs_path) as f:
+            for line in f:
+                r = json.loads(line)
+                if r.get("n_docs") == n_docs and int(r["executors"]) in runs:
+                    runs[int(r["executors"])].append(r)
     probes: dict[int, list] = {e: [] for e in levels}
+    max_attempts = int(os.environ.get("SCALING_ATTEMPTS", rounds * 2))
     attempts = 0
-    while attempts < rounds * 2 and any(
-        len([r for r in runs[e] if r]) < rounds for e in levels
+    while attempts < max_attempts and any(
+        len([r for r in runs[e] if r]) < rounds for e in run_levels
     ):
         attempts += 1
-        for e in levels:
+        for e in run_levels:
             if len([r for r in runs[e] if r]) >= rounds:
                 continue
             p = probe_per_core()
