@@ -551,16 +551,39 @@ def plan_salts_source(
     global plan targets salt_target * num_units postings per term."""
     if callable(source):
         ded = source(0, 1)
+        frac = sample_fraction
     else:
         html_col = (
             F.col("html") if "html" in source.columns else F.lit(None).cast("binary")
         )
-        ded = source.select(
+        sampled = source
+        frac = sample_fraction
+        # a row-level sample still SCANS (and decompresses) every input
+        # file; for multi-file sources read a random file SUBSET instead and
+        # sample within it — head-of-Zipf terms appear in every file, so a
+        # few files estimate fanouts as well as the full scan at a fraction
+        # of the I/O (the scan cost of this pass is otherwise a per-corpus
+        # serial-ish overhead that erodes scaling efficiency)
+        try:
+            files = [f for f in source.inputFiles() if ".parquet" in f]
+        except Exception:  # noqa: BLE001 — non-file sources sample in full
+            files = []
+        if len(files) >= 8 and 0 < sample_fraction < 1.0:
+            import random as _random
+
+            take = max(2, int(math.ceil(len(files) * 0.1)))
+            rng = _random.Random(seed)
+            subset = rng.sample(sorted(files), take)  # sorted: deterministic plan
+            sampled = source.sparkSession.read.schema(source.schema).parquet(*subset)
+            # keep the SAME expected sample size: scale the row fraction up
+            # by the inverse file fraction (capped at 1.0)
+            frac = min(1.0, sample_fraction * len(files) / take)
+        ded = sampled.select(
             F.xxhash64("url").alias("doc_id"), html_col.alias("html"), "text"
         )
     return dict(
         plan_salts(
-            ded, sample_fraction, salt_target * max(1, num_units), max_fanout, seed
+            ded, frac, salt_target * max(1, num_units), max_fanout, seed
         )
     )
 
@@ -668,21 +691,30 @@ def build_unit(
         schema=COMBINED_SCHEMA,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        import time as _time
+
+        phases: dict[str, float] = {}
+        _t0 = _time.time()
+        # ONE action computes docs stats AND the oversize-drop counter: the
+        # observation sits on `combined` (above the kind filter) so the
+        # kind==2 accounting rows are tallied during the same cache-
+        # populating pass that writes the docs table — no second job.
         docs_obs = Observation()
         docs_out = (
-            combined.filter(F.col("kind") == 0)
-            .select("doc_id", "url", "doclen")
-            .observe(
-                docs_obs, F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sum_dl")
+            combined.observe(
+                docs_obs,
+                F.count(F.when(F.col("kind") == 0, 1)).alias("n"),
+                F.sum(F.when(F.col("kind") == 0, F.col("doclen"))).alias("sum_dl"),
+                F.sum(F.when(F.col("kind") == 2, F.col("df"))).alias("dropped"),
             )
+            .filter(F.col("kind") == 0)
+            .select("doc_id", "url", "doclen")
         )
         docs_out.write.mode("overwrite").parquet(
             os.path.join(docs_path(index_dir), f"unit={unit}")
         )
-
-        dropped_terms = (
-            combined.filter(F.col("kind") == 2).agg(F.sum("df")).collect()[0][0] or 0
-        )
+        dropped_terms = docs_obs.get["dropped"] or 0
+        phases["tokenize_docs"] = round(_time.time() - _t0, 2)
 
         partials = combined.filter(F.col("kind") == 1).select(
             "term", "salt", "df", "cf", "first_doc",
@@ -707,11 +739,14 @@ def build_unit(
                 F.sum(F.length("postings")).alias("bytes"),
             )
         )
+        _t0 = _time.time()
         segments.write.mode("overwrite").parquet(
             os.path.join(segments_path(index_dir), f"unit={unit}")
         )
+        phases["segments"] = round(_time.time() - _t0, 2)
 
         row = {
+            "phase_secs": phases,  # diagnostics only (not a manifest field)
             "segment_id": f"u{unit}",
             "unit": unit,
             "input_snapshot_id": input_snapshot_id,
@@ -774,9 +809,13 @@ def build_index(
     if todo and fields.read_mapping(index_dir) is None:
         src_df = source if not callable(source) else source(0, 1)
         fields.write_mapping(index_dir, fields.mapping_for(src_df))
+    import time as _time
+
+    _t0 = _time.time()
     salt_plan = plan_salts_source(
         source, num_units, sample_fraction, salt_target, max_fanout
     ) if todo else {}
+    salt_plan_sec = round(_time.time() - _t0, 2)
     built, failed = [], []
     for u in todo:
         try:
@@ -817,4 +856,6 @@ def build_index(
         "built_units": [r["unit"] for r in built],
         "skipped_units": [u for u in requested if u not in todo],
         "failed_units": failed,
+        "salt_plan_sec": salt_plan_sec,
+        "phase_secs": [r.get("phase_secs") for r in built],
     }
