@@ -161,6 +161,16 @@ def _registry() -> dict[str, tuple]:
         bm25_sql(BM25_HEAD_TERMS),
     )
 
+    def bm25_ranged(spark, sf_dir):
+        """Doc-range-parallel scoring (query.search_ranged): posting lists
+        byte-sliced at block boundaries into 8 doc-id windows, scored in
+        parallel tasks, bit-exact with the single-task-per-unit path."""
+        idx = docs_index(spark, sf_dir)
+        res = query.search_ranged(spark, idx, BM25_HEAD_TERMS, 10, ranges=8)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_ranged"] = (bm25_ranged, bm25_sql(BM25_HEAD_TERMS))
+
     # boolean AND (conjunctive intersection inside the scorer)
     def bm25_conjunctive(spark, sf_dir):
         idx = docs_index(spark, sf_dir)

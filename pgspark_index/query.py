@@ -158,6 +158,143 @@ def search(
     return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_ranged(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = 10,
+    ranges: int = 8,
+) -> DataFrame:
+    """Top-k BM25 with DOC-RANGE-PARALLEL scoring — the scale path for
+    units whose posting lists are too large for one scorer task.
+
+    ``search`` groups by unit (one scorer task per unit: correct, but a
+    single giant unit serializes scoring). Here the int64 doc-id space
+    (doc_id = xxhash64 -> uniform) is split into ``ranges`` equal windows
+    (power of two) and every (term, salt) row is SLICED JVM-SIDE at block
+    boundaries: slice(block arrays) + substr(postings bytes) per
+    overlapping range, so each scorer task receives only its byte window
+    (~1x total transfer, duplicating only boundary blocks, never whole
+    head-term blobs). Each doc's postings for ALL query terms land in the
+    same (unit, range) group — per-doc sums are complete and bit-exact
+    with ``search``; per-range top-k then TakeOrderedAndProject merges.
+
+    Scoring work per query stays O(total postings of the query terms) but
+    now spreads across ranges x units tasks: latency scales with cores."""
+    assert ranges >= 2 and (ranges & (ranges - 1)) == 0, "ranges must be a power of 2"
+    stats = merge.load_stats(index_dir)
+    terms = sorted(set(terms))
+    idfs = _term_idfs(spark, index_dir, terms, stats["n_docs"])
+    present = sorted(idfs)
+    if not present:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    avgdl = float(stats["avgdl"])
+    excluder = _tombstone_excluder(index_dir)
+
+    INT64_MIN = -(1 << 63)
+    step = (1 << 64) // ranges
+    bounds = [INT64_MIN + r * step for r in range(ranges)] + [None]  # hi of last = +inf
+
+    seg = (
+        spark.read.parquet(segments_path(index_dir))
+        .filter(F.col("term").isin(present))
+        .select(
+            "unit", "term", "postings",
+            "block_last_doc", "block_offset",
+        )
+    )
+    nb = F.size("block_last_doc")
+    slices = []
+    for r in range(ranges):
+        lo = bounds[r]
+        hi = bounds[r + 1]
+        # first block whose last_doc >= lo … first block whose last_doc >= hi
+        # (that block straddles the boundary and belongs to BOTH windows;
+        # the scorer's [lo, hi) mask de-duplicates its docs)
+        b_lo = (
+            F.size(F.filter("block_last_doc", lambda x: x < F.lit(lo)))
+            if r > 0
+            else F.lit(0)
+        )
+        b_hi = (
+            F.least(
+                F.size(F.filter("block_last_doc", lambda x: x < F.lit(hi))),
+                nb - 1,
+            )
+            if hi is not None
+            else nb - 1
+        )
+        byte_lo = F.element_at("block_offset", b_lo + 1)
+        byte_hi = F.when(
+            b_hi + 1 < nb, F.element_at("block_offset", b_hi + 2)
+        ).otherwise(F.octet_length("postings"))
+        slices.append(
+            F.struct(
+                F.lit(r).alias("rid"),
+                F.lit(lo).alias("lo"),
+                # non-null (sentinel int64-max for the last range) so the
+                # column reaches pandas as exact int64, never float64
+                F.lit(hi if hi is not None else (1 << 63) - 1).alias("hi_excl"),
+                # prev_last must reach pandas as EXACT int64: a nullable
+                # int column converts to float64 (precision loss on 19-digit
+                # doc ids), so ship non-null value + flag
+                F.coalesce(
+                    F.when(b_lo > 0, F.element_at("block_last_doc", b_lo)),
+                    F.lit(0).cast("long"),
+                ).alias("prev_last"),
+                (b_lo > 0).alias("has_prev"),
+                F.when(
+                    b_hi >= b_lo,
+                    F.col("postings").substr(
+                        byte_lo + 1, (byte_hi - byte_lo).cast("int")
+                    ),
+                ).alias("postings"),
+            )
+        )
+    exploded = (
+        seg.select(
+            "unit", "term", F.explode(F.array(*slices)).alias("s")
+        )
+        .select(
+            "unit",
+            "term",
+            F.col("s.rid").alias("rid"),
+            F.col("s.lo").alias("lo"),
+            F.col("s.hi_excl").alias("hi_excl"),
+            F.col("s.prev_last").alias("prev_last"),
+            F.col("s.has_prev").alias("has_prev"),
+            F.col("s.postings").alias("postings"),
+        )
+        .filter(F.col("postings").isNotNull() & (F.octet_length("postings") > 0))
+    )
+
+    def score_range(key, pdf):
+        import pandas as pd
+
+        unit, _rid = key[0], key[1]
+        lo = int(pdf["lo"].iloc[0])
+        h = int(pdf["hi_excl"].iloc[0])
+        hi = (1 << 63) if h == (1 << 63) - 1 else h
+        lists = [
+            {
+                "term": r.term,
+                "idf": idfs[r.term],
+                "postings": r.postings,
+                "prev_last": int(r.prev_last) if r.has_prev else None,
+            }
+            for r in pdf.itertuples()
+        ]
+        docs, scores = wand.score_range_sliced(
+            lists, avgdl, k, lo, hi, exclude=excluder(unit)
+        )
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    per_range = exploded.groupBy("unit", "rid").applyInPandas(
+        score_range, schema=RESULT_SCHEMA
+    )
+    return per_range.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def search_phrase(
     spark: SparkSession,
     index_dir: str,

@@ -564,6 +564,52 @@ def score_proximity(
     return _exact_topk(all_docs, all_contribs, all_tranks, k)
 
 
+def score_range_sliced(
+    lists: list[dict],
+    avgdl: float,
+    k: int,
+    lo: int,
+    hi: int,
+    exclude: np.ndarray | None = None,
+):
+    """Exhaustive TAAT over BYTE-SLICED lists restricted to doc range
+    [lo, hi) — the per-range scorer of the doc-range-parallel query path.
+
+    Each list dict: {term, idf, postings: bytes (contiguous block window
+    sliced JVM-side), prev_last: int | None (block_last_doc of the block
+    before the window — gap base for the window's first posting)}.
+    One vectorized varbyte pass per list; docs outside [lo, hi) (window
+    boundary blocks straddle ranges) are masked before scoring, so every
+    doc scores in EXACTLY one range group and per-doc term sums are
+    complete. Scores are bit-exact with the unsliced strategies (same
+    sorted-term-order float64 accumulation)."""
+    from . import codecs
+
+    ranks = _term_ranks(lists)
+    all_docs, all_contribs, all_tranks = [], [], []
+    for lst in lists:
+        blob = lst["postings"]
+        if not blob:
+            continue
+        stream = codecs.varbyte_decode(memoryview(bytes(blob)))
+        gaps = stream[0::3].copy()
+        if lst.get("prev_last") is not None:
+            gaps[0] += codecs._to_unsigned(
+                np.array([lst["prev_last"]], dtype=np.int64)
+            )[0]
+        doc = codecs._to_signed(np.cumsum(gaps, dtype=np.uint64))
+        tf = stream[1::3].astype(np.int64)
+        dl = stream[2::3].astype(np.int64)
+        keep = (doc >= lo) & (doc < hi)
+        if exclude is not None and exclude.size:
+            keep &= ~np.isin(doc, exclude, assume_unique=True)
+        doc, tf, dl = doc[keep], tf[keep], dl[keep]
+        all_docs.append(doc)
+        all_contribs.append(lst["idf"] * bm25.tf_weight(tf, dl, avgdl))
+        all_tranks.append(np.full(doc.size, ranks[lst["term"]], dtype=np.int32))
+    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+
+
 def match_doc_counts(lists: list[dict], exclude: np.ndarray | None = None):
     """-> (doc_ids, distinct-term match counts) for boolean matching /
     faceting — no scoring, decode of doc ids only."""

@@ -100,3 +100,43 @@ def test_tie_break_doc_id_asc():
     for name, scorer in wand.STRATEGIES.items():
         got_docs, _ = scorer(lists, stats["avgdl"], 3)
         assert got_docs.tolist() == [-3, 1, 5], name
+
+
+def test_ranged_search_matches_standard(spark, tmp_index):
+    """Doc-range-parallel scoring is bit-exact with the per-unit path for
+    every range count, including after a delta introduces tombstones."""
+    from pgspark_index import build, fixtures, incremental, merge, query
+
+    df = fixtures.make_webtext_df(spark, 1500, seed=11, partitions=4)
+    build.build_index(spark, df, tmp_index, num_units=2, partitions=4,
+                      sample_fraction=1.0)
+    merge.merge_index(spark, tmp_index)
+
+    qs = fixtures.make_query_set(4, seed=99)
+    for q in qs:
+        a = [(r["doc_id"], round(r["score"], 10))
+             for r in query.search(spark, tmp_index, q["terms"], q["k"]).collect()]
+        for R in (2, 8):
+            b = [(r["doc_id"], round(r["score"], 10))
+                 for r in query.search_ranged(spark, tmp_index, q["terms"],
+                                              q["k"], ranges=R).collect()]
+            assert a == b, (q["query_id"], R)
+
+    # delta: recrawl 30 urls -> tombstones; both paths must exclude them
+    import datetime as dt
+
+    upd = fixtures.make_webtext_pdf(1500, seed=11).drop_duplicates(
+        subset=["url"], keep="last").head(30).copy()
+    upd["text"] = "rangedsentinel fresh " * 5
+    upd["html"] = None
+    upd["warc_ts"] = upd["warc_ts"] + dt.timedelta(days=5)
+    delta = spark.createDataFrame(upd, schema=fixtures.WEBTEXT_DDL)
+    incremental.build_delta(spark, delta, tmp_index, input_snapshot_id=1,
+                            num_units=1, partitions=4, sample_fraction=1.0)
+    for q in qs:
+        a = [(r["doc_id"], round(r["score"], 10))
+             for r in query.search(spark, tmp_index, q["terms"], q["k"]).collect()]
+        b = [(r["doc_id"], round(r["score"], 10))
+             for r in query.search_ranged(spark, tmp_index, q["terms"],
+                                          q["k"], ranges=4).collect()]
+        assert a == b, q["query_id"]
