@@ -221,7 +221,15 @@ def run(execs: int, n_docs: int, input_dir: str) -> dict:
 
 def calibrate() -> dict:
     """The VM's own scaling ceiling: pure-register spin (zero memory traffic,
-    zero syscalls, zero communication) at 1/2/8/16/32 processes."""
+    zero syscalls, zero communication) at 1/2/8/16/32 processes.
+
+    Probe-gated like the runs: a calibration taken in a degraded window
+    would understate the ceiling (observed: the same table at 1/3 speed),
+    so wait for a healthy window first (bounded retries)."""
+    for _ in range(20):
+        if probe_per_core() >= SPIN_GATE:
+            break
+        time.sleep(20)
     per = {p: spin_total(p) for p in (1, 2, 8, 16, 32)}
     return {
         "spin_totals": {str(k): round(v, 1) for k, v in per.items()},
