@@ -32,6 +32,59 @@ def sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
+# ---- host-noise stamping -------------------------------------------------
+# This VM's deliverable per-core speed drifts 2-7x over minutes (noisy
+# neighbors; see BENCH/BASELINE.md). Every bench emission carries (a) a
+# start-of-run register-spin probe and (b) the min/mean of a continuous
+# in-run probe, so round-over-round numbers are attributable to code vs
+# host weather. Known-good is ~55-60 units/core; < ~40 means degraded.
+
+_PROBER_SRC = r"""
+import time
+def spin(secs=3.0):
+    t0 = time.time(); n = 0; x = 1
+    while time.time() - t0 < secs:
+        for _ in range(100000):
+            x = (x * 1103515245 + 12345) % 2147483648
+        n += 1
+    return n / (time.time() - t0)
+while True:
+    print(f"{spin()}", flush=True)
+    time.sleep(9)
+"""
+
+
+def _spin_once(secs: float = 3.0) -> float:
+    t0 = time.time()
+    n = 0
+    x = 1
+    while time.time() - t0 < secs:
+        for _ in range(100000):
+            x = (x * 1103515245 + 12345) % 2147483648
+        n += 1
+    return n / (time.time() - t0)
+
+
+def _start_prober():
+    import subprocess
+
+    return subprocess.Popen(
+        [sys.executable, "-c", _PROBER_SRC], stdout=subprocess.PIPE, text=True
+    )
+
+
+def _stop_prober(proc) -> list[float]:
+    import subprocess
+
+    proc.terminate()
+    try:
+        out, _ = proc.communicate(timeout=10)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out = ""
+    return [float(l) for l in out.splitlines() if l.strip()]
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -39,6 +92,8 @@ def main():
     n_docs = max(1000, int(sf * 200_000))
     n_queries = 50
 
+    probe_start = round(_spin_once(), 1)
+    prober = _start_prober()
     spark = get_spark(app="pgspark_bench", cores=cpus, shuffle_partitions=cpus)
     index_dir = tempfile.mkdtemp(prefix="pgspark_bench_idx_")
     timings: dict[str, float] = {}
@@ -84,6 +139,8 @@ def main():
         timings["batch_all_queries"] = round(batch_sec, 3)
 
         total = timings["build"] + timings["merge"] + sum(lat)
+        speeds = _stop_prober(prober)
+        prober = None
         out = {
             "metric": "webtext index build + merge + 50 BM25 top-k queries (engine end-to-end)",
             "value": round(total, 3),
@@ -96,9 +153,16 @@ def main():
             "query_p95_sec": round(p95, 4),
             "batch_queries_per_sec": round(n_queries / batch_sec, 2),
             "postings_bytes": stats["postings_bytes"],
+            "probe_start": probe_start,
+            "inrun_probe_min": round(min(speeds), 1) if speeds else None,
+            "inrun_probe_mean": (
+                round(sum(speeds) / len(speeds), 1) if speeds else None
+            ),
         }
         print(json.dumps(out))
     finally:
+        if prober is not None:
+            _stop_prober(prober)
         shutil.rmtree(index_dir, ignore_errors=True)
         spark.stop()
 

@@ -296,10 +296,21 @@ def main():
         # deliverable speed swings 2-7x on a ~1-minute timescale) with
         # engine scaling; a healthy pair controls for it.
         want = rounds
-        while attempts < max_attempts and (
-            len([p for p in pair_results if p["healthy"]]) < want
+
+        def _healthy_count(n, n4):
+            return len(
+                [p for p in pair_results
+                 if p["healthy"] and p["n"] == n and p["n4"] == n4]
+            )
+
+        while attempts < max_attempts and any(
+            _healthy_count(n, n4) < want for (n, n4) in pairs
         ):
             attempts += 1
+            # round-robin over EVERY configured pair (not just pairs[0]),
+            # skipping pairs that already have enough healthy evidence
+            todo = [pr for pr in pairs if _healthy_count(*pr) < want]
+            n, n4 = todo[(attempts - 1) % len(todo)]
             p = probe_per_core()
             if p < SPIN_GATE:
                 print(f"SKIP pair: host degraded (probe {p:.1f} < {SPIN_GATE})")
@@ -307,12 +318,11 @@ def main():
                 continue
             try:
                 rs = {}
-                for e in pairs[0]:
+                for e in (n, n4):
                     rs[e] = run(e, n_docs, input_dir)
             except Exception as exc:  # noqa: BLE001
                 print(f"FAILED pair: {str(exc)[:500]}")
                 continue
-            n, n4 = pairs[0]
             eff = rs[n4]["docs_per_sec"] / (4 * rs[n]["docs_per_sec"])
             healthy = all(
                 rs[e].get("inrun_probe_min", 0) >= inrun_gate for e in (n, n4)
@@ -410,13 +420,19 @@ def main():
         healthy_pairs = [p for p in pair_results if p["healthy"]]
         lines.append("")
         if healthy_pairs:
-            bp = max(healthy_pairs, key=lambda p: p["eff"])
-            verdict = "PASS" if bp["eff"] >= 0.8 else "FAIL"
-            lines.append(
-                f"**Best healthy-pair scaling efficiency N={bp['n']} -> "
-                f"4N={bp['n4']}** = **{bp['eff']:.3f}** (acceptance >= 0.8 -> {verdict})"
-            )
-            effs[f"pair_{bp['n']}->{bp['n4']}"] = bp["eff"]
+            # best healthy pair PER configured (N, 4N) — 2->8 and 8->32 are
+            # different claims (the latter is hardware-capped, see below)
+            for (n, n4) in pairs:
+                hp = [p for p in healthy_pairs if p["n"] == n and p["n4"] == n4]
+                if not hp:
+                    continue
+                bp = max(hp, key=lambda p: p["eff"])
+                verdict = "PASS" if bp["eff"] >= 0.8 else "FAIL"
+                lines.append(
+                    f"**Best healthy-pair scaling efficiency N={bp['n']} -> "
+                    f"4N={bp['n4']}** = **{bp['eff']:.3f}** (acceptance >= 0.8 -> {verdict})"
+                )
+                effs[f"pair_{bp['n']}->{bp['n4']}"] = bp["eff"]
         else:
             lines.append(
                 "(no healthy pair landed yet — every window collapsed mid-pair)"

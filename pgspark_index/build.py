@@ -149,7 +149,8 @@ def make_tokenize_fn(
     The map-side combine of the classic MapReduce index build: each input
     partition tokenizes its docs, groups locally by (term, salt), and emits
     delta+varbyte-encoded partial lists WITH final block-max metadata. Only
-    compressed blobs cross the shuffle (~3.5 B/posting instead of ~14+
+    compressed blobs cross the shuffle (~2.3 B/posting [gap, tf] — doclen
+    moved to the per-doc docs sidecar in format v2 — instead of ~14+
     B/posting raw rows), and the JVM never materializes per-posting rows.
 
     The docs side table (doc_id, url, doclen) falls out of the same pass as
@@ -563,9 +564,24 @@ def plan_salts_source(
         # sample within it — head-of-Zipf terms appear in every file, so a
         # few files estimate fanouts as well as the full scan at a fraction
         # of the I/O (the scan cost of this pass is otherwise a per-corpus
-        # serial-ish overhead that erodes scaling efficiency)
+        # serial-ish overhead that erodes scaling efficiency).
+        # Gated on the source being a BARE file scan: re-reading inputFiles()
+        # silently drops any filters/projections layered on the DataFrame
+        # (and derived columns would read as null), so anything beyond a
+        # plain relation falls back to row-level sampling of the source.
         try:
-            files = [f for f in source.inputFiles() if ".parquet" in f]
+            plan_cls = (
+                source._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            )
+        except Exception:  # noqa: BLE001 — can't introspect -> no shortcut
+            plan_cls = ""
+        bare_scan = plan_cls in ("LogicalRelation", "DataSourceV2Relation")
+        try:
+            files = (
+                [f for f in source.inputFiles() if ".parquet" in f]
+                if bare_scan
+                else []
+            )
         except Exception:  # noqa: BLE001 — non-file sources sample in full
             files = []
         if len(files) >= 8 and 0 < sample_fraction < 1.0:
@@ -723,7 +739,7 @@ def build_unit(
         )
         seg_obs = Observation()
         # Map-side combine: only compressed partial lists cross this shuffle
-        # (~3.5 B/posting vs ~14+ B/posting raw rows), and JVM<->Arrow row
+        # (~2.3 B/posting vs ~14+ B/posting raw rows), and JVM<->Arrow row
         # counts are O(distinct terms), not O(postings). Hash repartition
         # (no range-sampler pass); sortWithinPartitions keeps every output
         # FILE term-sorted so parquet row-group min/max stats stay selective

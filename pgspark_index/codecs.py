@@ -9,9 +9,18 @@ index layout (Ding & Suel, "Faster Top-k Document Retrieval Using Block-Max
 Indexes", SIGIR 2011).
 
 Wire format of one posting list (one (term, salt) row):
-  stream of LEB128 varints, 3 per posting: [gap, tf, doclen] * df
+  stream of LEB128 varints, 2 per posting: [gap, tf] * df
   gap[0] = zigzag-free biased docid (doc_u = doc_id + 2^63, order-preserving
   uint64); gap[i] = doc_u[i] - doc_u[i-1]. Postings sorted by doc_id ASC.
+
+Doclen is NOT stored per posting (format v2): it is a per-DOC value, so
+repeating it in every posting of every term cost ~1/3 of the stream for
+pure redundancy — shuffled, spliced, and stored once per posting instead
+of once per doc. Scorers gather doclen from the unit's docs table
+(doc_id-sorted; one searchsorted per list) — the Lucene layout, where
+norms live in a per-doc sidecar (.nvd/.nvm), not inside postings.
+Encoders still take per-posting doclens to compute block_min_dl metadata
+(block-max pruning needs the in-block minimum at build time).
 
 Block-max metadata (BLOCK=128 postings per block), stored as parallel
 arrays per list row:
@@ -129,10 +138,9 @@ def encode_postings(
     if n:
         gaps[0] = doc_u[0]
         gaps[1:] = doc_u[1:] - doc_u[:-1]
-    stream = np.empty(3 * n, dtype=np.uint64)
-    stream[0::3] = gaps
-    stream[1::3] = tfs
-    stream[2::3] = doclens
+    stream = np.empty(2 * n, dtype=np.uint64)
+    stream[0::2] = gaps
+    stream[1::2] = tfs
     blob, nbytes = varbyte_encode(stream)
     # block boundaries every BLOCK postings
     nblocks = (n + BLOCK - 1) // BLOCK if n else 0
@@ -141,7 +149,7 @@ def encode_postings(
     block_ends = np.minimum(block_starts + BLOCK, n) - 1
     block_offset = np.zeros(nblocks, dtype=np.int64)
     if nblocks > 1:
-        block_offset[1:] = byte_ends[block_starts[1:] * 3 - 1]
+        block_offset[1:] = byte_ends[block_starts[1:] * 2 - 1]
     tf_i64 = tfs.astype(np.int64)
     dl_i64 = doclens.astype(np.int64)
     max_tf = np.maximum.reduceat(tf_i64, block_starts) if nblocks else np.zeros(0, np.int64)
@@ -190,23 +198,22 @@ def encode_groups(
     gaps[1:] = doc_u[1:] - doc_u[:-1]
     gaps[g] = doc_u[g]  # reset delta chain at every group start
 
-    # (n, 3) row-major view == interleaved [gap, tf, dl] stream; column
+    # (n, 2) row-major view == interleaved [gap, tf] stream; column
     # assignment casts in place — no intermediate astype copies
-    stream2 = np.empty((n, 3), dtype=np.uint64)
+    stream2 = np.empty((n, 2), dtype=np.uint64)
     stream2[:, 0] = gaps
     stream2[:, 1] = tfs
-    stream2[:, 2] = doclens
     stream = stream2.reshape(-1)
     blob, nbytes = varbyte_encode(stream)
-    byte_start = np.zeros(3 * n + 1, dtype=np.int64)
+    byte_start = np.zeros(2 * n + 1, dtype=np.int64)
     np.cumsum(nbytes, out=byte_start[1:])  # byte_start[i] = offset of value i
 
     tfs = np.asarray(tfs, dtype=np.int64)
     doclens = np.asarray(doclens, dtype=np.int64)
     cf = np.add.reduceat(tfs, g)
     mv = memoryview(blob)
-    glo = byte_start[3 * g]
-    ghi = np.concatenate((glo[1:], [byte_start[3 * n]]))
+    glo = byte_start[2 * g]
+    ghi = np.concatenate((glo[1:], [byte_start[2 * n]]))
 
     if not with_blocks:
         # partial-list path: block metadata is only needed on FINAL segment
@@ -232,7 +239,7 @@ def encode_groups(
     blk_min_dl = np.minimum.reduceat(doclens, blk_start).astype(np.int32)
     blk_last_doc = doc_ids[blk_end].astype(np.int64)
     # byte offset of each block, relative to its group's blob start
-    blk_offset = (byte_start[3 * blk_start] - byte_start[3 * g[blk_group]]).astype(np.int64)
+    blk_offset = (byte_start[2 * blk_start] - byte_start[2 * g[blk_group]]).astype(np.int64)
 
     out = []
     for k in range(ng):
@@ -251,14 +258,14 @@ def encode_groups(
     return out
 
 
-def decode_postings(blob: bytes, df: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Full-list decode -> (doc_ids int64 asc, tfs int64, doclens int64)."""
-    stream = varbyte_decode(blob, count=3 * df)
-    gaps = stream[0::3]
-    tfs = stream[1::3].astype(np.int64)
-    dls = stream[2::3].astype(np.int64)
+def decode_postings(blob: bytes, df: int) -> tuple[np.ndarray, np.ndarray]:
+    """Full-list decode -> (doc_ids int64 asc, tfs int64). Doclen is a
+    per-doc sidecar (the unit docs table), not part of the stream."""
+    stream = varbyte_decode(blob, count=2 * df)
+    gaps = stream[0::2]
+    tfs = stream[1::2].astype(np.int64)
     doc_u = np.cumsum(gaps, dtype=np.uint64)
-    return _to_signed(doc_u), tfs, dls
+    return _to_signed(doc_u), tfs
 
 
 def decode_block(
@@ -266,8 +273,9 @@ def decode_block(
     block_idx: int,
     block_offset: np.ndarray,
     prev_last_doc: int | None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray]:
     """Decode a single block without touching earlier bytes (skip support).
+    -> (doc_ids, tfs); doclen comes from the per-doc sidecar.
 
     ``prev_last_doc`` is block_last_doc[block_idx-1] (None for block 0):
     the first gap in a block is relative to the previous block's last doc.
@@ -280,11 +288,11 @@ def decode_block(
     off = int(block_offset[block_idx])
     end = int(block_offset[block_idx + 1]) if block_idx + 1 < len(block_offset) else len(blob)
     stream = varbyte_decode(memoryview(blob)[off:end])
-    gaps = stream[0::3].copy()
+    gaps = stream[0::2].copy()
     if prev_last_doc is not None:
         gaps[0] += _to_unsigned(np.array([prev_last_doc], dtype=np.int64))[0]
     doc_u = np.cumsum(gaps, dtype=np.uint64)
-    return _to_signed(doc_u), stream[1::3].astype(np.int64), stream[2::3].astype(np.int64)
+    return _to_signed(doc_u), stream[1::2].astype(np.int64)
 
 
 def encode_position_groups(

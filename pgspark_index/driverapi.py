@@ -76,6 +76,36 @@ def _documents(spark, sf_dir) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+_TITLE_INDEX_CACHE: dict[str, str] = {}
+
+
+def title_index(spark: SparkSession, sf_dir: str) -> str:
+    """Second-field index for multi-field search: a deterministic derived
+    'title' (the doc's first 8 tokens — a headline stand-in the SQL oracle
+    can replicate with list slicing). Built over the SAME doc_id space and
+    unit count as docs_index, so unit u holds the same docs in both."""
+    key = os.path.abspath(sf_dir)
+    idx = _TITLE_INDEX_CACHE.get(key)
+    if idx and os.path.exists(merge.stats_path(idx)):
+        return idx
+    idx = tempfile.mkdtemp(prefix="pgspark_title_index_")
+    docs = _documents(spark, sf_dir)
+    title = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0), 1, 8
+            ),
+            " ",
+        ).alias("text"),
+    )
+    provider = build.docs_unit_provider(title)
+    build.build_index(spark, provider, idx, num_units=2, partitions=8)
+    merge.merge_index(spark, idx)
+    _TITLE_INDEX_CACHE[key] = idx
+    return idx
+
+
 def _events(spark, sf_dir) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -195,6 +225,103 @@ def _registry() -> dict[str, tuple]:
             ["data", "query", "fast"],
             doc_filter_cte="SELECT doc_id FROM documents WHERE lang = 'de'",
         ),
+    )
+
+    # bool.must_not: docs containing ANY excluded term are filtered out
+    # (pure filter context — reference shape: OpenSearch bool queries,
+    # search_store.go DeleteByQuery / bool.must_not DSL)
+    MUST_NOT = ["vector"]
+
+    def bm25_must_not(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.search(
+            spark, idx, ["data", "query", "fast"], 10, exclude_terms=MUST_NOT
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    _not_cte = (
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+        f"(SELECT doc_id FROM tok WHERE term IN ({', '.join(repr(t) for t in MUST_NOT)}))"
+    )
+    R["bm25_must_not"] = (
+        bm25_must_not,
+        bm25_sql(["data", "query", "fast"], doc_filter_cte=_not_cte),
+    )
+
+    # delete-by-query: tombstone all docs matching a metadata predicate,
+    # then verify the live-doc count (reference: DeleteByQuery on schema
+    # drop, search_store.go:154-184); runs on a COPY of the cached index
+    def drop_source_count(spark, sf_dir):
+        import shutil
+        import tempfile as _tf
+
+        from . import incremental
+
+        idx = docs_index(spark, sf_dir)
+        cp = _tf.mkdtemp(prefix="pgspark_drop_")
+        shutil.rmtree(cp)
+        shutil.copytree(idx, cp)
+        match = (
+            _documents(spark, sf_dir).filter(F.col("lang") == "de").select("doc_id")
+        )
+        incremental.drop_docs(spark, cp, match)
+        stats = merge.load_stats(cp)
+        out = spark.createDataFrame(
+            [(int(stats["n_docs"]),)], "live_docs bigint"
+        )
+        shutil.rmtree(cp, ignore_errors=True)
+        return out
+
+    R["drop_source_count"] = (
+        drop_source_count,
+        "SELECT count(*)::BIGINT AS live_docs FROM documents WHERE lang <> 'de'",
+    )
+
+    # multi-field BM25 with per-field boosts (per-column mappings,
+    # search_pg_mapper.go:137-183): title (first-8-tokens headline field,
+    # boost 2.0) + body (full text, boost 1.0), each with its own
+    # df/doclen/avgdl — the OpenSearch multi-field bool/should shape
+    MF_TERMS = ["data", "query", "fast"]
+    MF_BOOSTS = {"title": 2.0, "body": 1.0}
+
+    def bm25_multifield(spark, sf_dir):
+        fields = {
+            "body": docs_index(spark, sf_dir),
+            "title": title_index(spark, sf_dir),
+        }
+        res = query.search_multifield(spark, fields, MF_TERMS, 10, boosts=MF_BOOSTS)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    _mf_tlist = ", ".join(f"'{t}'" for t in sorted(set(MF_TERMS)))
+    _mf_w = "(tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))"
+    _mf_idf = "ln(1.0 + ((SELECT n FROM n) - df.df + 0.5) / (df.df + 0.5))"
+    R["bm25_multifield"] = (
+        bm25_multifield,
+        f"""
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+body_tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+title_tok AS (SELECT doc_id, unnest((regexp_extract_all(lower(text), '[a-z0-9]+'))[1:8]) AS term FROM documents),
+b_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM body_tok GROUP BY 1, 2),
+b_dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM body_tok GROUP BY 1),
+b_st AS (SELECT (SELECT sum(dl) FROM b_dl)::DOUBLE / (SELECT n FROM n) AS avgdl),
+b_df AS (SELECT term, count(*)::BIGINT AS df FROM b_tf GROUP BY 1),
+t_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM title_tok GROUP BY 1, 2),
+t_dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM title_tok GROUP BY 1),
+t_st AS (SELECT (SELECT sum(dl) FROM t_dl)::DOUBLE / (SELECT n FROM n) AS avgdl),
+t_df AS (SELECT term, count(*)::BIGINT AS df FROM t_tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, {MF_BOOSTS['body']} * {_mf_idf} * {_mf_w} AS c
+  FROM b_tf tf JOIN b_df df USING (term) JOIN b_dl dl USING (doc_id) CROSS JOIN b_st st
+  WHERE tf.term IN ({_mf_tlist})
+  UNION ALL
+  SELECT tf.doc_id, {MF_BOOSTS['title']} * {_mf_idf} * {_mf_w} AS c
+  FROM t_tf tf JOIN t_df df USING (term) JOIN t_dl dl USING (doc_id) CROSS JOIN t_st st
+  WHERE tf.term IN ({_mf_tlist})
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
     )
 
     # exact phrase over the positional index (match_phrase analog)

@@ -21,8 +21,8 @@ re-expression over snapshot tables:
   from-scratch build (asserted in tests).
 - ``compact`` — physically applies tombstones: decode -> drop -> re-encode
   every affected posting list (mapInPandas, no raw text required because
-  postings carry (doc, tf, doclen)), rewrite docs tables, refresh manifest
-  lineage, clear tombstones. After compact + merge, global stats and df
+  postings carry (doc, tf) and block metadata bounds doclen), rewrite docs
+  tables, refresh manifest lineage, clear tombstones. After compact + merge, global stats and df
   are exactly those of a from-scratch build of the merged corpus.
 
 Analogy map: tombstone-aware reads = OpenSearch versioned upsert/delete;
@@ -195,6 +195,55 @@ def build_delta(
     return {"built_units": [r["unit"] for r in built], "tombstones": n_tomb}
 
 
+def drop_docs(
+    spark: SparkSession,
+    index_dir: str,
+    match: DataFrame,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Delete-by-query: tombstone every indexed doc in ``match`` (any
+    DataFrame with a doc_id column — e.g. a metadata predicate over the
+    docs table, or a query.match_docs result).
+
+    Reference analog: pgstream deletes a schema's documents from the
+    search store by query on schema drop
+    (/root/reference/pkg/wal/processor/search/search_store.go:154-184,
+    DeleteByQuery over the schema-name field). Same shape here: a pure
+    tombstone-metadata write — postings stay untouched until ``compact``
+    physically expunges them; queries exclude the docs immediately via the
+    standard tombstone mechanism (unit-scoped, LSN-as-version).
+
+    ``snapshot_id`` defaults to (max committed unit snapshot) + 1 so the
+    tombstones supersede every existing unit; it consumes that snapshot id
+    (a later build_delta should use a higher one). Distributed end-to-end:
+    the match set is semi-joined against the docs tables and written as
+    parquet without touching the driver."""
+    usnap = unit_snapshots(index_dir)
+    if snapshot_id is None:
+        snapshot_id = (max(usnap.values()) if usnap else 0) + 1
+    indexed = spark.read.parquet(docs_path(index_dir)).select("doc_id")
+    tomb = (
+        match.select("doc_id")
+        .distinct()
+        .join(indexed, "doc_id", "left_semi")
+        .withColumn("snapshot", F.lit(int(snapshot_id)).cast("long"))
+    )
+    d = tombstones_path(index_dir)
+    os.makedirs(d, exist_ok=True)
+    # dirname namespaced per drop so repeated drop_docs calls never clobber
+    # an earlier drop's (or a delta's) tombstones; the snapshot-* glob in
+    # _tombstone_files picks all of them up
+    n_prev = len(glob.glob(os.path.join(d, f"snapshot-{snapshot_id}.drop-*")))
+    final = os.path.join(d, f"snapshot-{snapshot_id}.drop-{n_prev}")
+    tmp = final + ".tmp"
+    tomb.write.mode("overwrite").parquet(tmp)
+    n_tomb = spark.read.parquet(tmp).count()
+    os.replace(tmp, final)  # atomic publish (commit-after-write)
+    # refresh stats so n_docs/avgdl reflect the drop immediately
+    merge.merge_index(spark, index_dir)
+    return {"tombstoned": int(n_tomb), "snapshot_id": int(snapshot_id)}
+
+
 def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) -> dict:
     """Physically expunge tombstoned docs from every unit, then clear
     tombstones. Posting lists are rewritten by decode -> filter -> encode
@@ -226,14 +275,26 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
-                doc, tf, dl = codecs.decode_postings(r.postings, int(r.df))
+                doc, tf = codecs.decode_postings(r.postings, int(r.df))
                 keep = ~np.isin(doc, t, assume_unique=True)
                 if keep.all():
                     out.append(r._asdict())
                     continue
                 if not keep.any():
                     continue
-                enc = codecs.encode_postings(doc[keep], tf[keep], dl[keep])
+                # format v2 carries no per-posting doclen; for the rewritten
+                # block_min_dl metadata, map each kept posting to its OLD
+                # block's min_dl — a lower bound on the posting's true
+                # doclen, so the new per-block minimum stays a SAFE (at
+                # worst slightly loose) bound for block-max pruning.
+                old_last = np.asarray(r.block_last_doc, dtype=np.int64)
+                old_min_dl = np.asarray(r.block_min_dl, dtype=np.int64)
+                dl_lower = old_min_dl[
+                    np.minimum(
+                        np.searchsorted(old_last, doc[keep]), old_last.size - 1
+                    )
+                ]
+                enc = codecs.encode_postings(doc[keep], tf[keep], dl_lower)
                 positions = b""
                 if isinstance(r.positions, (bytes, bytearray)) and len(r.positions):
                     pos = codecs.decode_positions(r.positions, tf)

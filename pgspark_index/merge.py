@@ -72,6 +72,9 @@ def merge_index(spark: SparkSession, index_dir: str, lexicon_partitions: int | N
     return stats
 
 
+_ADJ_CACHE: dict = {}
+
+
 def _tombstone_stat_adjustment(spark: SparkSession, index_dir: str) -> dict | None:
     """(count, doclen sum) of superseded doc versions still physically in
     the segments — subtracted from global stats so n_docs/avgdl between a
@@ -81,7 +84,15 @@ def _tombstone_stat_adjustment(spark: SparkSession, index_dir: str) -> dict | No
 
     A docs-table row (unit u, doc d) is stale iff some tombstone (d, s) has
     s > u's input snapshot. Distributed: docs tables joined to the
-    (broadcast) tombstone set — no driver-side doc collections."""
+    (broadcast) tombstone set — no driver-side doc collections.
+
+    Cached per (tombstone-file, manifest-file) fingerprint: merge_index is
+    called per micro-batch under merge_each_batch, and the two joins +
+    docs-table scan here would otherwise re-run on EVERY batch while any
+    tombstone exists; the inputs that determine the answer (tombstone set,
+    committed units + snapshots — and with them the docs tables, which
+    only change alongside a manifest commit) are exactly what the
+    fingerprint covers."""
     import glob as _glob
     import os as _os
 
@@ -93,8 +104,22 @@ def _tombstone_stat_adjustment(spark: SparkSession, index_dir: str) -> dict | No
     )
     if not files:
         return None
+
+    def _stat(p):
+        st = _os.stat(p)
+        return (p, st.st_size, st.st_mtime_ns)
+
+    manifest_files = sorted(
+        _glob.glob(_os.path.join(index_dir, "manifest", "*.json"))
+        + _glob.glob(_os.path.join(index_dir, "manifest", "*.parquet"))
+    )
+    fp = tuple(_stat(p) for p in files + manifest_files)
+    cached = _ADJ_CACHE.get(index_dir)
+    if cached is not None and cached[0] == fp:
+        return cached[1]
     tomb = spark.read.parquet(*files)
     if tomb.isEmpty():
+        _ADJ_CACHE[index_dir] = (fp, None)
         return None
     m = manifest.read_manifest(index_dir)
     m = m[m["status"] == manifest.STATUS_COMPLETED]
@@ -115,9 +140,9 @@ def _tombstone_stat_adjustment(spark: SparkSession, index_dir: str) -> dict | No
         F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("sum_dl")
     ).collect()[0]
     n = int(row["n"] or 0)
-    if n == 0:
-        return None
-    return {"n": n, "sum_dl": int(row["sum_dl"] or 0)}
+    adj = {"n": n, "sum_dl": int(row["sum_dl"] or 0)} if n else None
+    _ADJ_CACHE[index_dir] = (fp, adj)
+    return adj
 
 
 def load_stats(index_dir: str) -> dict:

@@ -22,7 +22,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import bm25, merge, wand
-from .build import segments_path
+from .build import docs_path, segments_path
+
+# ---- per-unit doclen sidecar ---------------------------------------------
+# Format v2 stores doclen once per DOC in the unit's docs table, not once
+# per posting in the stream (the Lucene norms layout: .nvd beside the
+# postings, ~1/3 less stream bytes through build shuffle + segment files).
+# Scorers gather it via ONE searchsorted per decoded list. The loaded
+# (sorted doc_ids, doclens) pair is cached in the executor's Python worker
+# process — workers are reused across queries, so the columnar read is paid
+# once per (unit, file-set); compaction rewrites the unit's files (new
+# names), which rolls the fingerprint and invalidates the entry.
+
+_DL_CACHE: dict = {}
+
+
+def _dl_lookup(index_dir: str, unit: int):
+    """-> vectorized callable(doc_ids) -> doclens for one unit."""
+    import os as _os
+
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    d = _os.path.join(docs_path(index_dir), f"unit={int(unit)}")
+    dataset = ds.dataset(d, format="parquet")
+    key = (d, tuple(sorted(dataset.files)))
+    ent = _DL_CACHE.get(key)
+    if ent is None:
+        t = dataset.to_table(columns=["doc_id", "doclen"])
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = t["doclen"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(doc)
+        if len(_DL_CACHE) >= 32:
+            _DL_CACHE.clear()
+        ent = (doc[order], dl[order])
+        _DL_CACHE[key] = ent
+    doc_s, dl_s = ent
+
+    def dl_of(docs):
+        if docs.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        # every posting doc exists in the unit's docs table by construction
+        return dl_s[np.searchsorted(doc_s, docs)]
+
+    return dl_of
+
+
+# tombstone sets larger than this never ride task closures/broadcasts —
+# `search` switches to the distributed anti-join escalation path instead
+TOMBSTONE_CLOSURE_LIMIT = 1_000_000
 
 
 def _tombstone_excluder(index_dir: str):
@@ -31,21 +79,45 @@ def _tombstone_excluder(index_dir: str):
     Unit-scoped: a tombstone (doc, snapshot s) suppresses the doc only in
     units built from snapshots OLDER than s — the snapshot-s delta unit
     holds the live version (LSN-as-version semantics, search_adapter.go:179-184)."""
+    return _tombstone_excluder_bounded(index_dir, limit=None)[0]
+
+
+def _tombstone_excluder_bounded(index_dir: str, limit: int | None):
+    """-> (for_unit callable | None, big: bool).
+
+    ``big`` is True when the tombstone set exceeds ``limit`` rows (checked
+    FIRST on file bytes so an enormous set is never even read onto the
+    driver): the caller must use the distributed anti-join path instead of
+    shipping the array to scorers. limit=None never flags big (entry
+    points without an anti-join fallback keep the closure behavior)."""
+    import os as _os
+
     import numpy as np
 
-    from .incremental import load_tombstones, unit_snapshots
+    from .incremental import _tombstone_files, load_tombstones, unit_snapshots
 
+    none_fn = lambda unit: None  # noqa: E731
+    files = _tombstone_files(index_dir)
+    if not files:
+        return none_fn, False
+    if limit is not None:
+        # ~16 B/row is a generous parquet floor for (int64, int64) rows —
+        # past this the set cannot fit the limit, skip the driver read
+        if sum(_os.path.getsize(f) for f in files) > 64 * limit:
+            return None, True
     tombs = load_tombstones(index_dir)
     if tombs is None:
-        return lambda unit: None
+        return none_fn, False
     docs, snaps = tombs
+    if limit is not None and docs.size > limit:
+        return None, True
     usnap = unit_snapshots(index_dir)
 
     def for_unit(unit):
         ex = docs[snaps > usnap.get(int(unit), 0)]
         return ex if ex.size else None
 
-    return for_unit
+    return for_unit, False
 
 RESULT_SCHEMA = "doc_id bigint, score double"
 BATCH_RESULT_SCHEMA = "query_id int, doc_id bigint, score double"
@@ -79,6 +151,41 @@ def _term_idfs(spark: SparkSession, index_dir: str, terms: list[str], n_docs: in
     return out
 
 
+def _split_must_not(pdf, neg_terms):
+    """Split a unit's segment rows into (positive rows, excluded doc array).
+
+    must_not semantics (OpenSearch bool.must_not: pure filter context, no
+    score contribution): any doc containing ANY excluded term is removed
+    from the match set. The exclusion doc set decodes ONLY doc ids from
+    the neg terms' lists (no tf/score work) and merges into the scorer's
+    exclude array — the same mechanism as tombstones."""
+    import numpy as np
+
+    from . import codecs
+
+    if not neg_terms:
+        return pdf, None
+    m = pdf["term"].isin(list(neg_terms))
+    if not m.any():
+        return pdf, None
+    neg = pdf[m]
+    docs = [
+        codecs.decode_postings(r.postings, int(r.df))[0] for r in neg.itertuples()
+    ]
+    nd = np.unique(np.concatenate(docs)) if docs else None
+    return pdf[~m], nd
+
+
+def _merge_excludes(a, b):
+    import numpy as np
+
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return np.union1d(a, b)
+
+
 def _rows_to_lists(pdf, idfs: dict[str, float]) -> list[dict]:
     with_pos = "positions" in pdf.columns
     return [
@@ -105,17 +212,39 @@ def search(
     strategy: str = "maxscore",
     mode: str = "or",
     filter_df: DataFrame | None = None,
+    filter_broadcast_limit: int = 4_000_000,
+    tombstone_closure_limit: int = TOMBSTONE_CLOSURE_LIMIT,
+    exclude_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k BM25 -> DataFrame(doc_id, score), (score DESC, doc_id ASC).
 
     ``mode``: "or" (default — any query term) or "and" (conjunctive: docs
     must contain every term; the reference's search traffic shape via the
     OpenSearch bool/must DSL).
+    ``exclude_terms``: bool.must_not — docs containing ANY of these terms
+    are removed from the match set (pure filter context, no score
+    contribution). The exclusion doc set is computed per unit from the
+    excluded terms' posting lists (doc-id decode only) and merged into the
+    scorer's tombstone exclude array.
     ``filter_df``: optional DataFrame with a doc_id column — a metadata
-    pre-filter (e.g. docs.filter(lang = 'en')). Implemented scale-first:
-    units emit ALL their scored docs, one distributed semi-join applies the
-    filter, then TakeOrderedAndProject takes the global top-k — no doc-id
-    collect to the driver, no literal IN lists.
+    pre-filter (e.g. docs.filter(lang = 'en')). The filter executes BEFORE
+    scoring (the OpenSearch bool-query filter-context shape: filters run
+    first, scoring only over survivors), with per-unit emission bounded by
+    k — never n_docs. Three tiers by filter cardinality:
+
+    - |filter| <= ``filter_broadcast_limit``: the doc-id set rides a
+      broadcast into the scorers as an ``include`` mask (same mechanism as
+      tombstone ``exclude``); each unit emits its top-k of the filtered
+      docs — exact.
+    - complement small (filter keeps almost everything): broadcast the
+      complement (indexed docs NOT in the filter) merged into the
+      tombstone exclude set — exact, same bound.
+    - both sides huge (mid-selectivity at extreme scale): escalating
+      two-phase — score per-unit top-c (c = 4k, growing 4x), semi-join
+      the filter distributively, and accept the global top-k only when
+      the kth filtered score strictly beats every non-exhausted unit's
+      lowest emitted score (no unemitted doc can outrank it); else
+      escalate c. Exact at every exit.
 
     Between an incremental delta and the next compaction, n_docs/avgdl are
     tombstone-corrected at merge time; per-term df still counts superseded
@@ -123,39 +252,222 @@ def search(
     docs are excluded from results either way."""
     stats = merge.load_stats(index_dir)
     terms = sorted(set(terms))
-    idfs = _term_idfs(spark, index_dir, terms, stats["n_docs"])
+    neg_terms = sorted(set(exclude_terms or []))
+    all_idfs = _term_idfs(
+        spark, index_dir, sorted(set(terms + neg_terms)), stats["n_docs"]
+    )
+    idfs = {t: v for t, v in all_idfs.items() if t in terms}
+    neg_present = [t for t in neg_terms if t in all_idfs]
     present = sorted(idfs)
     if not present or (mode == "and" and len(present) < len(terms)):
         return spark.createDataFrame([], RESULT_SCHEMA)
     avgdl = float(stats["avgdl"])
     scorer = wand.score_conjunctive if mode == "and" else wand.STRATEGIES[strategy]
-    excluder = _tombstone_excluder(index_dir)
-    # with a metadata filter, per-unit top-k pruning is unsafe (the filter
-    # may remove arbitrarily many of a unit's best docs) — score everything
-    # that matches, filter distributively, then take the global top-k
-    unit_k = stats["n_docs"] if filter_df is not None else k
+    excluder, tomb_big = _tombstone_excluder_bounded(
+        index_dir, tombstone_closure_limit
+    )
+    n_docs = int(stats["n_docs"])
 
     seg = (
         spark.read.parquet(segments_path(index_dir))
-        .filter(F.col("term").isin(present))
+        .filter(F.col("term").isin(present + neg_present))
         .select(
             "unit", "term", "df", "postings",
             "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
         )
     )
 
+    if tomb_big:
+        # tombstone set beyond the closure limit: unit-scoped exclusion
+        # runs as a DISTRIBUTED anti-join over per-unit top-c emissions
+        # (escalating until the kth kept score is provably final) — the
+        # doc-id array never touches the driver or the task closures
+        return _search_escalating(
+            spark, index_dir, seg, idfs, avgdl, scorer, k, n_docs,
+            excluder=None,
+            semi_df=filter_df.select("doc_id") if filter_df is not None else None,
+            tomb_anti=True, neg_terms=neg_present,
+        )
+
+    if filter_df is not None:
+        return _search_filtered(
+            spark, index_dir, seg, idfs, avgdl, scorer, k, excluder,
+            filter_df, filter_broadcast_limit, n_docs, neg_terms=neg_present,
+        )
+
     def score_unit(key, pdf):
         import pandas as pd
 
+        pdf, neg_docs = _split_must_not(pdf, neg_present)
         docs, scores = scorer(
-            _rows_to_lists(pdf, idfs), avgdl, unit_k, exclude=excluder(key[0])
+            _rows_to_lists(pdf, idfs), avgdl, k,
+            _dl_lookup(index_dir, key[0]),
+            exclude=_merge_excludes(excluder(key[0]), neg_docs),
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     per_unit = seg.groupBy("unit").applyInPandas(score_unit, schema=RESULT_SCHEMA)
-    if filter_df is not None:
-        per_unit = per_unit.join(filter_df.select("doc_id"), "doc_id", "left_semi")
     return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+UNIT_RESULT_SCHEMA = "unit int, doc_id bigint, score double"
+
+
+# diagnostics: which filtered-search tier the last `search` call used
+# ("include" | "exclude-complement" | "escalate") — asserted in tests
+_LAST_FILTER_MODE: str | None = None
+
+
+def _search_filtered(
+    spark, index_dir, seg, idfs, avgdl, scorer, k, excluder,
+    filter_df, broadcast_limit, n_docs, neg_terms=(),
+):
+    """Filtered search tiers (see ``search`` docstring). Returns the final
+    top-k DataFrame; every tier bounds per-unit scorer emission to <= the
+    current candidate count (k, or c during escalation), never n_docs."""
+    global _LAST_FILTER_MODE
+    import numpy as np
+
+    fl = filter_df.select("doc_id")
+    ids_pdf = fl.limit(broadcast_limit + 1).toPandas()
+    if len(ids_pdf) <= broadcast_limit:
+        _LAST_FILTER_MODE = "include"
+        include = np.unique(ids_pdf["doc_id"].to_numpy(dtype="int64"))
+        inc_bc = spark.sparkContext.broadcast(include)
+
+        def score_inc(key, pdf):
+            import pandas as pd
+
+            pdf, neg_docs = _split_must_not(pdf, neg_terms)
+            docs, scores = scorer(
+                _rows_to_lists(pdf, idfs), avgdl, k,
+                _dl_lookup(index_dir, key[0]),
+                exclude=_merge_excludes(excluder(key[0]), neg_docs),
+                include=inc_bc.value,
+            )
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        per_unit = seg.groupBy("unit").applyInPandas(score_inc, schema=RESULT_SCHEMA)
+        # filter already applied inside the scorers — no semi-join needed
+        return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # filter too big to broadcast — is its COMPLEMENT (within the indexed
+    # docs) small? A keep-almost-everything filter excludes few docs.
+    docs_all = spark.read.parquet(docs_path(index_dir)).select("doc_id")
+    comp_pdf = (
+        docs_all.join(fl, "doc_id", "left_anti").limit(broadcast_limit + 1).toPandas()
+    )
+    if len(comp_pdf) <= broadcast_limit:
+        _LAST_FILTER_MODE = "exclude-complement"
+        comp = np.unique(comp_pdf["doc_id"].to_numpy(dtype="int64"))
+        comp_bc = spark.sparkContext.broadcast(comp)
+
+        def score_exc(key, pdf):
+            import pandas as pd
+
+            pdf, neg_docs = _split_must_not(pdf, neg_terms)
+            ex = _merge_excludes(
+                _merge_excludes(excluder(key[0]), neg_docs), comp_bc.value
+            )
+            docs, scores = scorer(
+                _rows_to_lists(pdf, idfs), avgdl, k,
+                _dl_lookup(index_dir, key[0]), exclude=ex,
+            )
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        per_unit = seg.groupBy("unit").applyInPandas(score_exc, schema=RESULT_SCHEMA)
+        return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # escalating two-phase (shared with the big-tombstone path)
+    _LAST_FILTER_MODE = "escalate"
+    return _search_escalating(
+        spark, index_dir, seg, idfs, avgdl, scorer, k, n_docs,
+        excluder=excluder, semi_df=fl, neg_terms=neg_terms,
+    )
+
+
+def _search_escalating(
+    spark, index_dir, seg, idfs, avgdl, scorer, k, n_docs,
+    excluder=None, semi_df=None, tomb_anti=False, neg_terms=(),
+):
+    """Escalating two-phase top-k: per-unit top-c, distributed
+    semi-join (metadata filter) and/or unit-scoped tombstone ANTI-join,
+    accept only when the kth kept score strictly beats the best possible
+    unemitted score (each non-exhausted unit's lowest emitted score
+    upper-bounds everything it did not emit) — else c escalates 4x.
+    Exact at every exit; no doc-id set ever rides a closure."""
+    import numpy as np
+
+    tomb_max = usnap_df = None
+    if tomb_anti:
+        from .incremental import read_tombstones, unit_snapshots
+
+        tomb = read_tombstones(spark, index_dir)
+        tomb_max = tomb.groupBy("doc_id").agg(F.max("snapshot").alias("__ts"))
+        usnap_df = spark.createDataFrame(
+            [(int(u), int(s)) for u, s in unit_snapshots(index_dir).items()],
+            "unit int, __us bigint",
+        )
+
+    def make_score_c(_c):
+        def score_c(key, pdf):
+            import pandas as pd
+
+            pdf, neg_docs = _split_must_not(pdf, neg_terms)
+            ex = excluder(key[0]) if excluder is not None else None
+            docs, scores = scorer(
+                _rows_to_lists(pdf, idfs), avgdl, _c,
+                _dl_lookup(index_dir, key[0]),
+                exclude=_merge_excludes(ex, neg_docs),
+            )
+            return pd.DataFrame(
+                {"unit": np.full(docs.size, key[0], dtype="int32"),
+                 "doc_id": docs, "score": scores}
+            )
+
+        return score_c
+
+    c = max(4 * k, 64)
+    while True:
+        score_c = make_score_c(c)
+        per_unit = (
+            seg.groupBy("unit")
+            .applyInPandas(score_c, schema=UNIT_RESULT_SCHEMA)
+            .persist()
+        )
+        try:
+            bounds = per_unit.groupBy("unit").agg(
+                F.count(F.lit(1)).alias("n"), F.min("score").alias("min_s")
+            ).collect()
+            kept = per_unit
+            if tomb_anti:
+                # a doc is stale in unit u iff some tombstone snapshot is
+                # NEWER than u's input snapshot (LSN-as-version semantics)
+                kept = (
+                    kept.join(F.broadcast(usnap_df), "unit", "left")
+                    .join(tomb_max, "doc_id", "left")
+                    .filter(
+                        F.col("__ts").isNull()
+                        | (F.col("__ts") <= F.coalesce(F.col("__us"), F.lit(0)))
+                    )
+                    .drop("__ts", "__us")
+                )
+            if semi_df is not None:
+                kept = kept.join(semi_df, "doc_id", "left_semi")
+            top = (
+                kept.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+            )
+        finally:
+            per_unit.unpersist()
+        open_bounds = [r["min_s"] for r in bounds if int(r["n"]) >= c]
+        done = not open_bounds or (
+            len(top) == k and top[-1]["score"] > max(open_bounds)
+        )
+        if done or c >= n_docs:
+            return spark.createDataFrame(
+                [(r["doc_id"], r["score"]) for r in top], RESULT_SCHEMA
+            )
+        c = min(c * 4, n_docs)
 
 
 def search_ranged(
@@ -285,7 +597,8 @@ def search_ranged(
             for r in pdf.itertuples()
         ]
         docs, scores = wand.score_range_sliced(
-            lists, avgdl, k, lo, hi, exclude=excluder(unit)
+            lists, avgdl, k, lo, hi,
+            _dl_lookup(index_dir, unit), exclude=excluder(unit),
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -293,6 +606,80 @@ def search_ranged(
         score_range, schema=RESULT_SCHEMA
     )
     return per_range.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_multifield(
+    spark: SparkSession,
+    field_indexes: dict[str, str],
+    terms: list[str],
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    """Weighted multi-field BM25 top-k (OpenSearch multi-field bool/should;
+    reference: per-column typed mappings, search_pg_mapper.go:137-183).
+
+    ``field_indexes``: field name -> index dir. Each field is its OWN
+    index over the same corpus with the SAME doc_id space and num_units
+    (build them with the same unit count — the unit predicate hashes
+    doc_id, so unit u holds the same docs in every field index). Scoring
+    is unit-local and exact: unit u's scorer receives every field's lists
+    for u, computes score(d) = sum_f boost_f * BM25_f(d, q) with each
+    field's own idf/doclen/avgdl, and emits its top-k; the global top-k is
+    a TakeOrderedAndProject. -> DataFrame(doc_id, score)."""
+    boosts = {f: 1.0 for f in field_indexes} | (boosts or {})
+    terms = sorted(set(terms))
+    fields = sorted(field_indexes)
+    stats = {f: merge.load_stats(field_indexes[f]) for f in fields}
+    idfs = {
+        f: _term_idfs(spark, field_indexes[f], terms, stats[f]["n_docs"])
+        for f in fields
+    }
+    if not any(idfs[f] for f in fields):
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    avgdls = {f: float(stats[f]["avgdl"]) for f in fields}
+    excluders = {f: _tombstone_excluder(field_indexes[f]) for f in fields}
+
+    segs = []
+    for f in fields:
+        present = sorted(idfs[f])
+        if not present:
+            continue
+        segs.append(
+            spark.read.parquet(segments_path(field_indexes[f]))
+            .filter(F.col("term").isin(present))
+            .select(
+                F.lit(f).alias("field"), "unit", "term", "df", "postings",
+                "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+            )
+        )
+    seg = segs[0]
+    for s in segs[1:]:
+        seg = seg.unionByName(s)
+
+    def score_unit(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        unit = key[0]
+        field_lists: dict[str, list[dict]] = {}
+        for f in fields:
+            sub = pdf[pdf["field"] == f]
+            if len(sub):
+                field_lists[f] = _rows_to_lists(sub, idfs[f])
+        dl_ofs = {f: _dl_lookup(field_indexes[f], unit) for f in field_lists}
+        # a doc tombstoned in ANY field index is superseded everywhere
+        ex = None
+        for f in field_lists:
+            e = excluders[f](unit)
+            if e is not None:
+                ex = e if ex is None else np.union1d(ex, e)
+        docs, scores = wand.score_multifield(
+            field_lists, avgdls, boosts, k, dl_ofs, exclude=ex
+        )
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    per_unit = seg.groupBy("unit").applyInPandas(score_unit, schema=RESULT_SCHEMA)
+    return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def search_phrase(
@@ -334,7 +721,10 @@ def search_phrase(
         for lst in lists:
             by_term.setdefault(lst["term"], []).append(lst)
         slot_lists = [by_term.get(t, []) for t in phrase_order]
-        docs, scores = wand.score_phrase(slot_lists, avgdl, k, exclude=excluder(key[0]))
+        docs, scores = wand.score_phrase(
+            slot_lists, avgdl, k, _dl_lookup(index_dir, key[0]),
+            exclude=excluder(key[0]),
+        )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     per_unit = seg.groupBy("unit").applyInPandas(score_unit, schema=RESULT_SCHEMA)
@@ -375,7 +765,8 @@ def search_min_should_match(
         import pandas as pd
 
         docs, scores = wand.score_min_should(
-            _rows_to_lists(pdf, idfs), avgdl, k, m, exclude=excluder(key[0])
+            _rows_to_lists(pdf, idfs), avgdl, k, m,
+            _dl_lookup(index_dir, key[0]), exclude=excluder(key[0]),
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -421,7 +812,8 @@ def search_proximity(
             by_term.setdefault(lst["term"], []).append(lst)
         slot_lists = [by_term.get(t, []) for t in phrase_order]
         docs, scores = wand.score_proximity(
-            slot_lists, avgdl, k, slop=slop, exclude=excluder(key[0])
+            slot_lists, avgdl, k, _dl_lookup(index_dir, key[0]),
+            slop=slop, exclude=excluder(key[0]),
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -535,6 +927,7 @@ def search_batch(
         import pandas as pd
 
         exclude = excluder(key[0])
+        dl_of = _dl_lookup(index_dir, key[0])
         lists = _rows_to_lists(pdf, idfs)
         by_term: dict[str, list[dict]] = {}
         for lst in lists:
@@ -544,7 +937,7 @@ def search_batch(
             qlists = [l for t in q["terms"] for l in by_term.get(t, [])]
             if not qlists:
                 continue
-            docs, scores = scorer(qlists, avgdl, q["k"], exclude=exclude)
+            docs, scores = scorer(qlists, avgdl, q["k"], dl_of, exclude=exclude)
             out_q.extend([q["query_id"]] * len(docs))
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())

@@ -34,10 +34,17 @@ def stateful_lww_stream(stream_df: DataFrame, watermark: str = "10 minutes") -> 
 
     State per url = the winning warc_ts seen so far; a batch emits a row
     ONLY when the winner changes, so downstream (build_delta) receives a
-    monotone upsert stream. The watermark bounds both late data and state:
+    monotone upsert stream. The watermark bounds late data AND state:
     rows older than the horizon are dropped by Spark before the operator,
-    and at 100-TB scale state holds one tiny tuple per url active within
-    the horizon — not the corpus. Output: (url, warc_ts, text) winners."""
+    and each url's state carries an event-time timeout at its winning
+    warc_ts — once the watermark passes it, the state is REMOVED
+    (EventTimeTimeout), so at 100-TB scale state holds one tiny tuple per
+    url active within the horizon, not the whole corpus. Eviction is
+    exact, not lossy: after the watermark passes best_ts, any surviving
+    new row for that url has warc_ts >= watermark > best_ts and would win
+    regardless of the dropped state, so re-emitting it as a fresh winner
+    is the same output the unbounded-state operator would produce.
+    Output: (url, warc_ts, text) winners."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = "url string, warc_ts timestamp, text string"
@@ -46,6 +53,11 @@ def stateful_lww_stream(stream_df: DataFrame, watermark: str = "10 minutes") -> 
     def update(key, pdfs, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # watermark passed this url's winning warc_ts — no in-horizon
+            # row can lose to it anymore; drop the state (see docstring)
+            state.remove()
+            return
         url = key[0]
         newest = None
         for pdf in pdfs:
@@ -60,12 +72,30 @@ def stateful_lww_stream(stream_df: DataFrame, watermark: str = "10 minutes") -> 
             yield pd.DataFrame(
                 {"url": [url], "warc_ts": [newest["warc_ts"]], "text": [newest["text"]]}
             )
+        if state.exists:
+            # evict when the watermark passes the winner (must be strictly
+            # ahead of the current watermark or Spark rejects the call)
+            import datetime as dt
+
+            ts = state.get[0] if newest is None else newest["warc_ts"]
+            if hasattr(ts, "to_pydatetime"):
+                ts = ts.to_pydatetime()
+            if ts.tzinfo is None:
+                # state/event timestamps are naive in the session TZ (UTC,
+                # pinned by session.py); naive .timestamp() would assume
+                # the process-local zone instead
+                ts = ts.replace(tzinfo=dt.timezone.utc)
+            best_ms = int(ts.timestamp() * 1000)
+            state.setTimeoutTimestamp(
+                max(best_ms + 1, state.getCurrentWatermarkMs() + 1)
+            )
 
     return (
         stream_df.withWatermark("warc_ts", watermark)
         .groupBy("url")
         .applyInPandasWithState(
-            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

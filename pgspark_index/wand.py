@@ -26,7 +26,13 @@ A "list" dict (one segment row; salted head terms contribute several
 disjoint lists for the same term):
   {term, idf, df, postings(bytes), block_last_doc, block_max_tf,
    block_min_dl, block_offset}
-"""
+
+``dl_of`` (every scorer's required argument): vectorized gather
+callable(doc_ids int64 array) -> doclens int64 array, backed by the unit's
+doc_id-sorted docs table (format v2 stores doclen once per DOC in that
+sidecar, not once per posting in the stream — the Lucene norms layout).
+Every doc id appearing in a unit's postings is present in the unit's docs
+table by construction, so the gather is total."""
 
 from __future__ import annotations
 
@@ -38,16 +44,26 @@ from . import bm25, codecs
 
 
 def _decoded_contribs(
-    lst: dict, avgdl: float, exclude: np.ndarray | None = None
+    lst: dict,
+    avgdl: float,
+    dl_of,
+    exclude: np.ndarray | None = None,
+    include: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full-decode one list -> (doc_ids, contribs). ``exclude`` is a sorted
     int64 array of tombstoned doc_ids (incremental deletes) masked out
-    before scoring."""
-    doc, tf, dl = codecs.decode_postings(lst["postings"], lst["df"])
+    before scoring; ``include`` (sorted unique int64) restricts scoring to
+    a metadata pre-filter's doc set — a doc's own score is unaffected by
+    the restriction (its per-term sum doesn't involve other docs), so
+    filtered results are bit-exact with post-hoc filtering."""
+    doc, tf = codecs.decode_postings(lst["postings"], lst["df"])
     if exclude is not None and exclude.size and doc.size:
         keep = ~np.isin(doc, exclude, assume_unique=True)
-        doc, tf, dl = doc[keep], tf[keep], dl[keep]
-    return doc, lst["idf"] * bm25.tf_weight(tf, dl, avgdl)
+        doc, tf = doc[keep], tf[keep]
+    if include is not None and doc.size:
+        keep = _member_mask(include, doc)
+        doc, tf = doc[keep], tf[keep]
+    return doc, lst["idf"] * bm25.tf_weight(tf, dl_of(doc), avgdl)
 
 
 def _term_ranks(lists: list[dict]) -> dict[str, int]:
@@ -84,12 +100,15 @@ def _trank_of(tranks) -> int:
     return int(arr[0]) if arr.size else 0
 
 
-def score_exhaustive(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray | None = None):
+def score_exhaustive(
+    lists: list[dict], avgdl: float, k: int, dl_of,
+    exclude: np.ndarray | None = None, include: np.ndarray | None = None,
+):
     """Vectorized TAAT over fully decoded lists."""
     ranks = _term_ranks(lists)
     all_docs, all_contribs, all_tranks = [], [], []
     for lst in lists:
-        doc, contrib = _decoded_contribs(lst, avgdl, exclude)
+        doc, contrib = _decoded_contribs(lst, avgdl, dl_of, exclude, include)
         all_docs.append(doc)
         all_contribs.append(contrib)
         all_tranks.append(np.full(doc.size, ranks[lst["term"]], dtype=np.int32))
@@ -120,7 +139,7 @@ def _member_mask(sorted_vals: np.ndarray, probes: np.ndarray) -> np.ndarray:
     return sorted_vals[pos] == probes
 
 
-def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float):
+def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float, dl_of):
     """Decode only the blocks that can contain candidate docs; return
     (docs, contribs) restricted to candidates. Pure block-max skipping.
     ``cand_docs`` must be sorted (maxscore maintains that invariant)."""
@@ -131,17 +150,23 @@ def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float):
     out_docs, out_contribs = [], []
     for b in needed:
         prev = int(last[b - 1]) if b > 0 else None
-        doc, tf, dl = codecs.decode_block(lst["postings"], int(b), offs, prev)
+        doc, tf = codecs.decode_block(lst["postings"], int(b), offs, prev)
         mask = _member_mask(cand_docs, doc)
         if mask.any():
-            out_docs.append(doc[mask])
-            out_contribs.append(lst["idf"] * bm25.tf_weight(tf[mask], dl[mask], avgdl))
+            dsel = doc[mask]
+            out_docs.append(dsel)
+            out_contribs.append(
+                lst["idf"] * bm25.tf_weight(tf[mask], dl_of(dsel), avgdl)
+            )
     if not out_docs:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     return np.concatenate(out_docs), np.concatenate(out_contribs)
 
 
-def score_maxscore(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray | None = None):
+def score_maxscore(
+    lists: list[dict], avgdl: float, k: int, dl_of,
+    exclude: np.ndarray | None = None, include: np.ndarray | None = None,
+):
     """TAAT MaxScore + block skipping. Identical output to exhaustive.
 
     Safety argument: T is the kth-best *partial* accumulated score, which
@@ -164,9 +189,11 @@ def score_maxscore(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray 
     admitting = True
     for i, lst in enumerate(lists):
         if admitting:
-            doc, contrib = _decoded_contribs(lst, avgdl, exclude)
+            # include applies at admission only: probe-phase candidates are
+            # already a subset of the admitted (included) docs
+            doc, contrib = _decoded_contribs(lst, avgdl, dl_of, exclude, include)
         else:
-            doc, contrib = _probe_blocks(lst, cand_docs, avgdl)
+            doc, contrib = _probe_blocks(lst, cand_docs, avgdl, dl_of)
         kept.append((doc, contrib, ranks[lst["term"]]))
         # merge into candidates (cand_docs kept sorted)
         if cand_docs.size:
@@ -202,11 +229,19 @@ def score_maxscore(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray 
     return _exact_topk(all_docs, all_contribs, all_tranks, k)
 
 
-def score_bmw(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray | None = None):
+def score_bmw(
+    lists: list[dict], avgdl: float, k: int, dl_of,
+    exclude: np.ndarray | None = None, include: np.ndarray | None = None,
+):
     """Document-at-a-time Block-Max WAND (reference implementation).
 
     Decodes lazily block-by-block; skips blocks via the WAND pivot +
     block-max upper bounds. Final top-k re-summed in term order."""
+    if include is not None:
+        # include-restricted scoring delegates to MaxScore (identical
+        # output — property-tested); wiring an include set through the
+        # DAAT pivot loop buys nothing for the validation-only path
+        return score_maxscore(lists, avgdl, k, dl_of, exclude, include)
     if not lists:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     ranks = _term_ranks(lists)
@@ -228,10 +263,11 @@ def score_bmw(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray | Non
         def _load(self, b):
             lst = self.lst
             prev = int(lst["block_last_doc"][b - 1]) if b > 0 else None
-            self.docs, self.tfs, self.dls = codecs.decode_block(
+            self.docs, self.tfs = codecs.decode_block(
                 lst["postings"], b,
                 np.asarray(lst["block_offset"], dtype=np.int64), prev,
             )
+            self.dls = dl_of(self.docs)
             self.block = b
             self.i = 0
 
@@ -329,7 +365,10 @@ def score_bmw(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray | Non
     return doc_ids, scores
 
 
-def score_conjunctive(lists: list[dict], avgdl: float, k: int, exclude: np.ndarray | None = None):
+def score_conjunctive(
+    lists: list[dict], avgdl: float, k: int, dl_of,
+    exclude: np.ndarray | None = None, include: np.ndarray | None = None,
+):
     """AND semantics: only docs containing EVERY distinct query term score.
 
     Candidate set = intersection of the per-term doc sets (salted lists of
@@ -343,7 +382,7 @@ def score_conjunctive(lists: list[dict], avgdl: float, k: int, exclude: np.ndarr
     decoded = []
     term_docs: dict[str, list] = {}
     for lst in lists:
-        doc, contrib = _decoded_contribs(lst, avgdl, exclude)
+        doc, contrib = _decoded_contribs(lst, avgdl, dl_of, exclude, include)
         decoded.append((doc, contrib, ranks[lst["term"]]))
         term_docs.setdefault(lst["term"], []).append(doc)
     cand = None
@@ -362,7 +401,8 @@ def score_conjunctive(lists: list[dict], avgdl: float, k: int, exclude: np.ndarr
 
 
 def score_phrase(
-    slot_lists: list[list[dict]], avgdl: float, k: int, exclude: np.ndarray | None = None
+    slot_lists: list[list[dict]], avgdl: float, k: int, dl_of,
+    exclude: np.ndarray | None = None,
 ):
     """Exact-phrase top-k over positional lists (one slot per phrase word).
 
@@ -378,7 +418,7 @@ def score_phrase(
     def slot_doc_pos(lists):
         docs_l, pos_l = [], []
         for lst in lists:
-            doc, tf, _dl = codecs.decode_postings(lst["postings"], lst["df"])
+            doc, tf = codecs.decode_postings(lst["postings"], lst["df"])
             pos = codecs.decode_positions(lst["positions"], tf)
             docs_l.append(np.repeat(doc, tf))
             pos_l.append(pos)
@@ -427,7 +467,7 @@ def score_phrase(
     ranks = _term_ranks(uniq)
     all_docs, all_contribs, all_tranks = [], [], []
     for lst in uniq:
-        doc, contrib = _decoded_contribs(lst, avgdl, None)
+        doc, contrib = _decoded_contribs(lst, avgdl, dl_of, None)
         mask = _member_mask(matched, doc)
         all_docs.append(doc[mask])
         all_contribs.append(contrib[mask])
@@ -440,7 +480,9 @@ def score_min_should(
     avgdl: float,
     k: int,
     min_should_match: int,
+    dl_of,
     exclude: np.ndarray | None = None,
+    include: np.ndarray | None = None,
 ):
     """OR with a should-count threshold: docs matching at least
     ``min_should_match`` DISTINCT query terms score (the OpenSearch
@@ -454,7 +496,7 @@ def score_min_should(
     decoded = []
     term_docs: dict[str, list] = {}
     for lst in lists:
-        doc, contrib = _decoded_contribs(lst, avgdl, exclude)
+        doc, contrib = _decoded_contribs(lst, avgdl, dl_of, exclude, include)
         decoded.append((doc, contrib, ranks[lst["term"]]))
         term_docs.setdefault(lst["term"], []).append(doc)
     # distinct-term match count per doc: one sorted concat of per-term doc
@@ -485,6 +527,7 @@ def score_proximity(
     slot_lists: list[list[dict]],
     avgdl: float,
     k: int,
+    dl_of,
     slop: int = 0,
     exclude: np.ndarray | None = None,
 ):
@@ -504,7 +547,7 @@ def score_proximity(
     def slot_doc_pos(lists):
         docs_l, pos_l = [], []
         for lst in lists:
-            doc, tf, _dl = codecs.decode_postings(lst["postings"], lst["df"])
+            doc, tf = codecs.decode_postings(lst["postings"], lst["df"])
             pos = codecs.decode_positions(lst["positions"], tf)
             docs_l.append(np.repeat(doc, tf))
             pos_l.append(pos)
@@ -556,7 +599,7 @@ def score_proximity(
     ranks = _term_ranks(uniq)
     all_docs, all_contribs, all_tranks = [], [], []
     for lst in uniq:
-        doc, contrib = _decoded_contribs(lst, avgdl, None)
+        doc, contrib = _decoded_contribs(lst, avgdl, dl_of, None)
         mask = _member_mask(matched, doc)
         all_docs.append(doc[mask])
         all_contribs.append(contrib[mask])
@@ -570,6 +613,7 @@ def score_range_sliced(
     k: int,
     lo: int,
     hi: int,
+    dl_of,
     exclude: np.ndarray | None = None,
 ):
     """Exhaustive TAAT over BYTE-SLICED lists restricted to doc range
@@ -592,21 +636,62 @@ def score_range_sliced(
         if not blob:
             continue
         stream = codecs.varbyte_decode(memoryview(bytes(blob)))
-        gaps = stream[0::3].copy()
+        gaps = stream[0::2].copy()
         if lst.get("prev_last") is not None:
             gaps[0] += codecs._to_unsigned(
                 np.array([lst["prev_last"]], dtype=np.int64)
             )[0]
         doc = codecs._to_signed(np.cumsum(gaps, dtype=np.uint64))
-        tf = stream[1::3].astype(np.int64)
-        dl = stream[2::3].astype(np.int64)
+        tf = stream[1::2].astype(np.int64)
         keep = (doc >= lo) & (doc < hi)
         if exclude is not None and exclude.size:
             keep &= ~np.isin(doc, exclude, assume_unique=True)
-        doc, tf, dl = doc[keep], tf[keep], dl[keep]
+        doc, tf = doc[keep], tf[keep]
         all_docs.append(doc)
-        all_contribs.append(lst["idf"] * bm25.tf_weight(tf, dl, avgdl))
+        all_contribs.append(lst["idf"] * bm25.tf_weight(tf, dl_of(doc), avgdl))
         all_tranks.append(np.full(doc.size, ranks[lst["term"]], dtype=np.int32))
+    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+
+
+def score_multifield(
+    field_lists: dict[str, list[dict]],
+    avgdls: dict[str, float],
+    boosts: dict[str, float],
+    k: int,
+    dl_ofs: dict[str, object],
+    exclude: np.ndarray | None = None,
+):
+    """Weighted multi-field BM25 (the OpenSearch multi-field bool/should
+    shape; reference: per-column typed mappings in
+    search_pg_mapper.go:137-183 — each text column is its own scored
+    field): score(d) = sum over fields f of boost_f * BM25_f(d, q), where
+    BM25_f uses the FIELD's own df, doclen, and avgdl (its index's stats).
+
+    ``field_lists``: field -> list dicts (idf already per-field);
+    ``dl_ofs``: field -> doclen gather over that field's docs sidecar.
+    Exact and bit-reproducible: contributions accumulate per doc in sorted
+    (field, term) order, float64 left-to-right, like the single-field
+    scorers."""
+    keys = sorted(
+        (f, l["term"]) for f, ls in field_lists.items() for l in ls
+    )
+    ranks = {ft: i for i, ft in enumerate(dict.fromkeys(keys))}
+    all_docs, all_contribs, all_tranks = [], [], []
+    for field in sorted(field_lists):
+        dl_of = dl_ofs[field]
+        avgdl = avgdls[field]
+        boost = float(boosts.get(field, 1.0))
+        for lst in field_lists[field]:
+            doc, tf = codecs.decode_postings(lst["postings"], lst["df"])
+            if exclude is not None and exclude.size and doc.size:
+                keep = ~np.isin(doc, exclude, assume_unique=True)
+                doc, tf = doc[keep], tf[keep]
+            contrib = boost * lst["idf"] * bm25.tf_weight(tf, dl_of(doc), avgdl)
+            all_docs.append(doc)
+            all_contribs.append(contrib)
+            all_tranks.append(
+                np.full(doc.size, ranks[(field, lst["term"])], dtype=np.int32)
+            )
     return _exact_topk(all_docs, all_contribs, all_tranks, k)
 
 
@@ -615,7 +700,7 @@ def match_doc_counts(lists: list[dict], exclude: np.ndarray | None = None):
     faceting — no scoring, decode of doc ids only."""
     term_docs: dict[str, list] = {}
     for lst in lists:
-        doc, _tf, _dl = codecs.decode_postings(lst["postings"], lst["df"])
+        doc, _tf = codecs.decode_postings(lst["postings"], lst["df"])
         if exclude is not None and exclude.size and doc.size:
             doc = doc[~np.isin(doc, exclude, assume_unique=True)]
         term_docs.setdefault(lst["term"], []).append(doc)

@@ -42,10 +42,13 @@ def test_postings_roundtrip(n):
     enc = codecs.encode_postings(doc_ids, tfs, dls)
     assert enc["df"] == doc_ids.size
     assert enc["cf"] == int(tfs.sum())
-    d_doc, d_tf, d_dl = codecs.decode_postings(enc["postings"], enc["df"])
+    d_doc, d_tf = codecs.decode_postings(enc["postings"], enc["df"])
     assert d_doc.tolist() == doc_ids.tolist()
     assert d_tf.tolist() == tfs.tolist()
-    assert d_dl.tolist() == dls.tolist()
+    # format v2: doclen is NOT in the stream (per-doc sidecar); the encoder
+    # only folds it into block_min_dl metadata
+    nblocks = (doc_ids.size + codecs.BLOCK - 1) // codecs.BLOCK
+    assert len(enc["block_min_dl"]) == nblocks
 
 
 def test_encode_groups_matches_per_group_encode():
@@ -95,9 +98,8 @@ def test_block_meta_and_block_decode():
         assert enc["block_max_tf"][b] == tfs[lo:hi].max()
         assert enc["block_min_dl"][b] == dls[lo:hi].min()
         prev = None if b == 0 else int(doc_ids[lo - 1])
-        bd, bt, bl = codecs.decode_block(
+        bd, bt = codecs.decode_block(
             enc["postings"], b, enc["block_offset"], prev
         )
         assert bd.tolist() == doc_ids[lo:hi].tolist()
         assert bt.tolist() == tfs[lo:hi].tolist()
-        assert bl.tolist() == dls[lo:hi].tolist()

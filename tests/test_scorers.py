@@ -45,6 +45,20 @@ def make_lists(stats, terms, salt_fanout=1):
     return lists
 
 
+def make_dl_of(stats):
+    """dl gather over the oracle's doclen map — the docs-table sidecar
+    lookup the engine builds per unit (format v2: doclen not in stream)."""
+    docs = np.array(sorted(stats["doclen"]), dtype=np.int64)
+    dls = np.array([stats["doclen"][int(d)] for d in docs], dtype=np.int64)
+
+    def dl_of(x):
+        if x.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        return dls[np.searchsorted(docs, x)]
+
+    return dl_of
+
+
 def rand_corpus(seed, n_docs=400, vocab=40):
     rng = np.random.RandomState(seed)
     words = [f"t{i}" for i in range(vocab)]
@@ -74,8 +88,9 @@ def test_strategies_match_oracle(seed, salt):
         k = int(rng.choice([1, 3, 10, 25]))
         golden = oracle.score_query(stats, terms, k)
         lists = make_lists(stats, terms, salt_fanout=salt)
+        dl_of = make_dl_of(stats)
         for name, scorer in wand.STRATEGIES.items():
-            got_docs, got_scores = scorer(lists, stats["avgdl"], k)
+            got_docs, got_scores = scorer(lists, stats["avgdl"], k, dl_of)
             exp_docs = [d for _, d, _ in golden]
             exp_scores = [s for _, _, s in golden]
             assert got_docs.tolist() == exp_docs, (name, terms, k)
@@ -84,7 +99,7 @@ def test_strategies_match_oracle(seed, salt):
 
 def test_empty_and_missing():
     for scorer in wand.STRATEGIES.values():
-        d, s = scorer([], 10.0, 5)
+        d, s = scorer([], 10.0, 5, lambda x: np.zeros(x.size, dtype=np.int64))
         assert d.size == 0 and s.size == 0
 
 
@@ -97,8 +112,9 @@ def test_tie_break_doc_id_asc():
     golden = oracle.score_query(stats, ["a"], 3)
     assert [d for _, d, _ in golden] == [-3, 1, 5]
     lists = make_lists(stats, ["a"])
+    dl_of = make_dl_of(stats)
     for name, scorer in wand.STRATEGIES.items():
-        got_docs, _ = scorer(lists, stats["avgdl"], 3)
+        got_docs, _ = scorer(lists, stats["avgdl"], 3, dl_of)
         assert got_docs.tolist() == [-3, 1, 5], name
 
 
