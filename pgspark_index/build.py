@@ -23,14 +23,16 @@ the raw corpus slice):
 
   scan (column-pruned: url, warc_ts, html, text)
    -> filter pmod(xxhash64(url), num_units) = unit        [unit predicate]
-   -> repartitionByRange(P, doc_id)                       [shuffle 1]
-      + sortWithinPartitions(doc_id ASC, version DESC, ...)
+   -> repartition(P, stripe) where stripe = top bits of   [shuffle 1]
+      xxhash64(doc_id) (deterministic, uniform — see ORD_SHIFT)
+      + sortWithinPartitions(stripe, hash, doc_id ASC, version DESC, ...)
    -> ONE tokenize pass (mapInPandas): streaming LWW dedup
-      (keep-first per doc_id over the sorted stream), then emits BOTH
-        kind=0 doc rows (doc_id, url, doclen)             [docs by-product]
+      (keep-first per doc_id over the sorted stream) + dense doc
+      ORDINAL assignment (partition_id << 40 | rank), then emits BOTH
+        kind=0 sidecar rows (ord, doc_id, url, doclen)    [docs by-product]
         kind=1 PARTIAL posting lists: local group +
         delta/varbyte encode + block-max meta per map
-        partition (doc ranges DISJOINT across tasks)      [map-side combine]
+        partition (ordinal ranges DISJOINT across tasks)  [map-side combine]
    -> persist the combined output (compressed blobs + doc
       rows — far smaller than the raw slice)
    -> docs parquet  = filter kind=0                       [cache read]
@@ -75,7 +77,33 @@ SEG_SCHEMA = (
     "positions binary"
 )
 
-DOCS_SCHEMA = "doc_id bigint, url string, doclen int"
+DOCS_SCHEMA = "ord bigint, doc_id bigint, url string, doclen int"
+
+# dense doc ordinal (format v3): partition_id << ORD_SHIFT | rank-within-
+# task. Posting gaps shrink from ~7 bytes (random 64-bit doc_id deltas) to
+# 1-3 bytes (real doc distances) — Lucene's segment-local docID design.
+# Determinism chain (bit-reproducible across builds/resumes at the same
+# partition count): the shuffle key is a STRIPE = top bits of
+# xxhash64(doc_id) (pure function of the id, uniform for any id shape —
+# webtext hash ids and dense integer ids alike); partition assignment is
+# murmur3(stripe) % P (Spark's fixed hash partitioner — unlike a range
+# partitioner there is no nondeterministic boundary sampling); within the
+# task, rank follows the (xxhash64(doc_id), doc_id) sort. Each task's
+# ordinals are therefore a CONTIGUOUS range [pid<<SHIFT, pid<<SHIFT+n) —
+# the splice-merge disjointness invariant — and every ordering invariant
+# (streaming LWW, block skip pointers) holds in that order. Result
+# tie-breaking happens on the mapped doc_id at emission (wand._exact_topk),
+# so ordinal order never has to agree with doc_id order. The explicit
+# numPartitions on the repartition keeps AQE from coalescing the exchange
+# (coalescing would renumber partition ids).
+ORD_SHIFT = 40
+STRIPE_FACTOR = 16  # stripes per build partition (hash-bucket balance)
+
+
+def _stripes_for(partitions: int) -> int:
+    """Stripe count for a build: power of two >= STRIPE_FACTOR x partitions
+    (power of two so the stripe is a plain unsigned shift of the hash)."""
+    return 1 << max(1, math.ceil(math.log2(max(2, partitions * STRIPE_FACTOR))))
 
 
 def segments_path(index_dir: str) -> str:
@@ -106,7 +134,7 @@ COMBINED_SCHEMA = (
     "kind int, term string, salt int, df bigint, cf bigint, first_doc bigint, "
     "block_last_doc array<bigint>, block_max_tf array<int>, "
     "block_min_dl array<int>, block_offset array<bigint>, postings binary, "
-    "positions binary, doc_id bigint, url string, doclen int"
+    "positions binary, ord bigint, doc_id bigint, url string, doclen int"
 )
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -135,16 +163,21 @@ def make_tokenize_fn(
     """mapInPandas factory: corpus rows -> doc rows + PARTIAL posting lists
     in ONE tokenization pass (COMBINED_SCHEMA).
 
-    Input contract (enforced by build_unit): rows arrive range-partitioned
-    by doc_id and sorted within the partition by (doc_id ASC, version DESC,
-    text-not-null DESC, html DESC). Two things follow:
+    Input contract (enforced by build_unit): rows arrive hash-stripe
+    partitioned (whole stripes per task) and sorted within the partition
+    by (stripe, xxhash64(doc_id), doc_id ASC, version DESC, text-not-null
+    DESC, ...). Three things follow:
 
     - last-writer-wins dedup is a streaming keep-first-per-doc_id mask
       (pgstream's LSN-as-version resolution, search_adapter.go:179-184) —
       no Window exec needed;
-    - every partial list this task emits covers a doc range DISJOINT from
-      (and ordered against) every other task's — so the downstream merge
-      can SPLICE compressed blobs instead of decode/sort/re-encode.
+    - dense doc ordinals (partition_id << ORD_SHIFT | rank) are a
+      running counter over the sorted stream — deterministic because the
+      stripe -> partition routing (murmur3 % P) and the in-task order are
+      pure functions of the data (at a fixed partition count);
+    - every partial list this task emits covers an ordinal range DISJOINT
+      from (and ordered against) every other task's — so the downstream
+      merge can SPLICE compressed blobs instead of decode/sort/re-encode.
 
     The map-side combine of the classic MapReduce index build: each input
     partition tokenizes its docs, groups locally by (term, salt), and emits
@@ -164,15 +197,21 @@ def make_tokenize_fn(
     def fn(batches):
         import numpy as np
         import pandas as pd
+        from pyspark import TaskContext
 
         from .textnorm import batch_token_stream as _bts
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        ord_base = np.int64(pid) << np.int64(ORD_SHIFT)
+        doc_seq = 0  # rank of the next KEPT doc within this task
 
         # numpy-chunk accumulators, one tuple of arrays per input batch —
         # the Arrow batch tokenizer emits arrays, never per-token Python
         acc_uniq: list[np.ndarray] = []   # object arrays of term strings
         acc_code: list[np.ndarray] = []   # codes into the GLOBAL vocab
         acc_tf: list[np.ndarray] = []
-        acc_doc: list[np.ndarray] = []    # doc_id per posting
+        acc_doc: list[np.ndarray] = []    # doc ORDINAL per posting
         acc_dl: list[np.ndarray] = []     # doclen per posting
         acc_pos: list[np.ndarray] = []    # flat positions (with_positions)
         vocab_off = 0
@@ -274,6 +313,7 @@ def make_tokenize_fn(
                     "block_offset": [r["block_offset"] for r in rows],
                     "postings": [r["postings"] for r in rows],
                     "positions": pos_blobs,
+                    "ord": np.full(ng, -1, dtype="int64"),
                     "doc_id": np.full(ng, -1, dtype="int64"),
                     "url": np.full(ng, "", dtype=object),
                     "doclen": np.full(ng, -1, dtype="int32"),
@@ -307,6 +347,11 @@ def make_tokenize_fn(
                     continue
             htmls = pdf["html"].tolist() if "html" in pdf.columns else [None] * n
             texts = pdf["text"].tolist()
+            # dense ordinals (format v3): pid << ORD_SHIFT | running rank
+            # over this task's kept docs (contiguous per task — the splice
+            # disjointness invariant)
+            ords = ord_base + np.int64(doc_seq) + np.arange(n, dtype=np.int64)
+            doc_seq += n
             dl_b, doc_idx_b, code_b, tf_b, uniq_b, pos_b = _bts(
                 htmls, texts, with_positions
             )
@@ -316,7 +361,7 @@ def make_tokenize_fn(
                 acc_code.append(code_b + vocab_off)
                 vocab_off += len(uniq_b)
                 acc_tf.append(tf_b)
-                acc_doc.append(doc_ids[doc_idx_b])
+                acc_doc.append(ords[doc_idx_b])
                 acc_dl.append(dl_b[doc_idx_b])
                 if with_positions:
                     acc_pos.append(pos_b)
@@ -341,6 +386,7 @@ def make_tokenize_fn(
                     "block_offset": [empty_block] * ng0,
                     "postings": [b""] * ng0,
                     "positions": [b""] * ng0,
+                    "ord": ords,
                     "doc_id": doc_ids,
                     "url": urls,
                     "doclen": doclens,
@@ -371,6 +417,7 @@ def make_tokenize_fn(
                     "block_offset": [empty_block],
                     "postings": [b""],
                     "positions": [b""],
+                    "ord": np.array([-1], dtype="int64"),
                     "doc_id": np.array([-1], dtype="int64"),
                     "url": np.array([""], dtype=object),
                     "doclen": np.array([-1], dtype="int32"),
@@ -684,19 +731,33 @@ def build_unit(
         )
     if salt_plan is None:
         salt_plan = dict(plan_salts(ded, sample_fraction, salt_target, max_fanout))
-    # Range-partition by doc_id and sort within partitions by (doc_id ASC,
-    # version DESC, ...): the ONE data shuffle of the build. It gives the
-    # tokenize stage (a) streaming last-writer-wins dedup for free (keep
-    # first row per doc_id — LSN-as-version semantics, deterministic
-    # fixed-width tie-break keys instead of comparing raw blobs), and (b)
-    # the splice-merge invariant: every task's partials cover a disjoint,
-    # ordered doc-id range, so segment merge never decodes postings.
-    ded = ded.repartitionByRange(partitions, "doc_id").sortWithinPartitions(
-        F.asc("doc_id"),
-        F.desc("version"),
-        F.desc(F.col("text").isNotNull()),
-        F.desc(F.xxhash64("text")),
-        F.desc(F.xxhash64("html")),
+    # Hash-stripe the docs and sort within partitions by (stripe, doc hash,
+    # doc_id, version DESC, ...): the ONE data shuffle of the build. The
+    # stripe (top bits of xxhash64(doc_id), a pure function of the id — see
+    # ORD_SHIFT comment) replaces round-2's repartitionByRange: no range-
+    # boundary sampling pass, deterministic doc -> ordinal assignment
+    # across resumes/rebuilds, and hash-uniform balance for any id
+    # distribution. The sorted stream gives the tokenize stage (a)
+    # streaming last-writer-wins dedup for free (keep first row per doc_id
+    # — LSN-as-version semantics, deterministic fixed-width tie-break keys
+    # instead of comparing raw blobs), and (b) the splice-merge invariant:
+    # every task owns whole stripes, so its partials cover disjoint,
+    # ordered ordinal ranges and segment merge never decodes postings.
+    n_stripes = _stripes_for(partitions)
+    shift_bits = 64 - int(math.log2(n_stripes))
+    ukey = F.xxhash64("doc_id").bitwiseXOR(F.lit(-(1 << 63)))
+    ded = (
+        ded.withColumn("stripe", F.shiftrightunsigned(ukey, shift_bits))
+        .repartition(partitions, "stripe")
+        .sortWithinPartitions(
+            F.asc("stripe"),
+            F.asc(F.xxhash64("doc_id")),
+            F.asc("doc_id"),
+            F.desc("version"),
+            F.desc(F.col("text").isNotNull()),
+            F.desc(F.xxhash64("text")),
+            F.desc(F.xxhash64("html")),
+        )
     )
     # ONE tokenize pass; persist its (compressed) output — partial posting
     # blobs + int doc rows — instead of the raw corpus slice. Both the docs
@@ -724,7 +785,7 @@ def build_unit(
                 F.sum(F.when(F.col("kind") == 2, F.col("df"))).alias("dropped"),
             )
             .filter(F.col("kind") == 0)
-            .select("doc_id", "url", "doclen")
+            .select("ord", "doc_id", "url", "doclen")
         )
         docs_out.write.mode("overwrite").parquet(
             os.path.join(docs_path(index_dir), f"unit={unit}")
@@ -765,6 +826,7 @@ def build_unit(
             "phase_secs": phases,  # diagnostics only (not a manifest field)
             "segment_id": f"u{unit}",
             "unit": unit,
+            "ord_partitions": partitions,  # ordinal-space layout (ranged queries)
             "input_snapshot_id": input_snapshot_id,
             "row_count": int(docs_obs.get["n"]),
             "sum_doclen": int(docs_obs.get["sum_dl"] or 0),

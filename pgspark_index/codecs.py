@@ -10,16 +10,23 @@ Indexes", SIGIR 2011).
 
 Wire format of one posting list (one (term, salt) row):
   stream of LEB128 varints, 2 per posting: [gap, tf] * df
-  gap[0] = zigzag-free biased docid (doc_u = doc_id + 2^63, order-preserving
-  uint64); gap[i] = doc_u[i] - doc_u[i-1]. Postings sorted by doc_id ASC.
+  gap[0] = the first doc KEY itself; gap[i] = key[i] - key[i-1].
+  Postings sorted by key ASC; keys must be NON-NEGATIVE int64.
 
-Doclen is NOT stored per posting (format v2): it is a per-DOC value, so
-repeating it in every posting of every term cost ~1/3 of the stream for
-pure redundancy — shuffled, spliced, and stored once per posting instead
-of once per doc. Scorers gather doclen from the unit's docs table
-(doc_id-sorted; one searchsorted per list) — the Lucene layout, where
-norms live in a per-doc sidecar (.nvd/.nvm), not inside postings.
-Encoders still take per-posting doclens to compute block_min_dl metadata
+The doc key is a segment-local ORDINAL, not the raw 64-bit doc_id
+(format v3): raw doc_ids are xxhash64 values, so consecutive matching
+docs differ by ~2^64/n and every gap costs 6-8 varint bytes no matter
+how dense the posting list is. The build assigns each doc a dense
+ordinal (partition_id << 40 | rank-within-partition, monotone in doc_id
+across the unit), making gaps proportional to real doc distance — 1-3
+bytes. This is Lucene's segment-local docID design: compact ints inside
+the index, an id lookup (our docs sidecar) only at result emission.
+
+Doclen is NOT stored per posting either (format v2): it is a per-DOC
+value, so repeating it per posting was pure redundancy. Scorers gather
+it from the unit's docs sidecar (ordinal-sorted; one searchsorted per
+list) — Lucene norms (.nvd) beside, not inside, postings. Encoders
+still take per-posting doclens to compute block_min_dl metadata
 (block-max pruning needs the in-block minimum at build time).
 
 Block-max metadata (BLOCK=128 postings per block), stored as parallel
@@ -41,16 +48,6 @@ from __future__ import annotations
 import numpy as np
 
 BLOCK = 128
-_BIAS = np.uint64(1) << np.uint64(63)  # int64 -> order-preserving uint64
-
-
-def _to_unsigned(doc_ids: np.ndarray) -> np.ndarray:
-    """int64 docids -> order-preserving uint64 (bias by 2^63)."""
-    return np.asarray(doc_ids, dtype=np.int64).view(np.uint64) + _BIAS
-
-
-def _to_signed(doc_u: np.ndarray) -> np.ndarray:
-    return (doc_u - _BIAS).view(np.int64)
 
 
 def varbyte_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
@@ -121,9 +118,10 @@ def varbyte_decode(buf: bytes | memoryview, count: int | None = None) -> np.ndar
 def encode_postings(
     doc_ids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray
 ) -> dict:
-    """Sorted-by-docid posting triples -> {postings, block_* arrays, df, cf}.
+    """Sorted-by-key posting triples -> {postings, block_* arrays, df, cf}.
 
-    Inputs must be sorted by doc_id ASC (the build stage guarantees this via
+    ``doc_ids`` are NON-NEGATIVE int64 doc keys (segment-local ordinals in
+    the engine), strictly increasing (the build stage guarantees this via
     sortWithinPartitions). Returns plain-python/numpy values ready to place
     into an Arrow record batch.
     """
@@ -133,7 +131,9 @@ def encode_postings(
     n = doc_ids.shape[0]
     if n > 1 and not (doc_ids[1:] > doc_ids[:-1]).all():
         raise ValueError("encode_postings requires strictly increasing doc_ids")
-    doc_u = _to_unsigned(doc_ids)
+    if n and doc_ids[0] < 0:
+        raise ValueError("encode_postings requires non-negative doc keys")
+    doc_u = doc_ids.view(np.uint64)
     gaps = np.empty(n, dtype=np.uint64)
     if n:
         gaps[0] = doc_u[0]
@@ -192,7 +192,7 @@ def encode_groups(
     group_ends = np.concatenate((g[1:], [n]))
     sizes = group_ends - g
 
-    doc_u = _to_unsigned(doc_ids)
+    doc_u = np.asarray(doc_ids, dtype=np.int64).view(np.uint64)
     gaps = np.empty(n, dtype=np.uint64)
     gaps[0] = doc_u[0]
     gaps[1:] = doc_u[1:] - doc_u[:-1]
@@ -264,8 +264,7 @@ def decode_postings(blob: bytes, df: int) -> tuple[np.ndarray, np.ndarray]:
     stream = varbyte_decode(blob, count=2 * df)
     gaps = stream[0::2]
     tfs = stream[1::2].astype(np.int64)
-    doc_u = np.cumsum(gaps, dtype=np.uint64)
-    return _to_signed(doc_u), tfs
+    return np.cumsum(gaps, dtype=np.uint64).view(np.int64), tfs
 
 
 def decode_block(
@@ -290,9 +289,10 @@ def decode_block(
     stream = varbyte_decode(memoryview(blob)[off:end])
     gaps = stream[0::2].copy()
     if prev_last_doc is not None:
-        gaps[0] += _to_unsigned(np.array([prev_last_doc], dtype=np.int64))[0]
-    doc_u = np.cumsum(gaps, dtype=np.uint64)
-    return _to_signed(doc_u), stream[1::2].astype(np.int64)
+        gaps[0] += np.uint64(prev_last_doc)
+    return np.cumsum(gaps, dtype=np.uint64).view(np.int64), stream[1::2].astype(
+        np.int64
+    )
 
 
 def encode_position_groups(

@@ -246,9 +246,19 @@ def drop_docs(
 
 def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) -> dict:
     """Physically expunge tombstoned docs from every unit, then clear
-    tombstones. Posting lists are rewritten by decode -> filter -> encode
-    inside an Arrow-grouped UDF; empty lists are dropped; docs tables are
-    filtered. Manifest rows are refreshed (same unit ids, updated counts)."""
+    tombstones. Posting lists are rewritten by decode -> filter -> RENUMBER
+    -> encode inside an Arrow-grouped UDF; empty lists are dropped; docs
+    tables are filtered and renumbered. Manifest rows are refreshed (same
+    unit ids, updated counts).
+
+    Renumbering (format v3): ordinals are dense ranks within hash stripes,
+    so removing docs leaves holes; compact re-ranks the survivors exactly
+    like Lucene's merge renumbers docIDs. Because pre-compact ordinals are
+    dense, the new ordinal is CLOSED-FORM from the (small, broadcast)
+    tombstone set alone: new = ord - (# tombstoned ordinals in the same
+    stripe below ord) — no unit-sized mapping ships anywhere, and the
+    result is bit-identical to a from-scratch build of the live corpus
+    (asserted in tests)."""
     tombs = load_tombstones(index_dir)
     if tombs is None:
         return {"compacted_units": [], "removed_docs": 0}
@@ -259,42 +269,48 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
     m = manifest.read_manifest(index_dir)
     units = sorted(int(u) for u in m[m["status"] == manifest.STATUS_COMPLETED]["unit"])
 
-    def make_rewrite(tomb_bc):
-        return lambda batches: rewrite(batches, tomb_bc)
+    def make_rewrite(tomb_bc, unit):
+        return lambda batches: rewrite(batches, tomb_bc, unit)
 
-    def rewrite(batches, tomb_bc):
+    def rewrite(batches, tomb_bc, unit):
         import numpy as np
         import pandas as pd
         from pyspark import TaskContext
 
         from . import codecs
+        from .query import _sidecar
 
+        # tombstoned ORDINALS of this unit (postings are ordinal-keyed in
+        # format v3; the driver translated doc_ids via the docs sidecar)
         t = np.asarray(tomb_bc.value, dtype=np.int64)
+        # stripe starts of the tombstoned ords, for the closed-form
+        # renumbering (see compact docstring)
+        from .build import ORD_SHIFT
+
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
+
+        def renumber(ords):
+            stripe_start = (ords >> np.int64(ORD_SHIFT)) << np.int64(ORD_SHIFT)
+            cnt = np.searchsorted(t, ords) - np.searchsorted(t, stripe_start)
+            return ords - cnt
+
+        # the PRE-compact docs sidecar supplies true doclens for exact
+        # block_min_dl metadata in the rewritten lists (reads the old files
+        # — the rewrite lands in a tmp dir and swaps in afterwards)
+        sc = _sidecar(index_dir, unit)
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
                 doc, tf = codecs.decode_postings(r.postings, int(r.df))
                 keep = ~np.isin(doc, t, assume_unique=True)
-                if keep.all():
-                    out.append(r._asdict())
-                    continue
                 if not keep.any():
                     continue
-                # format v2 carries no per-posting doclen; for the rewritten
-                # block_min_dl metadata, map each kept posting to its OLD
-                # block's min_dl — a lower bound on the posting's true
-                # doclen, so the new per-block minimum stays a SAFE (at
-                # worst slightly loose) bound for block-max pruning.
-                old_last = np.asarray(r.block_last_doc, dtype=np.int64)
-                old_min_dl = np.asarray(r.block_min_dl, dtype=np.int64)
-                dl_lower = old_min_dl[
-                    np.minimum(
-                        np.searchsorted(old_last, doc[keep]), old_last.size - 1
-                    )
-                ]
-                enc = codecs.encode_postings(doc[keep], tf[keep], dl_lower)
+                # every list is re-encoded (even tombstone-free ones): all
+                # surviving ordinals shift down past the holes
+                enc = codecs.encode_postings(
+                    renumber(doc[keep]), tf[keep], sc.dl_of(doc[keep])
+                )
                 positions = b""
                 if isinstance(r.positions, (bytes, bytearray)) and len(r.positions):
                     pos = codecs.decode_positions(r.positions, tf)
@@ -348,14 +364,46 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
             continue  # unit untouched by tombstones
         removed_total += n_before - n_after
 
-        # posting-level filter: the sorted array rides a broadcast variable
-        # into the Arrow-grouped rewrite (np.isin per list, vectorized)
-        tomb_bc = spark.sparkContext.broadcast(unit_tomb)
+        # posting-level filter: translate the unit's tombstoned doc_ids to
+        # ORDINALS (distributed semi-join against the docs sidecar — the
+        # translation set is tombstone-sized, never unit-sized), then ride
+        # a broadcast into the Arrow-grouped rewrite (np.isin, vectorized)
+        import numpy as _np
+
+        ord_rows = (
+            docs.join(unit_tomb_df, "doc_id", "left_semi").select("ord").collect()
+        )
+        tomb_ords = _np.array(sorted(r["ord"] for r in ord_rows), dtype=_np.int64)
+        tomb_bc = spark.sparkContext.broadcast(tomb_ords)
         seg = spark.read.parquet(seg_dir)
-        new_seg = seg.mapInPandas(make_rewrite(tomb_bc), schema=SEG_SCHEMA)
+        new_seg = seg.mapInPandas(make_rewrite(tomb_bc, u), schema=SEG_SCHEMA)
         tmp_seg, tmp_doc = seg_dir + ".compact", doc_dir + ".compact"
         new_seg.write.mode("overwrite").parquet(tmp_seg)
-        docs_kept.write.mode("overwrite").parquet(tmp_doc)
+        # docs sidecar gets the SAME closed-form ordinal renumbering the
+        # posting rewrite applies (see compact docstring)
+        from .build import ORD_SHIFT as _OS
+
+        def make_docs_renumber(_bc, _shift=_OS):
+            def fn(batches):
+                import numpy as np
+
+                tt = np.asarray(_bc.value, dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    o = pdf["ord"].to_numpy(dtype="int64")
+                    ss = (o >> np.int64(_shift)) << np.int64(_shift)
+                    pdf = pdf.copy()
+                    pdf["ord"] = o - (
+                        np.searchsorted(tt, o) - np.searchsorted(tt, ss)
+                    )
+                    yield pdf
+
+            return fn
+
+        docs_kept.mapInPandas(
+            make_docs_renumber(tomb_bc), schema=docs_kept.schema
+        ).write.mode("overwrite").parquet(tmp_doc)
 
         seg_stats = spark.read.parquet(tmp_seg).agg(
             F.count(F.lit(1)).alias("terms"), F.sum(F.length("postings")).alias("bytes")

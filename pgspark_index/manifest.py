@@ -36,11 +36,12 @@ STATUS_COMPLETED = "completed"  # statuses from /root/reference/pkg/snapshot/sna
 # (/root/reference/pkg/snapshot/generator/snapshot_generator_recorder.go:241-379).
 STATUS_FAILED = "failed"
 
-FORMAT_VERSION = 2  # index layout version (manifest + lexicon + stats)
+FORMAT_VERSION = 3  # v3: dense doc ordinals + doclen sidecar (no per-posting dl)
 
 _FIELDS = {
     "segment_id": pa.string(),
     "unit": pa.int32(),
+    "ord_partitions": pa.int32(),  # doc-ordinal partition count (v3 layout)
     "input_snapshot_id": pa.int64(),
     "row_count": pa.int64(),       # docs in the unit
     "sum_doclen": pa.int64(),      # total tokens (for global avgdl)

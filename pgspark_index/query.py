@@ -24,48 +24,118 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import bm25, merge, wand
 from .build import docs_path, segments_path
 
-# ---- per-unit doclen sidecar ---------------------------------------------
-# Format v2 stores doclen once per DOC in the unit's docs table, not once
-# per posting in the stream (the Lucene norms layout: .nvd beside the
-# postings, ~1/3 less stream bytes through build shuffle + segment files).
-# Scorers gather it via ONE searchsorted per decoded list. The loaded
-# (sorted doc_ids, doclens) pair is cached in the executor's Python worker
-# process — workers are reused across queries, so the columnar read is paid
-# once per (unit, file-set); compaction rewrites the unit's files (new
-# names), which rolls the fingerprint and invalidates the entry.
+# ---- per-unit docs sidecar -----------------------------------------------
+# Format v3 postings carry dense segment-local ORDINALS (hash-stripe
+# order, deterministic pure function of doc_id — see build.ORD_SHIFT) and
+# no doclen; the unit's docs table is the sidecar that maps ordinal ->
+# (doc_id, doclen) (Lucene's .nvd norms + stored-id lookup). One load
+# serves doclen gather and ordinal->doc_id emission (ordinal-sorted view)
+# plus doc_id->ordinal translation of tombstone/filter sets (doc-sorted
+# view). Cached in the executor's Python worker (workers are reused
+# across queries); compaction rewrites the unit's files under new names,
+# which rolls the cache key.
 
-_DL_CACHE: dict = {}
+
+class _UnitSidecar:
+    __slots__ = ("ords", "doc_ids", "dls", "docs_sorted", "ords_by_doc")
+
+    def __init__(self, ords, doc_ids, dls):
+        import numpy as np
+
+        self.ords = ords          # sorted ascending (hash-stripe order)
+        self.doc_ids = doc_ids    # aligned to ords — NOT sorted themselves
+        self.dls = dls
+        by_doc = np.argsort(doc_ids)  # second view for doc_id -> ord lookups
+        self.docs_sorted = doc_ids[by_doc]
+        self.ords_by_doc = ords[by_doc]
+
+    def dl_of(self, ords):
+        import numpy as np
+
+        if ords.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        # every posting ordinal exists in the sidecar by construction
+        return self.dls[np.searchsorted(self.ords, ords)]
+
+    def doc_of(self, ords):
+        """ordinals -> doc_ids (result emission / tie-break mapping)."""
+        import numpy as np
+
+        if ords.size == 0:
+            return ords
+        return self.doc_ids[np.searchsorted(self.ords, ords)]
+
+    def ords_of_docs(self, docs):
+        """sorted doc_ids -> SORTED ordinals of those PRESENT in the unit
+        (absent ids — e.g. tombstones for other units' docs — drop out).
+        None in, None out."""
+        import numpy as np
+
+        if docs is None or docs.size == 0:
+            return docs
+        pos = np.searchsorted(self.docs_sorted, docs)
+        pos = np.minimum(pos, self.docs_sorted.size - 1)
+        m = self.docs_sorted[pos] == docs
+        out = np.sort(self.ords_by_doc[pos[m]])
+        return out if out.size else None
 
 
-def _dl_lookup(index_dir: str, unit: int):
-    """-> vectorized callable(doc_ids) -> doclens for one unit."""
+_SIDECAR_CACHE: dict = {}
+
+# on-disk binary cache beside the parquet (Lucene .nvd analog): 5 int64
+# rows — [ord, doc_id, doclen] ordinal-sorted + [docs_sorted, ords_by_doc]
+# for the reverse lookup. Loaded with mmap_mode="r", so the OS page cache
+# shares ONE copy across every Python worker on the node and a query's
+# first touch faults in only the pages it reads — the per-worker
+# parquet-decode+sort cold start (seconds per unit at millions of docs)
+# drops to ~0. The leading "_" keeps Spark and pyarrow dataset discovery
+# from treating it as data. Lifecycle: builds write the docs dir fresh
+# (overwrite wipes it) and compact swaps the whole dir, so a cache file
+# never outlives the parquet it was derived from.
+_SIDECAR_CACHE_FILE = "_sidecar_v1.npy"
+
+
+def _sidecar(index_dir: str, unit: int) -> _UnitSidecar:
     import os as _os
 
     import numpy as np
-    import pyarrow.dataset as ds
 
     d = _os.path.join(docs_path(index_dir), f"unit={int(unit)}")
-    dataset = ds.dataset(d, format="parquet")
-    key = (d, tuple(sorted(dataset.files)))
-    ent = _DL_CACHE.get(key)
-    if ent is None:
-        t = dataset.to_table(columns=["doc_id", "doclen"])
+    # keyed on the parquet file-set: compact swaps the directory at the
+    # same path, and a stale mmap would silently serve the deleted inode
+    key = (
+        d,
+        tuple(sorted(fn for fn in _os.listdir(d) if fn.endswith(".parquet"))),
+    )
+    ent = _SIDECAR_CACHE.get(key)
+    if ent is not None:
+        return ent
+    cache = _os.path.join(d, _SIDECAR_CACHE_FILE)
+    if not _os.path.exists(cache):
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(d, format="parquet").to_table(
+            columns=["ord", "doc_id", "doclen"]
+        )
+        o = t["ord"].to_numpy(zero_copy_only=False).astype(np.int64)
         doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         dl = t["doclen"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(doc)
-        if len(_DL_CACHE) >= 32:
-            _DL_CACHE.clear()
-        ent = (doc[order], dl[order])
-        _DL_CACHE[key] = ent
-    doc_s, dl_s = ent
-
-    def dl_of(docs):
-        if docs.size == 0:
-            return np.zeros(0, dtype=np.int64)
-        # every posting doc exists in the unit's docs table by construction
-        return dl_s[np.searchsorted(doc_s, docs)]
-
-    return dl_of
+        order = np.argsort(o)
+        o, doc, dl = o[order], doc[order], dl[order]
+        by_doc = np.argsort(doc)
+        arr = np.stack([o, doc, dl, doc[by_doc], o[by_doc]])
+        tmp = cache + f".tmp-{_os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.save(f, arr)
+        _os.replace(tmp, cache)  # atomic, idempotent (identical content)
+    m = np.load(cache, mmap_mode="r")
+    ent = _UnitSidecar.__new__(_UnitSidecar)
+    ent.ords, ent.doc_ids, ent.dls = m[0], m[1], m[2]
+    ent.docs_sorted, ent.ords_by_doc = m[3], m[4]
+    if len(_SIDECAR_CACHE) >= 64:
+        _SIDECAR_CACHE.clear()
+    _SIDECAR_CACHE[key] = ent
+    return ent
 
 
 # tombstone sets larger than this never ride task closures/broadcasts —
@@ -298,11 +368,12 @@ def search(
     def score_unit(key, pdf):
         import pandas as pd
 
-        pdf, neg_docs = _split_must_not(pdf, neg_present)
+        sc = _sidecar(index_dir, key[0])
+        # neg docs decode as ordinals; tombstone doc_ids translate to them
+        pdf, neg_ords = _split_must_not(pdf, neg_present)
         docs, scores = scorer(
-            _rows_to_lists(pdf, idfs), avgdl, k,
-            _dl_lookup(index_dir, key[0]),
-            exclude=_merge_excludes(excluder(key[0]), neg_docs),
+            _rows_to_lists(pdf, idfs), avgdl, k, sc,
+            exclude=_merge_excludes(sc.ords_of_docs(excluder(key[0])), neg_ords),
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -338,12 +409,15 @@ def _search_filtered(
         def score_inc(key, pdf):
             import pandas as pd
 
-            pdf, neg_docs = _split_must_not(pdf, neg_terms)
+            sc = _sidecar(index_dir, key[0])
+            pdf, neg_ords = _split_must_not(pdf, neg_terms)
+            inc = sc.ords_of_docs(inc_bc.value)
+            if inc is None:  # no filtered doc lives in this unit
+                inc = np.zeros(0, dtype=np.int64)
             docs, scores = scorer(
-                _rows_to_lists(pdf, idfs), avgdl, k,
-                _dl_lookup(index_dir, key[0]),
-                exclude=_merge_excludes(excluder(key[0]), neg_docs),
-                include=inc_bc.value,
+                _rows_to_lists(pdf, idfs), avgdl, k, sc,
+                exclude=_merge_excludes(sc.ords_of_docs(excluder(key[0])), neg_ords),
+                include=inc,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -365,13 +439,14 @@ def _search_filtered(
         def score_exc(key, pdf):
             import pandas as pd
 
-            pdf, neg_docs = _split_must_not(pdf, neg_terms)
+            sc = _sidecar(index_dir, key[0])
+            pdf, neg_ords = _split_must_not(pdf, neg_terms)
             ex = _merge_excludes(
-                _merge_excludes(excluder(key[0]), neg_docs), comp_bc.value
+                _merge_excludes(sc.ords_of_docs(excluder(key[0])), neg_ords),
+                sc.ords_of_docs(comp_bc.value),
             )
             docs, scores = scorer(
-                _rows_to_lists(pdf, idfs), avgdl, k,
-                _dl_lookup(index_dir, key[0]), exclude=ex,
+                _rows_to_lists(pdf, idfs), avgdl, k, sc, exclude=ex,
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -413,12 +488,14 @@ def _search_escalating(
         def score_c(key, pdf):
             import pandas as pd
 
-            pdf, neg_docs = _split_must_not(pdf, neg_terms)
-            ex = excluder(key[0]) if excluder is not None else None
+            sc = _sidecar(index_dir, key[0])
+            pdf, neg_ords = _split_must_not(pdf, neg_terms)
+            ex = (
+                sc.ords_of_docs(excluder(key[0])) if excluder is not None else None
+            )
             docs, scores = scorer(
-                _rows_to_lists(pdf, idfs), avgdl, _c,
-                _dl_lookup(index_dir, key[0]),
-                exclude=_merge_excludes(ex, neg_docs),
+                _rows_to_lists(pdf, idfs), avgdl, _c, sc,
+                exclude=_merge_excludes(ex, neg_ords),
             )
             return pd.DataFrame(
                 {"unit": np.full(docs.size, key[0], dtype="int32"),
@@ -481,19 +558,25 @@ def search_ranged(
     units whose posting lists are too large for one scorer task.
 
     ``search`` groups by unit (one scorer task per unit: correct, but a
-    single giant unit serializes scoring). Here the int64 doc-id space
-    (doc_id = xxhash64 -> uniform) is split into ``ranges`` equal windows
-    (power of two) and every (term, salt) row is SLICED JVM-SIDE at block
-    boundaries: slice(block arrays) + substr(postings bytes) per
-    overlapping range, so each scorer task receives only its byte window
-    (~1x total transfer, duplicating only boundary blocks, never whole
-    head-term blobs). Each doc's postings for ALL query terms land in the
-    same (unit, range) group — per-doc sums are complete and bit-exact
-    with ``search``; per-range top-k then TakeOrderedAndProject merges.
+    single giant unit serializes scoring). Here each unit's dense ORDINAL
+    space (format v3: ordinal = build_partition << ORD_SHIFT | rank, so
+    the space is a grid of P hash-balanced partition segments — P from
+    the unit's manifest row) is split into ``ranges`` windows of whole
+    segments, and every (term, salt) row is SLICED
+    JVM-SIDE at block boundaries: slice(block arrays) + substr(postings
+    bytes) per overlapping range, so each scorer task receives only its
+    byte window (~1x total transfer, duplicating only boundary blocks,
+    never whole head-term blobs). Each doc's postings for ALL query terms
+    land in the same (unit, range) group — per-doc sums are complete and
+    bit-exact with ``search``; per-range top-k then TakeOrderedAndProject
+    merges.
 
     Scoring work per query stays O(total postings of the query terms) but
     now spreads across ranges x units tasks: latency scales with cores."""
-    assert ranges >= 2 and (ranges & (ranges - 1)) == 0, "ranges must be a power of 2"
+    assert ranges >= 2, "need at least 2 ranges"
+    from . import manifest
+    from .build import ORD_SHIFT
+
     stats = merge.load_stats(index_dir)
     terms = sorted(set(terms))
     idfs = _term_idfs(spark, index_dir, terms, stats["n_docs"])
@@ -503,79 +586,62 @@ def search_ranged(
     avgdl = float(stats["avgdl"])
     excluder = _tombstone_excluder(index_dir)
 
-    INT64_MIN = -(1 << 63)
-    step = (1 << 64) // ranges
-    bounds = [INT64_MIN + r * step for r in range(ranges)] + [None]  # hi of last = +inf
+    # per-unit range bounds in ordinal space: split the unit's P build
+    # partitions into `ranges` contiguous intervals (hash-stripe routing
+    # balances docs per partition, so the windows are balanced). Bounds
+    # ride a tiny broadcast-joined table — units may differ in P (delta
+    # units).
+    m = manifest.read_manifest(index_dir)
+    m = m[m["status"] == manifest.STATUS_COMPLETED]
+    HI_SENTINEL = (1 << 63) - 1  # non-null so pandas sees exact int64
+    bounds_rows = []
+    for _, row in m.iterrows():
+        u, P = int(row["unit"]), int(row["ord_partitions"])
+        for i in range(ranges):
+            plo, phi = i * P // ranges, (i + 1) * P // ranges
+            if plo == phi:
+                continue  # ranges > P: empty window
+            lo = plo << ORD_SHIFT
+            hi = (phi << ORD_SHIFT) if phi < P else HI_SENTINEL
+            bounds_rows.append((u, i, lo, hi))
+    bounds_df = spark.createDataFrame(
+        bounds_rows, "unit int, rid int, lo bigint, hi_excl bigint"
+    )
 
     seg = (
         spark.read.parquet(segments_path(index_dir))
         .filter(F.col("term").isin(present))
-        .select(
-            "unit", "term", "postings",
-            "block_last_doc", "block_offset",
-        )
+        .select("unit", "term", "postings", "block_last_doc", "block_offset")
+        .join(F.broadcast(bounds_df), "unit")
     )
     nb = F.size("block_last_doc")
-    slices = []
-    for r in range(ranges):
-        lo = bounds[r]
-        hi = bounds[r + 1]
-        # first block whose last_doc >= lo … first block whose last_doc >= hi
-        # (that block straddles the boundary and belongs to BOTH windows;
-        # the scorer's [lo, hi) mask de-duplicates its docs)
-        b_lo = (
-            F.size(F.filter("block_last_doc", lambda x: x < F.lit(lo)))
-            if r > 0
-            else F.lit(0)
-        )
-        b_hi = (
-            F.least(
-                F.size(F.filter("block_last_doc", lambda x: x < F.lit(hi))),
-                nb - 1,
-            )
-            if hi is not None
-            else nb - 1
-        )
-        byte_lo = F.element_at("block_offset", b_lo + 1)
-        byte_hi = F.when(
-            b_hi + 1 < nb, F.element_at("block_offset", b_hi + 2)
-        ).otherwise(F.octet_length("postings"))
-        slices.append(
-            F.struct(
-                F.lit(r).alias("rid"),
-                F.lit(lo).alias("lo"),
-                # non-null (sentinel int64-max for the last range) so the
-                # column reaches pandas as exact int64, never float64
-                F.lit(hi if hi is not None else (1 << 63) - 1).alias("hi_excl"),
-                # prev_last must reach pandas as EXACT int64: a nullable
-                # int column converts to float64 (precision loss on 19-digit
-                # doc ids), so ship non-null value + flag
-                F.coalesce(
-                    F.when(b_lo > 0, F.element_at("block_last_doc", b_lo)),
-                    F.lit(0).cast("long"),
-                ).alias("prev_last"),
-                (b_lo > 0).alias("has_prev"),
-                F.when(
-                    b_hi >= b_lo,
-                    F.col("postings").substr(
-                        byte_lo + 1, (byte_hi - byte_lo).cast("int")
-                    ),
-                ).alias("postings"),
-            )
-        )
-    exploded = (
+    # first block whose last_doc >= lo … first block whose last_doc >= hi
+    # (that block straddles the boundary and belongs to BOTH windows; the
+    # scorer's [lo, hi) mask de-duplicates its docs). lo = 0 for rid 0, so
+    # b_lo degenerates to 0 there with no special case (ordinals >= 0).
+    b_lo = F.size(F.filter("block_last_doc", lambda x: x < F.col("lo")))
+    b_hi = F.least(
+        F.size(F.filter("block_last_doc", lambda x: x < F.col("hi_excl"))),
+        nb - 1,
+    )
+    byte_lo = F.element_at("block_offset", b_lo + 1)
+    byte_hi = F.when(
+        b_hi + 1 < nb, F.element_at("block_offset", b_hi + 2)
+    ).otherwise(F.octet_length("postings"))
+    sliced = (
         seg.select(
-            "unit", "term", F.explode(F.array(*slices)).alias("s")
-        )
-        .select(
-            "unit",
-            "term",
-            F.col("s.rid").alias("rid"),
-            F.col("s.lo").alias("lo"),
-            F.col("s.hi_excl").alias("hi_excl"),
-            F.col("s.prev_last").alias("prev_last"),
-            F.col("s.has_prev").alias("has_prev"),
-            F.col("s.postings").alias("postings"),
+            "unit", "term", "rid", "lo", "hi_excl",
+            # prev_last must reach pandas as EXACT int64: a nullable int
+            # column converts to float64, so ship non-null value + flag
+            F.coalesce(
+                F.when(b_lo > 0, F.element_at("block_last_doc", b_lo)),
+                F.lit(0).cast("long"),
+            ).alias("prev_last"),
+            (b_lo > 0).alias("has_prev"),
+            F.when(
+                b_hi >= b_lo,
+                F.col("postings").substr(byte_lo + 1, (byte_hi - byte_lo).cast("int")),
+            ).alias("postings"),
         )
         .filter(F.col("postings").isNotNull() & (F.octet_length("postings") > 0))
     )
@@ -586,7 +652,7 @@ def search_ranged(
         unit, _rid = key[0], key[1]
         lo = int(pdf["lo"].iloc[0])
         h = int(pdf["hi_excl"].iloc[0])
-        hi = (1 << 63) if h == (1 << 63) - 1 else h
+        hi = (1 << 63) if h == HI_SENTINEL else h
         lists = [
             {
                 "term": r.term,
@@ -596,13 +662,14 @@ def search_ranged(
             }
             for r in pdf.itertuples()
         ]
+        sc = _sidecar(index_dir, unit)
         docs, scores = wand.score_range_sliced(
             lists, avgdl, k, lo, hi,
-            _dl_lookup(index_dir, unit), exclude=excluder(unit),
+            sc, exclude=sc.ords_of_docs(excluder(unit)),
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
-    per_range = exploded.groupBy("unit", "rid").applyInPandas(
+    per_range = sliced.groupBy("unit", "rid").applyInPandas(
         score_range, schema=RESULT_SCHEMA
     )
     return per_range.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -666,7 +733,10 @@ def search_multifield(
             sub = pdf[pdf["field"] == f]
             if len(sub):
                 field_lists[f] = _rows_to_lists(sub, idfs[f])
-        dl_ofs = {f: _dl_lookup(field_indexes[f], unit) for f in field_lists}
+        # ordinals are PER-INDEX — cross-field summation must happen in a
+        # shared key space, so multifield scoring runs on doc_ids: each
+        # field's decode maps its ordinals to doc_ids via its own sidecar
+        sidecars = {f: _sidecar(field_indexes[f], unit) for f in field_lists}
         # a doc tombstoned in ANY field index is superseded everywhere
         ex = None
         for f in field_lists:
@@ -674,7 +744,7 @@ def search_multifield(
             if e is not None:
                 ex = e if ex is None else np.union1d(ex, e)
         docs, scores = wand.score_multifield(
-            field_lists, avgdls, boosts, k, dl_ofs, exclude=ex
+            field_lists, avgdls, boosts, k, sidecars, exclude=ex
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -721,9 +791,10 @@ def search_phrase(
         for lst in lists:
             by_term.setdefault(lst["term"], []).append(lst)
         slot_lists = [by_term.get(t, []) for t in phrase_order]
+        sc = _sidecar(index_dir, key[0])
         docs, scores = wand.score_phrase(
-            slot_lists, avgdl, k, _dl_lookup(index_dir, key[0]),
-            exclude=excluder(key[0]),
+            slot_lists, avgdl, k, sc,
+            exclude=sc.ords_of_docs(excluder(key[0])),
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -764,9 +835,10 @@ def search_min_should_match(
     def score_unit(key, pdf):
         import pandas as pd
 
+        sc = _sidecar(index_dir, key[0])
         docs, scores = wand.score_min_should(
             _rows_to_lists(pdf, idfs), avgdl, k, m,
-            _dl_lookup(index_dir, key[0]), exclude=excluder(key[0]),
+            sc, exclude=sc.ords_of_docs(excluder(key[0])),
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -811,9 +883,10 @@ def search_proximity(
         for lst in lists:
             by_term.setdefault(lst["term"], []).append(lst)
         slot_lists = [by_term.get(t, []) for t in phrase_order]
+        sc = _sidecar(index_dir, key[0])
         docs, scores = wand.score_proximity(
-            slot_lists, avgdl, k, _dl_lookup(index_dir, key[0]),
-            slop=slop, exclude=excluder(key[0]),
+            slot_lists, avgdl, k, sc,
+            slop=slop, exclude=sc.ords_of_docs(excluder(key[0])),
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
@@ -852,10 +925,14 @@ def match_docs(
             {"term": r.term, "df": int(r.df), "postings": r.postings}
             for r in pdf.itertuples()
         ]
-        docs, counts = wand.match_doc_counts(lists, exclude=excluder(key[0]))
+        sc = _sidecar(index_dir, key[0])
+        ords, counts = wand.match_doc_counts(
+            lists, exclude=sc.ords_of_docs(excluder(key[0]))
+        )
         keep = counts >= need
         return pd.DataFrame(
-            {"doc_id": docs[keep], "n_matched": counts[keep].astype("int32")}
+            {"doc_id": sc.doc_of(ords[keep]),
+             "n_matched": counts[keep].astype("int32")}
         )
 
     return seg.groupBy("unit").applyInPandas(match_unit, schema=MATCH_SCHEMA)
@@ -926,8 +1003,8 @@ def search_batch(
     def score_unit_all(key, pdf):
         import pandas as pd
 
-        exclude = excluder(key[0])
-        dl_of = _dl_lookup(index_dir, key[0])
+        sc = _sidecar(index_dir, key[0])
+        exclude = sc.ords_of_docs(excluder(key[0]))
         lists = _rows_to_lists(pdf, idfs)
         by_term: dict[str, list[dict]] = {}
         for lst in lists:
@@ -937,7 +1014,7 @@ def search_batch(
             qlists = [l for t in q["terms"] for l in by_term.get(t, [])]
             if not qlists:
                 continue
-            docs, scores = scorer(qlists, avgdl, q["k"], dl_of, exclude=exclude)
+            docs, scores = scorer(qlists, avgdl, q["k"], sc, exclude=exclude)
             out_q.extend([q["query_id"]] * len(docs))
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())

@@ -27,12 +27,17 @@ disjoint lists for the same term):
   {term, idf, df, postings(bytes), block_last_doc, block_max_tf,
    block_min_dl, block_offset}
 
-``dl_of`` (every scorer's required argument): vectorized gather
-callable(doc_ids int64 array) -> doclens int64 array, backed by the unit's
-doc_id-sorted docs table (format v2 stores doclen once per DOC in that
-sidecar, not once per posting in the stream — the Lucene norms layout).
-Every doc id appearing in a unit's postings is present in the unit's docs
-table by construction, so the gather is total."""
+``sc`` (every scorer's required argument): the unit's docs-sidecar view
+with two vectorized gathers over the ordinal-sorted docs table —
+``sc.dl_of(ords) -> doclens`` (format v2: doclen lives once per DOC in
+the sidecar, not per posting — Lucene norms) and ``sc.doc_of(ords) ->
+doc_ids`` (format v3: postings are keyed by dense segment-local ordinals;
+results surface doc_ids). Every ordinal appearing in a unit's postings is
+present in the sidecar by construction, so both gathers are total.
+Scorers RETURN doc_ids: the final top-k tie-break runs on the mapped
+doc_id (score DESC, doc_id ASC — the oracle's order), so ordinal order
+never has to agree with doc_id order."""
+
 
 from __future__ import annotations
 
@@ -43,10 +48,20 @@ import numpy as np
 from . import bm25, codecs
 
 
+class SimpleSidecar:
+    """Plain sc adapter (tests / callers whose keys already ARE doc_ids)."""
+
+    __slots__ = ("dl_of", "doc_of")
+
+    def __init__(self, dl_of, doc_of=None):
+        self.dl_of = dl_of
+        self.doc_of = doc_of if doc_of is not None else (lambda x: x)
+
+
 def _decoded_contribs(
     lst: dict,
     avgdl: float,
-    dl_of,
+    sc,
     exclude: np.ndarray | None = None,
     include: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -63,16 +78,18 @@ def _decoded_contribs(
     if include is not None and doc.size:
         keep = _member_mask(include, doc)
         doc, tf = doc[keep], tf[keep]
-    return doc, lst["idf"] * bm25.tf_weight(tf, dl_of(doc), avgdl)
+    return doc, lst["idf"] * bm25.tf_weight(tf, sc.dl_of(doc), avgdl)
 
 
 def _term_ranks(lists: list[dict]) -> dict[str, int]:
     return {t: i for i, t in enumerate(sorted({l["term"] for l in lists}))}
 
 
-def _exact_topk(all_docs, all_contribs, all_tranks, k: int):
-    """Sum contributions per doc strictly in term order; top-k by
-    (score DESC, doc_id ASC).
+def _exact_topk(all_docs, all_contribs, all_tranks, k: int, doc_of=None):
+    """Sum contributions per doc key strictly in term order; top-k by
+    (score DESC, doc_id ASC) — on the MAPPED doc_id when ``doc_of`` is
+    given (ordinal-keyed lists), so the tie-break matches the oracle's
+    regardless of ordinal order.
 
     Accumulates term-at-a-time with `+=` into a per-doc accumulator —
     bit-identical to the oracle's sequential loop. (np.add.reduceat is NOT
@@ -88,10 +105,11 @@ def _exact_topk(all_docs, all_contribs, all_tranks, k: int):
             continue
         idx = np.searchsorted(uniq_docs, doc)
         acc[idx] += all_contribs[i]  # unique idx per call (one list, unique docs)
+    mapped = doc_of(uniq_docs) if doc_of is not None else uniq_docs
     # tie-safe top-k: lexsort by (score DESC, doc_id ASC). argpartition would
     # break ties at the k boundary arbitrarily.
-    sel = np.lexsort((uniq_docs, -acc))[:k]
-    return uniq_docs[sel], acc[sel]
+    sel = np.lexsort((mapped, -acc))[:k]
+    return mapped[sel], acc[sel]
 
 
 def _trank_of(tranks) -> int:
@@ -101,18 +119,18 @@ def _trank_of(tranks) -> int:
 
 
 def score_exhaustive(
-    lists: list[dict], avgdl: float, k: int, dl_of,
+    lists: list[dict], avgdl: float, k: int, sc,
     exclude: np.ndarray | None = None, include: np.ndarray | None = None,
 ):
     """Vectorized TAAT over fully decoded lists."""
     ranks = _term_ranks(lists)
     all_docs, all_contribs, all_tranks = [], [], []
     for lst in lists:
-        doc, contrib = _decoded_contribs(lst, avgdl, dl_of, exclude, include)
+        doc, contrib = _decoded_contribs(lst, avgdl, sc, exclude, include)
         all_docs.append(doc)
         all_contribs.append(contrib)
         all_tranks.append(np.full(doc.size, ranks[lst["term"]], dtype=np.int32))
-    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+    return _exact_topk(all_docs, all_contribs, all_tranks, k, sc.doc_of)
 
 
 def _list_upper_bound(lst: dict, avgdl: float) -> float:
@@ -139,7 +157,7 @@ def _member_mask(sorted_vals: np.ndarray, probes: np.ndarray) -> np.ndarray:
     return sorted_vals[pos] == probes
 
 
-def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float, dl_of):
+def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float, sc):
     """Decode only the blocks that can contain candidate docs; return
     (docs, contribs) restricted to candidates. Pure block-max skipping.
     ``cand_docs`` must be sorted (maxscore maintains that invariant)."""
@@ -156,7 +174,7 @@ def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float, dl_of):
             dsel = doc[mask]
             out_docs.append(dsel)
             out_contribs.append(
-                lst["idf"] * bm25.tf_weight(tf[mask], dl_of(dsel), avgdl)
+                lst["idf"] * bm25.tf_weight(tf[mask], sc.dl_of(dsel), avgdl)
             )
     if not out_docs:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
@@ -164,7 +182,7 @@ def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float, dl_of):
 
 
 def score_maxscore(
-    lists: list[dict], avgdl: float, k: int, dl_of,
+    lists: list[dict], avgdl: float, k: int, sc,
     exclude: np.ndarray | None = None, include: np.ndarray | None = None,
 ):
     """TAAT MaxScore + block skipping. Identical output to exhaustive.
@@ -191,9 +209,9 @@ def score_maxscore(
         if admitting:
             # include applies at admission only: probe-phase candidates are
             # already a subset of the admitted (included) docs
-            doc, contrib = _decoded_contribs(lst, avgdl, dl_of, exclude, include)
+            doc, contrib = _decoded_contribs(lst, avgdl, sc, exclude, include)
         else:
-            doc, contrib = _probe_blocks(lst, cand_docs, avgdl, dl_of)
+            doc, contrib = _probe_blocks(lst, cand_docs, avgdl, sc)
         kept.append((doc, contrib, ranks[lst["term"]]))
         # merge into candidates (cand_docs kept sorted)
         if cand_docs.size:
@@ -226,11 +244,11 @@ def score_maxscore(
         all_docs.append(doc[mask])
         all_contribs.append(contrib[mask])
         all_tranks.append(np.full(int(mask.sum()), trank, dtype=np.int32))
-    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+    return _exact_topk(all_docs, all_contribs, all_tranks, k, sc.doc_of)
 
 
 def score_bmw(
-    lists: list[dict], avgdl: float, k: int, dl_of,
+    lists: list[dict], avgdl: float, k: int, sc,
     exclude: np.ndarray | None = None, include: np.ndarray | None = None,
 ):
     """Document-at-a-time Block-Max WAND (reference implementation).
@@ -241,7 +259,7 @@ def score_bmw(
         # include-restricted scoring delegates to MaxScore (identical
         # output — property-tested); wiring an include set through the
         # DAAT pivot loop buys nothing for the validation-only path
-        return score_maxscore(lists, avgdl, k, dl_of, exclude, include)
+        return score_maxscore(lists, avgdl, k, sc, exclude, include)
     if not lists:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     ranks = _term_ranks(lists)
@@ -267,7 +285,7 @@ def score_bmw(
                 lst["postings"], b,
                 np.asarray(lst["block_offset"], dtype=np.int64), prev,
             )
-            self.dls = dl_of(self.docs)
+            self.dls = sc.dl_of(self.docs)
             self.block = b
             self.i = 0
 
@@ -309,8 +327,13 @@ def score_bmw(
     exclude_set = set(exclude.tolist()) if exclude is not None and getattr(exclude, "size", 0) else None
     cursors = [Cursor(l, avgdl) for l in lists]
     cursors = [c for c in cursors if not c.done]
+    # heap entries tie-break on the MAPPED doc_id (oracle order), while the
+    # DAAT traversal itself runs in ordinal order
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
     results: dict[int, float] = {}
+
+    def _mapped(o: int) -> int:
+        return int(sc.doc_of(np.array([o], dtype=np.int64))[0])
 
     while True:
         live = [c for c in cursors if not c.done]
@@ -347,11 +370,12 @@ def score_bmw(
                 )
                 for c in matched:
                     score += c.contrib(avgdl)
+                md = _mapped(pivot_doc)
                 if len(heap) < k:
-                    heapq.heappush(heap, (score, -pivot_doc))
-                elif (score, -pivot_doc) > heap[0]:
-                    heapq.heapreplace(heap, (score, -pivot_doc))
-                results[pivot_doc] = score
+                    heapq.heappush(heap, (score, -md))
+                elif (score, -md) > heap[0]:
+                    heapq.heapreplace(heap, (score, -md))
+                results[md] = score
             for c in live:
                 if not c.done and c.current() <= pivot_doc:
                     c.seek(pivot_doc + 1)
@@ -366,7 +390,7 @@ def score_bmw(
 
 
 def score_conjunctive(
-    lists: list[dict], avgdl: float, k: int, dl_of,
+    lists: list[dict], avgdl: float, k: int, sc,
     exclude: np.ndarray | None = None, include: np.ndarray | None = None,
 ):
     """AND semantics: only docs containing EVERY distinct query term score.
@@ -382,7 +406,7 @@ def score_conjunctive(
     decoded = []
     term_docs: dict[str, list] = {}
     for lst in lists:
-        doc, contrib = _decoded_contribs(lst, avgdl, dl_of, exclude, include)
+        doc, contrib = _decoded_contribs(lst, avgdl, sc, exclude, include)
         decoded.append((doc, contrib, ranks[lst["term"]]))
         term_docs.setdefault(lst["term"], []).append(doc)
     cand = None
@@ -397,11 +421,11 @@ def score_conjunctive(
         all_docs.append(doc[mask])
         all_contribs.append(contrib[mask])
         all_tranks.append(np.full(int(mask.sum()), trank, dtype=np.int32))
-    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+    return _exact_topk(all_docs, all_contribs, all_tranks, k, sc.doc_of)
 
 
 def score_phrase(
-    slot_lists: list[list[dict]], avgdl: float, k: int, dl_of,
+    slot_lists: list[list[dict]], avgdl: float, k: int, sc,
     exclude: np.ndarray | None = None,
 ):
     """Exact-phrase top-k over positional lists (one slot per phrase word).
@@ -467,12 +491,12 @@ def score_phrase(
     ranks = _term_ranks(uniq)
     all_docs, all_contribs, all_tranks = [], [], []
     for lst in uniq:
-        doc, contrib = _decoded_contribs(lst, avgdl, dl_of, None)
+        doc, contrib = _decoded_contribs(lst, avgdl, sc, None)
         mask = _member_mask(matched, doc)
         all_docs.append(doc[mask])
         all_contribs.append(contrib[mask])
         all_tranks.append(np.full(int(mask.sum()), ranks[lst["term"]], dtype=np.int32))
-    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+    return _exact_topk(all_docs, all_contribs, all_tranks, k, sc.doc_of)
 
 
 def score_min_should(
@@ -480,7 +504,7 @@ def score_min_should(
     avgdl: float,
     k: int,
     min_should_match: int,
-    dl_of,
+    sc,
     exclude: np.ndarray | None = None,
     include: np.ndarray | None = None,
 ):
@@ -496,7 +520,7 @@ def score_min_should(
     decoded = []
     term_docs: dict[str, list] = {}
     for lst in lists:
-        doc, contrib = _decoded_contribs(lst, avgdl, dl_of, exclude, include)
+        doc, contrib = _decoded_contribs(lst, avgdl, sc, exclude, include)
         decoded.append((doc, contrib, ranks[lst["term"]]))
         term_docs.setdefault(lst["term"], []).append(doc)
     # distinct-term match count per doc: one sorted concat of per-term doc
@@ -520,14 +544,14 @@ def score_min_should(
         all_docs.append(doc[mask])
         all_contribs.append(contrib[mask])
         all_tranks.append(np.full(int(mask.sum()), trank, dtype=np.int32))
-    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+    return _exact_topk(all_docs, all_contribs, all_tranks, k, sc.doc_of)
 
 
 def score_proximity(
     slot_lists: list[list[dict]],
     avgdl: float,
     k: int,
-    dl_of,
+    sc,
     slop: int = 0,
     exclude: np.ndarray | None = None,
 ):
@@ -599,12 +623,12 @@ def score_proximity(
     ranks = _term_ranks(uniq)
     all_docs, all_contribs, all_tranks = [], [], []
     for lst in uniq:
-        doc, contrib = _decoded_contribs(lst, avgdl, dl_of, None)
+        doc, contrib = _decoded_contribs(lst, avgdl, sc, None)
         mask = _member_mask(matched, doc)
         all_docs.append(doc[mask])
         all_contribs.append(contrib[mask])
         all_tranks.append(np.full(int(mask.sum()), ranks[lst["term"]], dtype=np.int32))
-    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+    return _exact_topk(all_docs, all_contribs, all_tranks, k, sc.doc_of)
 
 
 def score_range_sliced(
@@ -613,7 +637,7 @@ def score_range_sliced(
     k: int,
     lo: int,
     hi: int,
-    dl_of,
+    sc,
     exclude: np.ndarray | None = None,
 ):
     """Exhaustive TAAT over BYTE-SLICED lists restricted to doc range
@@ -638,19 +662,17 @@ def score_range_sliced(
         stream = codecs.varbyte_decode(memoryview(bytes(blob)))
         gaps = stream[0::2].copy()
         if lst.get("prev_last") is not None:
-            gaps[0] += codecs._to_unsigned(
-                np.array([lst["prev_last"]], dtype=np.int64)
-            )[0]
-        doc = codecs._to_signed(np.cumsum(gaps, dtype=np.uint64))
+            gaps[0] += np.uint64(lst["prev_last"])
+        doc = np.cumsum(gaps, dtype=np.uint64).view(np.int64)
         tf = stream[1::2].astype(np.int64)
         keep = (doc >= lo) & (doc < hi)
         if exclude is not None and exclude.size:
             keep &= ~np.isin(doc, exclude, assume_unique=True)
         doc, tf = doc[keep], tf[keep]
         all_docs.append(doc)
-        all_contribs.append(lst["idf"] * bm25.tf_weight(tf, dl_of(doc), avgdl))
+        all_contribs.append(lst["idf"] * bm25.tf_weight(tf, sc.dl_of(doc), avgdl))
         all_tranks.append(np.full(doc.size, ranks[lst["term"]], dtype=np.int32))
-    return _exact_topk(all_docs, all_contribs, all_tranks, k)
+    return _exact_topk(all_docs, all_contribs, all_tranks, k, sc.doc_of)
 
 
 def score_multifield(
@@ -658,7 +680,7 @@ def score_multifield(
     avgdls: dict[str, float],
     boosts: dict[str, float],
     k: int,
-    dl_ofs: dict[str, object],
+    sidecars: dict[str, object],
     exclude: np.ndarray | None = None,
 ):
     """Weighted multi-field BM25 (the OpenSearch multi-field bool/should
@@ -668,30 +690,34 @@ def score_multifield(
     BM25_f uses the FIELD's own df, doclen, and avgdl (its index's stats).
 
     ``field_lists``: field -> list dicts (idf already per-field);
-    ``dl_ofs``: field -> doclen gather over that field's docs sidecar.
-    Exact and bit-reproducible: contributions accumulate per doc in sorted
-    (field, term) order, float64 left-to-right, like the single-field
-    scorers."""
+    ``sidecars``: field -> that field index's unit sidecar (dl_of for the
+    doclen gather, doc_of to map the field's segment-local ordinals into
+    the shared doc_id space where cross-field sums happen). ``exclude``
+    is in doc_id space. Exact and bit-reproducible: contributions
+    accumulate per doc in sorted (field, term) order, float64
+    left-to-right, like the single-field scorers."""
     keys = sorted(
         (f, l["term"]) for f, ls in field_lists.items() for l in ls
     )
     ranks = {ft: i for i, ft in enumerate(dict.fromkeys(keys))}
     all_docs, all_contribs, all_tranks = [], [], []
     for field in sorted(field_lists):
-        dl_of = dl_ofs[field]
+        sc = sidecars[field]
         avgdl = avgdls[field]
         boost = float(boosts.get(field, 1.0))
         for lst in field_lists[field]:
-            doc, tf = codecs.decode_postings(lst["postings"], lst["df"])
+            ords, tf = codecs.decode_postings(lst["postings"], lst["df"])
+            contrib = boost * lst["idf"] * bm25.tf_weight(tf, sc.dl_of(ords), avgdl)
+            doc = sc.doc_of(ords)  # unique within a list (order irrelevant)
             if exclude is not None and exclude.size and doc.size:
                 keep = ~np.isin(doc, exclude, assume_unique=True)
-                doc, tf = doc[keep], tf[keep]
-            contrib = boost * lst["idf"] * bm25.tf_weight(tf, dl_of(doc), avgdl)
+                doc, contrib = doc[keep], contrib[keep]
             all_docs.append(doc)
             all_contribs.append(contrib)
             all_tranks.append(
                 np.full(doc.size, ranks[(field, lst["term"])], dtype=np.int32)
             )
+    # keys are already doc_ids here (mapped per field above) — no remap
     return _exact_topk(all_docs, all_contribs, all_tranks, k)
 
 

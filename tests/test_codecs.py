@@ -35,8 +35,9 @@ def test_varbyte_empty():
 
 @pytest.mark.parametrize("n", [1, 5, 128, 129, 1000, 4096])
 def test_postings_roundtrip(n):
+    # doc keys are NON-NEGATIVE segment-local ordinals (format v3)
     rng = np.random.RandomState(n)
-    doc_ids = np.unique(rng.randint(-(2**62), 2**62, size=n).astype(np.int64))
+    doc_ids = np.unique(rng.randint(0, 2**62, size=n).astype(np.int64))
     tfs = rng.randint(1, 50, size=doc_ids.size)
     dls = rng.randint(1, 500, size=doc_ids.size)
     enc = codecs.encode_postings(doc_ids, tfs, dls)
@@ -55,7 +56,7 @@ def test_encode_groups_matches_per_group_encode():
     """Vectorized many-list encode must be byte-identical to per-list encode."""
     rng = np.random.RandomState(9)
     sizes = [1, 3, 128, 129, 500, 2, 1000, 7]
-    doc_pool = np.unique(rng.randint(-(2**60), 2**60, size=sum(sizes) + 10).astype(np.int64))
+    doc_pool = np.unique(rng.randint(0, 2**60, size=sum(sizes) + 10).astype(np.int64))
     docs, tfs, dls, starts = [], [], [], []
     pos = 0
     o = 0
@@ -85,7 +86,7 @@ def test_encode_groups_matches_per_group_encode():
 def test_block_meta_and_block_decode():
     rng = np.random.RandomState(3)
     n = 1000
-    doc_ids = np.unique(rng.randint(-(2**40), 2**40, size=n).astype(np.int64))
+    doc_ids = np.unique(rng.randint(0, 2**40, size=n).astype(np.int64))
     n = doc_ids.size
     tfs = rng.randint(1, 30, size=n)
     dls = rng.randint(10, 400, size=n)

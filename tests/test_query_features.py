@@ -167,9 +167,11 @@ def test_filtered_search_bounded_emission(spark, tmp_index):
     include = np.unique(np.fromiter(flt_ids, dtype=np.int64))
     for unit in sorted(seg_pdf["unit"].unique()):
         sub = seg_pdf[seg_pdf["unit"] == unit]
+        sc = query._sidecar(tmp_index, int(unit))
+        inc = sc.ords_of_docs(include)
         d, s = wand.score_maxscore(
-            query._rows_to_lists(sub, idfs), float(stats["avgdl"]), k,
-            query._dl_lookup(tmp_index, int(unit)), include=include,
+            query._rows_to_lists(sub, idfs), float(stats["avgdl"]), k, sc,
+            include=inc if inc is not None else np.zeros(0, dtype=np.int64),
         )
         assert d.size <= k
 

@@ -68,7 +68,8 @@ def rand_corpus(seed, n_docs=400, vocab=40):
         " ".join(rng.choice(words, size=rng.randint(3, 60), p=probs))
         for _ in range(n_docs)
     ]
-    doc_ids = rng.randint(-(2**62), 2**62, size=n_docs).astype(np.int64)
+    # doc keys are non-negative ordinals in format v3
+    doc_ids = rng.randint(0, 2**62, size=n_docs).astype(np.int64)
     doc_ids = np.unique(doc_ids)[:n_docs]
     return pd.DataFrame({"doc_id": doc_ids[: len(texts)], "norm_text": texts[: len(doc_ids)]})
 
@@ -88,9 +89,9 @@ def test_strategies_match_oracle(seed, salt):
         k = int(rng.choice([1, 3, 10, 25]))
         golden = oracle.score_query(stats, terms, k)
         lists = make_lists(stats, terms, salt_fanout=salt)
-        dl_of = make_dl_of(stats)
+        sc = wand.SimpleSidecar(make_dl_of(stats))
         for name, scorer in wand.STRATEGIES.items():
-            got_docs, got_scores = scorer(lists, stats["avgdl"], k, dl_of)
+            got_docs, got_scores = scorer(lists, stats["avgdl"], k, sc)
             exp_docs = [d for _, d, _ in golden]
             exp_scores = [s for _, _, s in golden]
             assert got_docs.tolist() == exp_docs, (name, terms, k)
@@ -98,24 +99,25 @@ def test_strategies_match_oracle(seed, salt):
 
 
 def test_empty_and_missing():
+    sc = wand.SimpleSidecar(lambda x: np.zeros(x.size, dtype=np.int64))
     for scorer in wand.STRATEGIES.values():
-        d, s = scorer([], 10.0, 5, lambda x: np.zeros(x.size, dtype=np.int64))
+        d, s = scorer([], 10.0, 5, sc)
         assert d.size == 0 and s.size == 0
 
 
 def test_tie_break_doc_id_asc():
-    # identical docs -> identical scores -> ranked by doc_id ascending
+    # identical docs -> identical scores -> ranked by doc key ascending
     docs = pd.DataFrame(
-        {"doc_id": [5, -3, 9, 1], "norm_text": ["a b", "a b", "a b", "a b"]}
+        {"doc_id": [5, 3, 9, 1], "norm_text": ["a b", "a b", "a b", "a b"]}
     )
     stats = oracle.build_stats(docs)
     golden = oracle.score_query(stats, ["a"], 3)
-    assert [d for _, d, _ in golden] == [-3, 1, 5]
+    assert [d for _, d, _ in golden] == [1, 3, 5]
     lists = make_lists(stats, ["a"])
-    dl_of = make_dl_of(stats)
+    sc = wand.SimpleSidecar(make_dl_of(stats))
     for name, scorer in wand.STRATEGIES.items():
-        got_docs, _ = scorer(lists, stats["avgdl"], 3, dl_of)
-        assert got_docs.tolist() == [-3, 1, 5], name
+        got_docs, _ = scorer(lists, stats["avgdl"], 3, sc)
+        assert got_docs.tolist() == [1, 3, 5], name
 
 
 def test_ranged_search_matches_standard(spark, tmp_index):

@@ -12,6 +12,7 @@ import contextlib
 import io
 import os
 import sys
+import math
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -60,13 +61,18 @@ def main():
          formatted(q))
     )
 
-    # 3. build input: unit predicate pushed into the scan, ONE range
-    # exchange + in-partition sort, NO Window exec (streaming LWW dedup
-    # happens inside the tokenize stage over the sorted stream)
+    # 3. build input: unit predicate pushed into the scan, ONE hash
+    # exchange (on the deterministic doc stripe) + in-partition sort, NO
+    # Window exec (streaming LWW dedup happens inside the tokenize stage
+    # over the sorted stream) and NO range-sampling job (the stripe is a
+    # pure function of doc_id — format v3)
     src = tempfile.mkdtemp(prefix="pgspark_plansrc_")
     df.write.mode("overwrite").parquet(src)
     pq_df = spark.read.parquet(src)
     provider = build.webtext_unit_provider(pq_df)
+    n_stripes = build._stripes_for(4)
+    shift_bits = 64 - int(math.log2(n_stripes))
+    ukey = F.xxhash64("doc_id").bitwiseXOR(F.lit(-(1 << 63)))
     ded = (
         provider(0, 4)
         .select(
@@ -75,20 +81,23 @@ def main():
             .otherwise(F.col("html")).alias("html"),
             "text", "version",
         )
-        .repartitionByRange(4, "doc_id")
+        .withColumn("stripe", F.shiftrightunsigned(ukey, shift_bits))
+        .repartition(4, "stripe")
         .sortWithinPartitions(
+            F.asc("stripe"), F.asc(F.xxhash64("doc_id")),
             F.asc("doc_id"), F.desc("version"), F.desc(F.col("text").isNotNull()),
             F.desc(F.xxhash64("text")), F.desc(F.xxhash64("html")),
         )
     )
     sections.append(
-        ("Build: unit-sliced scan -> ONE range exchange + in-partition sort",
+        ("Build: unit-sliced scan -> ONE hash-stripe exchange + in-partition sort",
          "The pmod(xxhash64(url)) unit predicate MUST sit directly on the scan "
          "(each unit job reads ~1/num_units of the input); exactly one Exchange "
-         "(rangepartitioning on doc_id) and a partition-local Sort follow — and "
-         "NO Window operator: last-writer-wins dedup is a streaming keep-first "
-         "mask inside the Arrow tokenize stage, which also gets the splice-merge "
-         "doc-range-disjointness invariant from this plan.",
+         "(hashpartitioning on the deterministic doc stripe — no range-sampler "
+         "pass) and a partition-local Sort follow — and NO Window operator: "
+         "last-writer-wins dedup is a streaming keep-first mask inside the Arrow "
+         "tokenize stage, which also assigns the dense doc ordinals and gets the "
+         "splice-merge ordinal-disjointness invariant from this plan.",
          formatted(ded))
     )
 
