@@ -85,10 +85,13 @@ idx = tempfile.mkdtemp(prefix="pgspark_scale_%d_" % execs)
 # every build attempt SCANS it like a real input table — no cached input,
 # predicate pushdown and column pruning on the real path
 df = spark.read.parquet(input_dir)
-# two attempts in the same cluster: first warms JIT/codegen/Python workers;
-# report BOTH (the parent keeps the best run per level across rounds)
+# attempts in the same cluster (first warms JIT/codegen/Python workers);
+# report ALL (the parent keeps the best run per level across rounds).
+# Pair mode sets CHILD_ATTEMPTS=1: host windows collapse on a ~minute
+# timescale, so shorter pair exposure beats intra-cluster warmup.
+n_attempts = int(os.environ.get("CHILD_ATTEMPTS", "2"))
 results = []
-for attempt in range(2):
+for attempt in range(n_attempts):
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.time()
     build.build_index(spark, df, idx, num_units=1, partitions=execs * 4,

@@ -1,0 +1,72 @@
+"""CLI surface: build → search → delta → compact through the spark-submit
+entry point (pgspark_index.cli), reusing the session fixture."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from contextlib import redirect_stdout
+
+from pgspark_index import cli, fixtures
+
+
+def _run(argv):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(argv)
+    assert rc == 0
+    return buf.getvalue().strip().splitlines()
+
+
+def test_cli_build_search_delta_compact(spark, tmp_index, tmp_path):
+    src = str(tmp_path / "webtext")
+    fixtures.make_webtext_df(spark, 500, seed=61, partitions=2).write.parquet(src)
+
+    out = _run(["build", "--input", src, "--index", tmp_index,
+                "--units", "1", "--partitions", "2"])
+    res = json.loads(out[-1])
+    assert res["stats"]["n_docs"] > 0
+
+    q = fixtures.make_query_set(1, seed=4)[0]
+    rows = [json.loads(l) for l in _run(
+        ["search", "--index", tmp_index, "--terms", *q["terms"], "-k", "5"])]
+    assert 0 < len(rows) <= 5 and rows[0]["score"] >= rows[-1]["score"]
+
+    # ranged path returns the same docs
+    rows_r = [json.loads(l) for l in _run(
+        ["search", "--index", tmp_index, "--terms", *q["terms"], "-k", "5",
+         "--ranges", "4"])]
+    assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == [
+        (r["doc_id"], round(r["score"], 9)) for r in rows_r
+    ]
+
+    # delta + compact round-trip
+    import datetime as dt
+
+    upd = fixtures.make_webtext_pdf(500, seed=61).drop_duplicates(
+        subset=["url"], keep="last").head(10).copy()
+    upd["text"] = "clisentinel fresh " * 3
+    upd["html"] = None
+    upd["warc_ts"] = upd["warc_ts"] + dt.timedelta(days=1)
+    dsrc = str(tmp_path / "delta")
+    spark.createDataFrame(upd, schema=fixtures.WEBTEXT_DDL).write.parquet(dsrc)
+    dres = json.loads(_run(["delta", "--input", dsrc, "--index", tmp_index,
+                            "--snapshot", "1"])[-1])
+    assert dres["tombstones"] == 10
+    cres = json.loads(_run(["compact", "--index", tmp_index])[-1])
+    assert cres["removed_docs"] == 10
+
+    # alias resolution through the CLI
+    from pgspark_index import aliases
+
+    base = str(tmp_path / "aliasbase")
+    os.makedirs(base)
+    v1 = aliases.new_version(base, "web")
+    os.rmdir(v1)  # publish expects a built index — reuse tmp_index
+    os.symlink(tmp_index, v1)
+    aliases.publish(base, "web", v1)
+    rows_a = [json.loads(l) for l in _run(
+        ["search", "--index-base", base, "--alias", "web",
+         "--terms", *q["terms"], "-k", "5"])]
+    assert {r["doc_id"] for r in rows_a}
