@@ -85,18 +85,27 @@ idx = tempfile.mkdtemp(prefix="pgspark_scale_%d_" % execs)
 # every build attempt SCANS it like a real input table — no cached input,
 # predicate pushdown and column pruning on the real path
 df = spark.read.parquet(input_dir)
-# attempts in the same cluster (first warms JIT/codegen/Python workers);
-# report ALL (the parent keeps the best run per level across rounds).
-# Pair mode sets CHILD_ATTEMPTS=1: host windows collapse on a ~minute
-# timescale, so shorter pair exposure beats intra-cluster warmup.
-n_attempts = int(os.environ.get("CHILD_ATTEMPTS", "2"))
+# ONE small warmup build (~3% of the corpus) warms JVM codegen, shuffle
+# services, and Python workers, then CHILD_ATTEMPTS measured builds
+# (default 1): host windows collapse on a ~minute timescale, so the
+# shortest exposure that still excludes cold-start effects wins.
+widx = tempfile.mkdtemp(prefix="pgspark_scale_warm_%d_" % execs)
+build.build_index(spark, df.sample(fraction=0.03, seed=1), widx, num_units=1,
+                  partitions=execs * 4, salt_target=200_000,
+                  sample_fraction=0.25, resume=False)
+shutil.rmtree(widx, ignore_errors=True)
+n_attempts = int(os.environ.get("CHILD_ATTEMPTS", "1"))
 results = []
+phase_log = []
 for attempt in range(n_attempts):
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.time()
-    build.build_index(spark, df, idx, num_units=1, partitions=execs * 4,
-                      salt_target=200_000, sample_fraction=0.02, resume=False)
+    res = build.build_index(spark, df, idx, num_units=1, partitions=execs * 4,
+                            salt_target=200_000, sample_fraction=0.005,
+                            resume=False)
     results.append(time.time() - t0)
+    phase_log.append({"salt": res.get("salt_plan_sec"),
+                      "phases": res.get("phase_secs")})
 t0 = time.time()
 stats = merge.merge_index(spark, idx)
 merge_sec = time.time() - t0
@@ -115,6 +124,7 @@ print("RESULT " + json.dumps({
     "merge_sec": round(merge_sec, 2),
     "docs_per_sec": round(stats["n_docs"] / best, 1),
     "query_p95_sec": round(lat[int(len(lat)*0.95)], 4),
+    "phase_log": phase_log,
 }))
 shutil.rmtree(idx, ignore_errors=True)
 spark.stop()
@@ -167,6 +177,7 @@ def gen_input(n_docs: int) -> str:
 
 _PROBER = r"""
 import sys, time
+import numpy as np
 def spin(secs=3.0):
     t0 = time.time(); n = 0; x = 1
     while time.time() - t0 < secs:
@@ -174,10 +185,20 @@ def spin(secs=3.0):
             x = (x * 1103515245 + 12345) % 2147483648
         n += 1
     return n / (time.time() - t0)
+_BUF = np.ones(8_000_000, dtype=np.float64)  # 64 MB — far beyond LLC
+def bandwidth(secs=1.0):
+    # single-core triad-ish GB/s: the register spin is blind to memory
+    # contention, which hits the engine (Arrow/strings) hardest
+    t0 = time.time(); n = 0
+    while time.time() - t0 < secs:
+        _ = float((_BUF * 1.0000001).sum())
+        n += 1
+    return n * _BUF.nbytes * 2 / (time.time() - t0) / 1e9
 while True:
     s = spin()
-    print(f"{time.time()} {s}", flush=True)
-    time.sleep(9)
+    b = bandwidth()
+    print(f"{time.time()} {s} {b:.2f}", flush=True)
+    time.sleep(8)
 """
 
 
@@ -209,13 +230,18 @@ def run(execs: int, n_docs: int, input_dir: str) -> dict:
         except subprocess.TimeoutExpired:
             prober.kill()
             probe_out = ""
-    speeds = [float(l.split()[1]) for l in probe_out.splitlines() if l.strip()]
+    rows = [l.split() for l in probe_out.splitlines() if l.strip()]
+    speeds = [float(x[1]) for x in rows]
+    bws = [float(x[2]) for x in rows if len(x) > 2]
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             r = json.loads(line[len("RESULT "):])
             if speeds:
                 r["inrun_probe_min"] = round(min(speeds), 1)
                 r["inrun_probe_mean"] = round(sum(speeds) / len(speeds), 1)
+            if bws:
+                r["inrun_bw_min"] = round(min(bws), 2)
+                r["inrun_bw_mean"] = round(sum(bws) / len(bws), 2)
             return r
     raise RuntimeError(
         f"child failed (executors={execs}):\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}"

@@ -15,7 +15,7 @@ Modules
 - ``fixtures``  — deterministic synthetic webtext table (seed-fixed)
 - ``oracle``    — pure-numpy brute-force BM25 oracle for goldens
 - ``extract``   — Spark vectorized extract/tokenize stages
-- ``build``     — index build pipeline (salted repartitionByRange -> segments)
+- ``build``     — index build pipeline (hash-stripe ordinals -> spliced segments)
 - ``manifest``  — per-unit checkpoint/lineage ledger (resume anti-join)
 - ``merge``     — segment merge -> global lexicon + stats
 - ``query``     — top-k BM25 with block-max pruning (WAND / MaxScore)
@@ -28,8 +28,11 @@ Modules
 - ``tablefilter``  — wildcard include/exclude table filtering with precedence
 - ``fields``    — typed field mapping, schema evolution (rename -> alias)
 - ``sources``   — snapshot-pinned and incremental snapshot-range source adapters
-- ``incremental``  — delta builds, tombstones, compaction (scale-safe joins)
+- ``incremental``  — delta builds, tombstones, delete-by-query, compaction
+                  (scale-safe joins, ordinal renumbering)
 - ``streaming`` — continuous indexing (foreachBatch) + stateful LWW operator
+- ``aliases``   — versioned index directories + atomic alias cutover
+- ``cli``       — spark-submit entry point (build/delta/compact/merge/search)
 """
 
 __version__ = "0.1.0"
