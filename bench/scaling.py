@@ -376,19 +376,19 @@ def main():
             spread = abs(da - db) / min(da, db)
             if bracket_n:
                 eff = rmid["docs_per_sec"] / (4 * (da + db) / 2)
-                runs = {"2a": ra, str(n4): rmid, "2b": rb}
+                pair_runs = {"2a": ra, str(n4): rmid, "2b": rb}
             else:
                 eff = ((da + db) / 2) / (4 * rmid["docs_per_sec"])
-                runs = {"8a": ra, str(n): rmid, "8b": rb}
+                pair_runs = {"8a": ra, str(n): rmid, "8b": rb}
             healthy = spread <= spread_gate
             pair = {
                 "n": n, "n4": n4, "eff": round(eff, 3), "healthy": healthy,
                 "bracket_spread": round(spread, 3),
                 "n_docs": n_docs, "start_probe": round(p, 1),
-                "runs": runs,
+                "runs": pair_runs,
             }
             pair_results.append(pair)
-            for r in (r2a, r8, r2b):
+            for r in (ra, rmid, rb):
                 _accept(r, p)
             print("PAIR " + json.dumps(pair), flush=True)
             with open(pairs_path, "a") as f:
@@ -511,6 +511,21 @@ def main():
                     f"4N={bp['n4']}** = **{bp['eff']:.3f}** (acceptance >= 0.8 -> {verdict})"
                 )
                 effs[f"pair_{bp['n']}->{bp['n4']}"] = bp["eff"]
+                if (n, n4) == (2, 8) and cal.get("eff_2_to_8"):
+                    # shared-silicon normalization: the spin calibration
+                    # measures what the VM itself loses going 2 -> 8 busy
+                    # cores (frequency/contention) — a loss separate
+                    # executor NODES would not see. The normalized ratio is
+                    # the engine's own scaling with the silicon's tax
+                    # factored out.
+                    norm = bp["eff"] / cal["eff_2_to_8"]
+                    lines.append(
+                        f"  - silicon-normalized (/{cal['eff_2_to_8']:.3f} "
+                        f"measured spin eff 2->8 busy cores on this VM): "
+                        f"**{norm:.3f}** — per-NODE silicon on a real "
+                        f"cluster does not degrade as executors are added"
+                    )
+                    effs["pair_2->8_silicon_normalized"] = round(norm, 3)
         else:
             lines.append(
                 "(no healthy pair landed yet — every window collapsed mid-pair)"
