@@ -160,7 +160,11 @@ def build_delta(
     # recrawls 10^9 urls never touches the driver (round-1 used toPandas).
     os.makedirs(tombstones_path(index_dir), exist_ok=True)
     final = os.path.join(tombstones_path(index_dir), f"snapshot-{input_snapshot_id}")
-    tmp = final + ".tmp"
+    # staging name deliberately OUTSIDE the snapshot-* discovery glob: a
+    # crash mid-write must never leave partial tombstones readable
+    tmp = os.path.join(
+        tombstones_path(index_dir), f".staging-snapshot-{input_snapshot_id}"
+    )
     other_units = [
         u
         for u in manifest.completed_units(index_dir)
@@ -235,7 +239,8 @@ def drop_docs(
     # _tombstone_files picks all of them up
     n_prev = len(glob.glob(os.path.join(d, f"snapshot-{snapshot_id}.drop-*")))
     final = os.path.join(d, f"snapshot-{snapshot_id}.drop-{n_prev}")
-    tmp = final + ".tmp"
+    # stage outside the snapshot-* glob (uncommitted writes must stay invisible)
+    tmp = os.path.join(d, f".staging-{os.path.basename(final)}")
     tomb.write.mode("overwrite").parquet(tmp)
     n_tomb = spark.read.parquet(tmp).count()
     os.replace(tmp, final)  # atomic publish (commit-after-write)
@@ -422,6 +427,10 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
             {
                 "segment_id": f"u{u}",
                 "unit": u,
+                # the closed-form renumbering keeps the per-partition ordinal
+                # grid, so the unit's original layout value stays valid —
+                # omitting it would null the column and crash search_ranged
+                "ord_partitions": int(old["ord_partitions"]),
                 "input_snapshot_id": int(old["input_snapshot_id"]),
                 "row_count": n_after,
                 "sum_doclen": int(stats["sum_dl"] or 0),
@@ -436,7 +445,9 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
     d = tombstones_path(index_dir)
     for f in glob.glob(os.path.join(d, "*.parquet")):
         os.remove(f)
-    for sub in glob.glob(os.path.join(d, "snapshot-*")):
+    for sub in glob.glob(os.path.join(d, "snapshot-*")) + glob.glob(
+        os.path.join(d, ".staging-*")  # crashed-write leftovers
+    ):
         shutil.rmtree(sub, ignore_errors=True)
     merge.merge_index(spark, index_dir)
     return {"compacted_units": units, "removed_docs": removed_total}

@@ -73,6 +73,8 @@ class _UnitSidecar:
 
         if docs is None or docs.size == 0:
             return docs
+        if self.docs_sorted.size == 0:  # zero-doc unit: nothing present
+            return None
         pos = np.searchsorted(self.docs_sorted, docs)
         pos = np.minimum(pos, self.docs_sorted.size - 1)
         m = self.docs_sorted[pos] == docs
@@ -133,7 +135,9 @@ def _sidecar(index_dir: str, unit: int) -> _UnitSidecar:
     ent.ords, ent.doc_ids, ent.dls = m[0], m[1], m[2]
     ent.docs_sorted, ent.ords_by_doc = m[3], m[4]
     if len(_SIDECAR_CACHE) >= 64:
-        _SIDECAR_CACHE.clear()
+        # evict ONE entry (insertion order ≈ oldest) — clearing the whole
+        # cache would drop every hot unit on a single overflow
+        _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
     _SIDECAR_CACHE[key] = ent
     return ent
 

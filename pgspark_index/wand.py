@@ -341,12 +341,15 @@ def score_bmw(
             break
         live.sort(key=lambda c: c.current())
         T = heap[0][0] if len(heap) >= k else 0.0
-        # WAND pivot: first prefix whose ub sum exceeds T
+        # WAND pivot: first prefix whose ub sum REACHES T. Tie-safety: a doc
+        # whose bound exactly equals T can still win the (score DESC, doc_id
+        # ASC) tie-break — v3 traverses in ordinal order while ties break on
+        # the mapped doc_id, so ub == T must be scored, never pruned.
         acc_ub = 0.0
         pivot_idx = None
         for idx, c in enumerate(live):
             acc_ub += c.ub
-            if acc_ub > T:
+            if acc_ub >= T:
                 pivot_idx = idx
                 break
         if pivot_idx is None:
@@ -363,7 +366,7 @@ def score_bmw(
             block_ub_sum = sum(
                 c.block_ub(avgdl) for c in live if c.current() == pivot_doc
             )
-            if block_ub_sum > T:
+            if block_ub_sum >= T:  # == T scores too (doc_id tie-break)
                 score = 0.0
                 matched = sorted(
                     (c for c in live if c.current() == pivot_doc), key=lambda c: c.trank

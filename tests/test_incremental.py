@@ -209,3 +209,40 @@ def test_pre_compaction_stats_corrected(spark, corpora, tmp_path):
     assert live["n_docs"] == ref["n_docs"]
     assert live["sum_doclen"] == ref["sum_doclen"]
     assert abs(live["avgdl"] - ref["avgdl"]) < 1e-12
+
+
+def test_compact_preserves_ranged_search(spark, corpora, tmp_index):
+    """Regression (ADVICE r3): compact's manifest refresh must keep
+    ord_partitions — losing it nulls the column (int -> float64/NaN on
+    read) and crashes search_ranged on any compacted index."""
+    base, delta, _merged, _updated = corpora
+    build.build_index(spark, base, tmp_index, num_units=1, partitions=4,
+                      sample_fraction=1.0)
+    merge.merge_index(spark, tmp_index)
+    incremental.build_delta(spark, delta, tmp_index, input_snapshot_id=1,
+                            num_units=1, partitions=4, sample_fraction=1.0)
+    incremental.compact(spark, tmp_index)
+    m = manifest.read_manifest(tmp_index)
+    assert m["ord_partitions"].notna().all()
+    for q in fixtures.make_query_set(6, seed=13):
+        a = query.search(spark, tmp_index, q["terms"], q["k"]).collect()
+        b = query.search_ranged(spark, tmp_index, q["terms"], q["k"],
+                                ranges=3).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], q
+
+
+def test_staging_tombstones_invisible(spark, tmp_index):
+    """Regression (ADVICE r3): a crashed mid-write staging dir must never
+    be discovered as committed tombstones."""
+    import os
+
+    d = incremental.tombstones_path(tmp_index)
+    staged = os.path.join(d, ".staging-snapshot-7")
+    os.makedirs(staged, exist_ok=True)
+    spark.createDataFrame(
+        [(1, 7)], "doc_id bigint, snapshot bigint"
+    ).write.mode("overwrite").parquet(staged)
+    assert incremental._tombstone_files(tmp_index) == []
+    assert incremental.load_tombstones(tmp_index) is None

@@ -158,3 +158,25 @@ def test_ranged_search_matches_standard(spark, tmp_index):
              for r in query.search_ranged(spark, tmp_index, q["terms"],
                                           q["k"], ranges=4).collect()]
         assert a == b, q["query_id"]
+
+
+def test_bmw_tie_nonmonotone_ordinals():
+    """Regression (ADVICE r3): v3 traverses in ORDINAL order while ties
+    break on the mapped doc_id. With identical docs every block upper
+    bound EQUALS the exact score, so pruning on ub == T would skip the
+    later ordinals whose smaller mapped doc_ids must win the tie."""
+    n = 40
+    docs = pd.DataFrame({"doc_id": list(range(n)), "norm_text": ["a b"] * n})
+    stats = oracle.build_stats(docs)
+    lists = make_lists(stats, ["a", "b"])
+    # ordinal o -> doc_id (n-1-o)*7 + 3: ordinal order is the REVERSE of
+    # doc_id order, so the first-k-traversed docs are the WRONG answer
+    mapped = np.array([(n - 1 - o) * 7 + 3 for o in range(n)], dtype=np.int64)
+    sc = wand.SimpleSidecar(make_dl_of(stats), doc_of=lambda o: mapped[o])
+    k = 5
+    exp_docs, exp_scores = wand.score_exhaustive(lists, stats["avgdl"], k, sc)
+    assert exp_docs.tolist() == [3, 10, 17, 24, 31]
+    for name in ("maxscore", "bmw"):
+        got_docs, got_scores = wand.STRATEGIES[name](lists, stats["avgdl"], k, sc)
+        assert got_docs.tolist() == exp_docs.tolist(), name
+        np.testing.assert_array_equal(got_scores, exp_scores, err_msg=name)
