@@ -26,7 +26,7 @@ the raw corpus slice):
    -> repartition(P, stripe) where stripe = top bits of   [shuffle 1]
       xxhash64(doc_id) (deterministic, uniform — see ORD_SHIFT)
       + sortWithinPartitions(stripe, hash, doc_id ASC, version DESC, ...)
-   -> ONE tokenize pass (mapInPandas): streaming LWW dedup
+   -> ONE tokenize pass (mapInArrow): streaming LWW dedup
       (keep-first per doc_id over the sorted stream) + dense doc
       ORDINAL assignment (partition_id << 40 | rank), then emits BOTH
         kind=0 sidecar rows (ord, doc_id, url, doclen)    [docs by-product]
@@ -39,7 +39,7 @@ the raw corpus slice):
    -> segments      = filter kind=1
       -> repartition(P, term, salt) hash                  [shuffle 2: blobs only]
       -> sortWithinPartitions(term, salt, first_doc)
-      -> mapInPandas(SPLICE partials: byte-concat blobs,
+      -> mapInArrow(SPLICE partials: byte-concat blobs,
          one varint patched per partial, block tables
          concatenated — O(rows), postings never decoded)  [Arrow]
       -> segments parquet under segments/unit=<u>/
@@ -140,6 +140,81 @@ COMBINED_SCHEMA = (
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
+# ---- Arrow construction helpers (hot-path stages are mapInArrow: columns
+# are built straight from flat numpy/byte buffers — zero per-row Python
+# objects, zero per-group bytes() slicing; the eliminated object churn is
+# the memory traffic that throttled 8+ concurrent build workers) ----------
+
+
+def _arrow_combined_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("kind", pa.int32()), ("term", pa.string()), ("salt", pa.int32()),
+            ("df", pa.int64()), ("cf", pa.int64()), ("first_doc", pa.int64()),
+            ("block_last_doc", pa.list_(pa.int64())),
+            ("block_max_tf", pa.list_(pa.int32())),
+            ("block_min_dl", pa.list_(pa.int32())),
+            ("block_offset", pa.list_(pa.int64())),
+            ("postings", pa.binary()), ("positions", pa.binary()),
+            ("ord", pa.int64()), ("doc_id", pa.int64()),
+            ("url", pa.string()), ("doclen", pa.int32()),
+        ]
+    )
+
+
+def _arrow_seg_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()), ("salt", pa.int32()), ("part_id", pa.int32()),
+            ("df", pa.int64()), ("cf", pa.int64()),
+            ("block_last_doc", pa.list_(pa.int64())),
+            ("block_max_tf", pa.list_(pa.int32())),
+            ("block_min_dl", pa.list_(pa.int32())),
+            ("block_offset", pa.list_(pa.int64())),
+            ("postings", pa.binary()), ("positions", pa.binary()),
+        ]
+    )
+
+
+def _empty_varlen(n: int, typ):
+    """n empty strings/bytes as ONE shared zero buffer (no objects)."""
+    import pyarrow as pa
+
+    offs = np.zeros(n + 1, dtype=np.int32)
+    return pa.Array.from_buffers(typ, n, [None, pa.py_buffer(offs), pa.py_buffer(b"")])
+
+
+def _empty_lists(n: int, typ):
+    import pyarrow as pa
+
+    offs = np.zeros(n + 1, dtype=np.int32)
+    return pa.ListArray.from_arrays(pa.array(offs), pa.array([], type=typ))
+
+
+def _binary_from_flat(blob, offsets: np.ndarray):
+    """Binary column over ONE shared buffer: row k = blob[off[k]:off[k+1]]."""
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.binary(), len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(blob)],
+    )
+
+
+def _list_from_flat(row_offsets: np.ndarray, values, typ):
+    """List column over ONE flat values array (``values``: numpy or Arrow)."""
+    import pyarrow as pa
+
+    vals = values if isinstance(values, pa.Array) else pa.array(values, type=typ)
+    return pa.ListArray.from_arrays(
+        pa.array(row_offsets.astype(np.int32)), vals
+    )
+
+
 def _doc_salt(doc_ids: np.ndarray, fanouts: np.ndarray) -> np.ndarray:
     """Deterministic per-doc salt in [0, fanout): golden-ratio mix of the
     doc_id (cheap numpy, engine-internal — nothing external depends on it).
@@ -159,9 +234,10 @@ def make_tokenize_fn(
     max_fanout: int = 64,
     max_term_bytes: int | None = 32766,
     with_positions: bool = False,
+    chunk_rows: int | None = None,
 ):
-    """mapInPandas factory: corpus rows -> doc rows + PARTIAL posting lists
-    in ONE tokenization pass (COMBINED_SCHEMA).
+    """mapInArrow factory: corpus rows -> doc rows + PARTIAL posting lists
+    in ONE tokenization pass (COMBINED_SCHEMA, Arrow record batches).
 
     Input contract (enforced by build_unit): rows arrive hash-stripe
     partitioned (whole stripes per task) and sorted within the partition
@@ -182,33 +258,48 @@ def make_tokenize_fn(
     The map-side combine of the classic MapReduce index build: each input
     partition tokenizes its docs, groups locally by (term, salt), and emits
     delta+varbyte-encoded partial lists WITH final block-max metadata. Only
-    compressed blobs cross the shuffle (~2.3 B/posting [gap, tf] — doclen
-    moved to the per-doc docs sidecar in format v2 — instead of ~14+
-    B/posting raw rows), and the JVM never materializes per-posting rows.
+    compressed blobs cross the shuffle (~2.3 B/posting [gap, tf]) and the
+    JVM never materializes per-posting rows.
+
+    Arrow-native end to end: input text/url columns stay Arrow (zero
+    per-doc Python strings for ASCII text), the term dictionary stays an
+    Arrow StringArray through the cross-batch canonicalization
+    (dictionary_encode — no pandas factorize over object arrays), and
+    output columns are built from the encoder's FLAT buffers
+    (binary/list columns over one shared buffer — no per-group bytes()
+    slices, no object columns). The eliminated allocation/GC/memcpy churn
+    is what contended for memory bandwidth at 8+ concurrent workers.
 
     The docs side table (doc_id, url, doclen) falls out of the same pass as
     kind=0 rows — the reference precedent for one-touch row adaptation is
     pg_snapshot_generator.go:409-467 (each scanned row adapted exactly once).
 
     Partial lists may be emitted more than once per (term, salt, partition)
-    (chunked flushes — still doc-ordered and disjoint, because input rows
-    are doc-sorted) — the splice merge handles any number of partials."""
+    (chunked flushes, bounded by ``chunk_rows`` buffered postings — env
+    PGSPARK_PARTIAL_CHUNK_ROWS tunes the working set) — still doc-ordered
+    and disjoint; the splice merge handles any number of partials."""
+    chunk = int(
+        chunk_rows
+        or os.environ.get("PGSPARK_PARTIAL_CHUNK_ROWS", _PARTIAL_CHUNK_ROWS)
+    )
 
     def fn(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
         from pyspark import TaskContext
 
-        from .textnorm import batch_token_stream as _bts
+        from .textnorm import batch_token_stream_arrow as _bts
 
+        schema = _arrow_combined_schema()
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         ord_base = np.int64(pid) << np.int64(ORD_SHIFT)
         doc_seq = 0  # rank of the next KEPT doc within this task
 
-        # numpy-chunk accumulators, one tuple of arrays per input batch —
-        # the Arrow batch tokenizer emits arrays, never per-token Python
-        acc_uniq: list[np.ndarray] = []   # object arrays of term strings
+        # numpy/arrow-chunk accumulators — the batch tokenizer emits
+        # arrays, never per-token Python
+        acc_uniq: list = []               # ARROW string arrays (per batch)
         acc_code: list[np.ndarray] = []   # codes into the GLOBAL vocab
         acc_tf: list[np.ndarray] = []
         acc_doc: list[np.ndarray] = []    # doc ORDINAL per posting
@@ -218,30 +309,42 @@ def make_tokenize_fn(
         buffered = 0
         dropped_postings = 0
         prev_doc = None  # streaming-dedup carry across batches
+        salt_terms = (
+            pa.array(sorted(salt_map), type=pa.string()) if salt_map else None
+        )
+        salt_fans = (
+            np.array([salt_map[t] for t in sorted(salt_map)], dtype=np.int64)
+            if salt_map
+            else None
+        )
 
         def flush():
             nonlocal acc_uniq, acc_code, acc_tf, acc_doc, acc_dl, acc_pos
             nonlocal vocab_off, buffered, dropped_postings
             if buffered == 0:
                 return None
-            vocab = np.concatenate(acc_uniq)
-            codes_g = np.concatenate(acc_code)
+            # per-chunk vocabularies may repeat terms — one C++
+            # dictionary_encode over the concatenated ARROW vocab
+            # canonicalizes them for the whole flush (no object arrays)
+            vocab = (
+                pa.concat_arrays(acc_uniq) if len(acc_uniq) > 1 else acc_uniq[0]
+            )
+            denc = pc.dictionary_encode(vocab)
+            canon = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniques = denc.dictionary
+            codes = canon[np.concatenate(acc_code)]
             doc = np.concatenate(acc_doc)
             dl = np.concatenate(acc_dl)
             tf = np.concatenate(acc_tf)
-            # per-chunk vocabularies may repeat terms — one factorize over
-            # the concatenated vocab canonicalizes them for the whole flush
-            canon, uniques = pd.factorize(vocab)
-            codes = canon[codes_g]
             sel = None  # final posting order as indices into the ORIGINAL arrays
             if max_term_bytes is not None:
                 # Lucene-analog oversize guard (term byte cap 32766,
                 # opensearch_mapper.go:44-53): drop oversized terms from the
                 # postings (doclen keeps counting them, like Lucene norms),
                 # account the drops. Vectorized over DISTINCT terms only.
-                term_lens = np.fromiter(
-                    (len(u) for u in uniques), dtype=np.int64, count=len(uniques)
-                )
+                term_lens = pc.utf8_length(uniques).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
                 bad = term_lens > max_term_bytes
                 if bad.any():
                     keep = ~bad[codes]
@@ -254,9 +357,15 @@ def make_tokenize_fn(
                         vocab_off = 0
                         buffered = 0
                         return None
-            fan = np.fromiter(
-                (salt_map.get(u, 1) for u in uniques), dtype=np.int64, count=len(uniques)
-            )
+            fan = np.ones(len(uniques), dtype=np.int64)
+            if salt_terms is not None:
+                # head-term fanout scatter: hash-probe the few salted terms
+                # against the flush vocab in C++ (index_in), never a
+                # per-unique Python dict lookup
+                hit = pc.index_in(salt_terms, value_set=uniques)
+                hit_np = hit.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+                m = hit_np >= 0
+                fan[hit_np[m]] = salt_fans[m]
             salt = _doc_salt(doc, fan[codes])
             key = codes.astype(np.int64) * max_fanout + salt
             # postings are accumulated doc-major over an ASCENDING doc
@@ -276,8 +385,8 @@ def make_tokenize_fn(
                 order = np.argsort(key, kind="stable")
                 doc, dl, tf, key = doc[order], dl[order], tf[order], key[order]
             starts = np.concatenate(([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
-            rows = codecs.encode_groups(starts, doc, tf, dl, with_blocks=True)
-            ng = len(rows)
+            flat = codecs.encode_groups_flat(starts, doc, tf, dl, with_blocks=True)
+            ng = flat["df"].shape[0]
             if with_positions:
                 # ragged gather: reorder (and filter) each posting's
                 # position slice into the sorted posting order, then one
@@ -296,28 +405,40 @@ def make_tokenize_fn(
                     - np.repeat(out_starts, lens)
                 )
                 pos_sorted = np.concatenate(acc_pos)[gidx]
-                pos_blobs = codecs.encode_position_groups(starts, lens, pos_sorted)
+                pos_blob, pos_offs = codecs.encode_position_groups_flat(
+                    starts, lens, pos_sorted
+                )
             else:
-                pos_blobs = [b""] * ng
-            out = pd.DataFrame(
-                {
-                    "kind": np.ones(ng, dtype="int32"),
-                    "term": uniques[(key[starts] // max_fanout)],
-                    "salt": (key[starts] % max_fanout).astype("int32"),
-                    "df": np.array([r["df"] for r in rows], dtype="int64"),
-                    "cf": np.array([r["cf"] for r in rows], dtype="int64"),
-                    "first_doc": doc[starts],
-                    "block_last_doc": [r["block_last_doc"] for r in rows],
-                    "block_max_tf": [r["block_max_tf"] for r in rows],
-                    "block_min_dl": [r["block_min_dl"] for r in rows],
-                    "block_offset": [r["block_offset"] for r in rows],
-                    "postings": [r["postings"] for r in rows],
-                    "positions": pos_blobs,
-                    "ord": np.full(ng, -1, dtype="int64"),
-                    "doc_id": np.full(ng, -1, dtype="int64"),
-                    "url": np.full(ng, "", dtype=object),
-                    "doclen": np.full(ng, -1, dtype="int32"),
-                }
+                pos_blob, pos_offs = b"", np.zeros(ng + 1, dtype=np.int64)
+            term_idx = key[starts] // max_fanout
+            out = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.ones(ng, dtype=np.int32)),
+                    uniques.take(pa.array(term_idx)),
+                    pa.array((key[starts] % max_fanout).astype(np.int32)),
+                    pa.array(flat["df"].astype(np.int64)),
+                    pa.array(flat["cf"].astype(np.int64)),
+                    pa.array(doc[starts]),
+                    _list_from_flat(
+                        flat["blk_row_offsets"], flat["blk_last_doc"], pa.int64()
+                    ),
+                    _list_from_flat(
+                        flat["blk_row_offsets"], flat["blk_max_tf"], pa.int32()
+                    ),
+                    _list_from_flat(
+                        flat["blk_row_offsets"], flat["blk_min_dl"], pa.int32()
+                    ),
+                    _list_from_flat(
+                        flat["blk_row_offsets"], flat["blk_offset"], pa.int64()
+                    ),
+                    _binary_from_flat(flat["blob"], flat["post_offsets"]),
+                    _binary_from_flat(pos_blob, pos_offs),
+                    pa.array(np.full(ng, -1, dtype=np.int64)),
+                    pa.array(np.full(ng, -1, dtype=np.int64)),
+                    _empty_varlen(ng, pa.string()),
+                    pa.array(np.full(ng, -1, dtype=np.int32)),
+                ],
+                schema=schema,
             )
             acc_uniq, acc_code, acc_tf = [], [], []
             acc_doc, acc_dl, acc_pos = [], [], []
@@ -325,13 +446,14 @@ def make_tokenize_fn(
             buffered = 0
             return out
 
-        empty_block = np.zeros(0, dtype=np.int64)
-
-        for pdf in batches:
-            n = len(pdf)
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
                 continue
-            doc_ids = pdf["doc_id"].to_numpy(dtype="int64")
+            names = batch.schema.names
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
             # streaming LWW dedup: input sorted (doc_id ASC, version DESC,
             # ...), keep the FIRST row per doc_id (duplicates consecutive)
             keep = np.ones(n, dtype=bool)
@@ -340,22 +462,21 @@ def make_tokenize_fn(
                 keep[0] = False
             prev_doc = int(doc_ids[-1])
             if not keep.all():
-                pdf = pdf[keep]
+                batch = batch.filter(pa.array(keep))
                 doc_ids = doc_ids[keep]
-                n = len(pdf)
+                n = batch.num_rows
                 if n == 0:
                     continue
-            htmls = pdf["html"].tolist() if "html" in pdf.columns else [None] * n
-            texts = pdf["text"].tolist()
+            html_arr = batch.column("html") if "html" in names else None
+            text_arr = batch.column("text")
             # dense ordinals (format v3): pid << ORD_SHIFT | running rank
             # over this task's kept docs (contiguous per task — the splice
             # disjointness invariant)
             ords = ord_base + np.int64(doc_seq) + np.arange(n, dtype=np.int64)
             doc_seq += n
             dl_b, doc_idx_b, code_b, tf_b, uniq_b, pos_b = _bts(
-                htmls, texts, with_positions
+                html_arr, text_arr, with_positions
             )
-            doclens = dl_b.astype(np.int32)
             if code_b.size:
                 acc_uniq.append(uniq_b)
                 acc_code.append(code_b + vocab_off)
@@ -366,69 +487,68 @@ def make_tokenize_fn(
                 if with_positions:
                     acc_pos.append(pos_b)
                 buffered += int(code_b.size)
-            urls = (
-                pdf["url"].to_numpy()
-                if "url" in pdf.columns
-                else np.full(n, "", dtype=object)
+            url_arr = (
+                batch.column("url") if "url" in names else _empty_varlen(n, pa.string())
             )
-            ng0 = n
-            yield pd.DataFrame(
-                {
-                    "kind": np.zeros(ng0, dtype="int32"),
-                    "term": np.full(ng0, "", dtype=object),
-                    "salt": np.full(ng0, -1, dtype="int32"),
-                    "df": np.zeros(ng0, dtype="int64"),
-                    "cf": np.zeros(ng0, dtype="int64"),
-                    "first_doc": np.full(ng0, -1, dtype="int64"),
-                    "block_last_doc": [empty_block] * ng0,
-                    "block_max_tf": [empty_block] * ng0,
-                    "block_min_dl": [empty_block] * ng0,
-                    "block_offset": [empty_block] * ng0,
-                    "postings": [b""] * ng0,
-                    "positions": [b""] * ng0,
-                    "ord": ords,
-                    "doc_id": doc_ids,
-                    "url": urls,
-                    "doclen": doclens,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.zeros(n, dtype=np.int32)),
+                    _empty_varlen(n, pa.string()),
+                    pa.array(np.full(n, -1, dtype=np.int32)),
+                    pa.array(np.zeros(n, dtype=np.int64)),
+                    pa.array(np.zeros(n, dtype=np.int64)),
+                    pa.array(np.full(n, -1, dtype=np.int64)),
+                    _empty_lists(n, pa.int64()),
+                    _empty_lists(n, pa.int32()),
+                    _empty_lists(n, pa.int32()),
+                    _empty_lists(n, pa.int64()),
+                    _empty_varlen(n, pa.binary()),
+                    _empty_varlen(n, pa.binary()),
+                    pa.array(ords),
+                    pa.array(doc_ids),
+                    url_arr,
+                    pa.array(dl_b.astype(np.int32)),
+                ],
+                schema=schema,
             )
-            if buffered >= _PARTIAL_CHUNK_ROWS:
+            if buffered >= chunk:
                 out = flush()
-                if out is not None and len(out):
+                if out is not None and out.num_rows:
                     yield out
         out = flush()
-        if out is not None and len(out):
+        if out is not None and out.num_rows:
             yield out
         if dropped_postings:
             # kind=2 metrics row: dropped-posting accounting for lineage
             # (the reference's dropped-row counters,
             # wal_kafka_batch_writer.go:168-179 / search_store.go:137-143).
-            yield pd.DataFrame(
-                {
-                    "kind": np.array([2], dtype="int32"),
-                    "term": np.array([""], dtype=object),
-                    "salt": np.array([-1], dtype="int32"),
-                    "df": np.array([dropped_postings], dtype="int64"),
-                    "cf": np.array([0], dtype="int64"),
-                    "first_doc": np.array([-1], dtype="int64"),
-                    "block_last_doc": [empty_block],
-                    "block_max_tf": [empty_block],
-                    "block_min_dl": [empty_block],
-                    "block_offset": [empty_block],
-                    "postings": [b""],
-                    "positions": [b""],
-                    "ord": np.array([-1], dtype="int64"),
-                    "doc_id": np.array([-1], dtype="int64"),
-                    "url": np.array([""], dtype=object),
-                    "doclen": np.array([-1], dtype="int32"),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([2], type=pa.int32()),
+                    pa.array([""], type=pa.string()),
+                    pa.array([-1], type=pa.int32()),
+                    pa.array([dropped_postings], type=pa.int64()),
+                    pa.array([0], type=pa.int64()),
+                    pa.array([-1], type=pa.int64()),
+                    pa.array([[]], type=pa.list_(pa.int64())),
+                    pa.array([[]], type=pa.list_(pa.int32())),
+                    pa.array([[]], type=pa.list_(pa.int32())),
+                    pa.array([[]], type=pa.list_(pa.int64())),
+                    pa.array([b""], type=pa.binary()),
+                    pa.array([b""], type=pa.binary()),
+                    pa.array([-1], type=pa.int64()),
+                    pa.array([-1], type=pa.int64()),
+                    pa.array([""], type=pa.string()),
+                    pa.array([-1], type=pa.int32()),
+                ],
+                schema=schema,
             )
 
     return fn
 
 
 def _splice_merge_fn(batches):
-    """mapInPandas: shuffled partial lists (sorted by term, salt, first_doc)
+    """mapInArrow: shuffled partial lists (sorted by term, salt, first_doc)
     -> final segment rows by BLOB SPLICING — O(rows), not O(postings).
 
     Partials of one (term, salt) group cover disjoint, ordered doc-id
@@ -440,110 +560,141 @@ def _splice_merge_fn(batches):
     round-1 decode/lexsort/re-encode merge was memory-bandwidth-bound and
     capped multi-core scaling; splicing touches ~bytes-of-metadata only.
 
+    Arrow-native: input Binary/List columns are read as (offsets, flat
+    buffer) pairs — zero per-row bytes()/ndarray objects — and three of
+    the four output block tables REUSE the input flat values arrays
+    outright (group concatenation of adjacent rows is the identity on the
+    flat buffer; only the list offsets change). The posting bytes make
+    exactly one pass into a single output buffer.
+
     Blocks stay valid (decode_block handles ragged blocks); compression is
     preserved (the patched gap is a true small delta)."""
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
-
-    cols = (
-        "term", "salt", "df", "cf", "first_doc",
-        "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
-        "postings", "positions",
-    )
-    parts: dict[str, list] = {c: [] for c in cols}
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        for c in cols:
-            parts[c].append(pdf[c].to_numpy())
-    if not parts["term"]:
+    blist = [b for b in batches if b.num_rows]
+    if not blist:
         return
-    terms = np.concatenate(parts["term"])
-    salts = np.concatenate(parts["salt"]).astype(np.int32)
-    dfs = np.concatenate(parts["df"]).astype(np.int64)
-    cfs = np.concatenate(parts["cf"]).astype(np.int64)
-    first = np.concatenate(parts["first_doc"]).astype(np.int64)
-    blds = np.concatenate(parts["block_last_doc"])
-    bmts = np.concatenate(parts["block_max_tf"])
-    bmds = np.concatenate(parts["block_min_dl"])
-    boffs = np.concatenate(parts["block_offset"])
-    blobs = np.concatenate(parts["postings"])
-    posb = np.concatenate(parts["positions"])
+    tbl = pa.Table.from_batches(blist).combine_chunks()
+    n = tbl.num_rows
 
-    n = terms.shape[0]
-    grp_starts = np.concatenate(
-        ([0], np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1)
-    )
-    grp_ends = np.concatenate((grp_starts[1:], [n]))
+    def col(name):
+        return tbl.column(name).chunk(0)
 
-    o_term, o_salt, o_df, o_cf = [], [], [], []
-    o_bld, o_bmt, o_bmd, o_boff, o_post, o_pos = [], [], [], [], [], []
-    for s, e in zip(grp_starts, grp_ends):
-        o_term.append(terms[s])
-        o_salt.append(salts[s])
-        if e - s == 1:
-            o_df.append(dfs[s])
-            o_cf.append(cfs[s])
-            o_bld.append(blds[s])
-            o_bmt.append(bmts[s])
-            o_bmd.append(bmds[s])
-            o_boff.append(boffs[s])
-            o_post.append(bytes(blobs[s]))
-            o_pos.append(bytes(posb[s]))
-            continue
-        frags = [bytes(blobs[s])]
-        offs_out = [np.asarray(boffs[s], dtype=np.int64)]
-        base = len(frags[0])
-        last_prev = int(np.asarray(blds[s])[-1])
-        for j in range(s + 1, e):
-            blob = bytes(blobs[j])
-            fd = int(first[j])
-            if fd <= last_prev:
-                raise ValueError(
-                    "splice-merge invariant violated: overlapping doc ranges "
-                    f"for term={terms[s]!r} salt={int(salts[s])} "
-                    f"(first_doc {fd} <= prev last {last_prev}); build_unit "
-                    "must range-partition the corpus by doc_id"
-                )
-            # patch partial j's first varint: absolute doc -> gap
-            fl = 1
-            while blob[fl - 1] >= 128:
-                fl += 1
-            new_first = codecs.varint_one(fd - last_prev)
-            frags.append(new_first + blob[fl:])
-            delta = len(new_first) - fl
-            off_j = np.asarray(boffs[j], dtype=np.int64) + delta
-            off_j[0] = 0
-            offs_out.append(off_j + base)
-            base += len(blob) + delta
-            last_prev = int(np.asarray(blds[j])[-1])
-        o_df.append(int(dfs[s:e].sum()))
-        o_cf.append(int(cfs[s:e].sum()))
-        o_bld.append(np.concatenate([np.asarray(x, dtype=np.int64) for x in blds[s:e]]))
-        o_bmt.append(np.concatenate([np.asarray(x, dtype=np.int32) for x in bmts[s:e]]))
-        o_bmd.append(np.concatenate([np.asarray(x, dtype=np.int32) for x in bmds[s:e]]))
-        o_boff.append(np.concatenate(offs_out))
-        o_post.append(b"".join(frags))
-        # positions are doc-local gaps — plain concatenation, no patching
-        o_pos.append(b"".join(bytes(x) for x in posb[s:e]))
+    def bin_parts(arr):
+        # (absolute byte offsets int64[n+1], flat uint8 data) — zero-copy
+        o = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+        o = o[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+        buf = arr.buffers()[2]
+        data = (
+            np.frombuffer(buf, dtype=np.uint8) if buf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        return o, data
 
-    yield pd.DataFrame(
-        {
-            "term": o_term,
-            "salt": np.asarray(o_salt, dtype="int32"),
-            "part_id": np.full(len(o_term), pid, dtype="int32"),
-            "df": np.asarray(o_df, dtype="int64"),
-            "cf": np.asarray(o_cf, dtype="int64"),
-            "block_last_doc": o_bld,
-            "block_max_tf": o_bmt,
-            "block_min_dl": o_bmd,
-            "block_offset": o_boff,
-            "postings": o_post,
-            "positions": o_pos,
-        }
+    def list_parts(arr):
+        # (absolute value offsets int64[n+1], flat child Array) — zero-copy
+        o = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+        return o[arr.offset : arr.offset + len(arr) + 1].astype(np.int64), arr.values
+
+    term = col("term")
+    salts = col("salt").to_numpy(zero_copy_only=False).astype(np.int32)
+    dfs = col("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    cfs = col("cf").to_numpy(zero_copy_only=False).astype(np.int64)
+    first = col("first_doc").to_numpy(zero_copy_only=False).astype(np.int64)
+    post_o, post_d = bin_parts(col("postings"))
+    pos_o, pos_d = bin_parts(col("positions"))
+    bld_o, bld_vals = list_parts(col("block_last_doc"))
+    bmt_o, bmt_vals = list_parts(col("block_max_tf"))
+    bmd_o, bmd_vals = list_parts(col("block_min_dl"))
+    boff_o, boff_vals = list_parts(col("block_offset"))
+    bld_np = bld_vals.to_numpy(zero_copy_only=False)
+    boff_np = boff_vals.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    if n > 1:
+        neq = pc.not_equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        grp = np.concatenate(([0], np.flatnonzero(neq | (salts[1:] != salts[:-1])) + 1))
+    else:
+        grp = np.zeros(1, dtype=np.int64)
+    ge = np.concatenate((grp[1:], [n]))
+    ng = grp.shape[0]
+
+    out_ba = bytearray()
+    out_post_off = np.empty(ng + 1, dtype=np.int64)
+    out_post_off[0] = 0
+    out_boff = np.empty(boff_np.shape[0], dtype=np.int64)
+    mv_post = memoryview(post_d)
+    terms_np = None  # only materialized on an invariant violation
+    for k in range(ng):
+        s, e = int(grp[k]), int(ge[k])
+        # first partial verbatim (singleton groups stop here)
+        out_ba += mv_post[post_o[s] : post_o[s + 1]]
+        out_boff[boff_o[s] : boff_o[s + 1]] = boff_np[boff_o[s] : boff_o[s + 1]]
+        if e - s > 1:
+            base = int(post_o[s + 1] - post_o[s])
+            last_prev = int(bld_np[bld_o[s + 1] - 1])
+            for j in range(s + 1, e):
+                o0, o1 = int(post_o[j]), int(post_o[j + 1])
+                fd = int(first[j])
+                if fd <= last_prev:
+                    raise ValueError(
+                        "splice-merge invariant violated: overlapping doc ranges "
+                        f"for term={term[s].as_py()!r} salt={int(salts[s])} "
+                        f"(first_doc {fd} <= prev last {last_prev}); build_unit "
+                        "must range-partition the corpus by doc_id"
+                    )
+                # patch partial j's first varint: absolute doc -> gap
+                fl = 1
+                while post_d[o0 + fl - 1] >= 128:
+                    fl += 1
+                new_first = codecs.varint_one(fd - last_prev)
+                out_ba += new_first
+                out_ba += mv_post[o0 + fl : o1]
+                delta = len(new_first) - fl
+                lo, hi = int(boff_o[j]), int(boff_o[j + 1])
+                out_boff[lo:hi] = boff_np[lo:hi] + (delta + base)
+                out_boff[lo] = base
+                base += (o1 - o0) + delta
+                last_prev = int(bld_np[bld_o[j + 1] - 1])
+        out_post_off[k + 1] = len(out_ba)
+
+    take = pa.array(grp)
+
+    def group_list(off_abs, values):
+        ro = np.concatenate((off_abs[grp], [off_abs[-1]]))
+        return _list_from_flat(ro, values, None)
+
+    yield pa.RecordBatch.from_arrays(
+        [
+            term.take(take),
+            pa.array(salts[grp]),
+            pa.array(np.full(ng, pid, dtype=np.int32)),
+            pa.array(np.add.reduceat(dfs, grp)),
+            pa.array(np.add.reduceat(cfs, grp)),
+            group_list(bld_o, bld_vals),       # flat values reused zero-copy
+            group_list(bmt_o, bmt_vals),
+            group_list(bmd_o, bmd_vals),
+            group_list(boff_o, pa.array(out_boff)),
+            _binary_from_flat(bytes(out_ba), out_post_off),
+            # positions are doc-local gaps — group concat is the identity on
+            # the flat buffer: reuse it with group-start offsets
+            pa.Array.from_buffers(
+                pa.binary(), ng,
+                [
+                    None,
+                    pa.py_buffer(
+                        np.concatenate((pos_o[grp], [pos_o[-1]])).astype(np.int32)
+                    ),
+                    pa.py_buffer(pos_d),
+                ],
+            ),
+        ],
+        schema=_arrow_seg_schema(),
     )
 
 
@@ -582,6 +733,39 @@ def plan_salts(
     return plan
 
 
+def bare_scan_files(source: DataFrame) -> list[str]:
+    """The source's parquet files IFF it is a BARE file scan, else [].
+
+    Public-API check (no private Spark internals — ``DataFrame.explain``
+    and ``inputFiles`` only): the ANALYZED logical plan must be a single
+    parquet Relation node. Any filter, projection, or derived column adds
+    a plan node above it, so file-subset sampling can never silently drop
+    a transformation layered on the DataFrame. (``sameSemantics`` against
+    a fresh scan was tried first but file relations canonicalize by
+    identity, so two reads of the same directory compare unequal.)"""
+    import contextlib
+    import io
+
+    try:
+        files = [f for f in source.inputFiles() if ".parquet" in f]
+        if not files:
+            return []
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            source.explain(mode="extended")
+        sec = (
+            buf.getvalue()
+            .split("== Analyzed Logical Plan ==")[1]
+            .split("== Optimized Logical Plan ==")[0]
+        )
+        # line 0 is the output schema; a bare scan has exactly ONE plan line
+        plan = [l for l in sec.strip().splitlines() if l.strip()][1:]
+        ok = len(plan) == 1 and plan[0].startswith("Relation") and "parquet" in plan[0]
+        return files if ok else []
+    except Exception:  # noqa: BLE001 — non-file sources sample in full
+        return []
+
+
 def plan_salts_source(
     source: DataFrame | object,
     num_units: int,
@@ -616,21 +800,7 @@ def plan_salts_source(
         # silently drops any filters/projections layered on the DataFrame
         # (and derived columns would read as null), so anything beyond a
         # plain relation falls back to row-level sampling of the source.
-        try:
-            plan_cls = (
-                source._jdf.queryExecution().analyzed().getClass().getSimpleName()
-            )
-        except Exception:  # noqa: BLE001 — can't introspect -> no shortcut
-            plan_cls = ""
-        bare_scan = plan_cls in ("LogicalRelation", "DataSourceV2Relation")
-        try:
-            files = (
-                [f for f in source.inputFiles() if ".parquet" in f]
-                if bare_scan
-                else []
-            )
-        except Exception:  # noqa: BLE001 — non-file sources sample in full
-            files = []
+        files = bare_scan_files(source)
         if len(files) >= 8 and 0 < sample_fraction < 1.0:
             import random as _random
 
@@ -763,7 +933,7 @@ def build_unit(
     # blobs + int doc rows — instead of the raw corpus slice. Both the docs
     # write and the segment shuffle read from this cache, so text is
     # extracted and tokenized exactly once per document.
-    combined = ded.mapInPandas(
+    combined = ded.mapInArrow(
         make_tokenize_fn(salt_plan, max_fanout, max_term_bytes, with_positions),
         schema=COMBINED_SCHEMA,
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -809,7 +979,7 @@ def build_unit(
         segments = (
             partials.repartition(partitions, "term", "salt")
             .sortWithinPartitions("term", "salt", "first_doc")
-            .mapInPandas(_splice_merge_fn, schema=SEG_SCHEMA)
+            .mapInArrow(_splice_merge_fn, schema=SEG_SCHEMA)
             .observe(
                 seg_obs,
                 F.count(F.lit(1)).alias("term_rows"),

@@ -166,29 +166,42 @@ def encode_postings(
     }
 
 
-def encode_groups(
+def encode_groups_flat(
     group_starts: np.ndarray,
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     doclens: np.ndarray,
     with_blocks: bool = True,
-) -> list[dict]:
-    """Encode MANY posting lists in one vectorized pass.
+) -> dict:
+    """Encode MANY posting lists in one vectorized pass -> FLAT buffers.
 
     ``group_starts``: sorted start indices of each (term, salt) group within
     the doc_ids/tfs/doclens arrays (postings sorted by doc within group).
-    One varbyte pass over the whole interleaved stream, then per-group blob
-    slicing by byte offsets — O(total postings) numpy work instead of one
-    Python-level encode per group (tail terms made per-group encoding
-    overhead-dominated: 30k tiny groups -> 30k numpy fixed costs).
+    One varbyte pass over the whole interleaved stream; the result stays in
+    flat form — one shared byte blob + per-group offset arrays — so an
+    Arrow-native caller can wrap it into Binary/List arrays WITHOUT any
+    per-group bytes() slicing or per-row Python objects (the slicing loop
+    was the memory-traffic hot spot at 8+ concurrent build workers).
 
-    Returns one dict per group with the same keys as encode_postings.
+    Returns {blob, post_offsets[ng+1], df[ng], cf[ng]} plus, with blocks,
+    {blk_row_offsets[ng+1], blk_last_doc, blk_max_tf, blk_min_dl,
+    blk_offset} (flat block tables, group k's rows at
+    blk_row_offsets[k]:blk_row_offsets[k+1]).
     """
     n = doc_ids.shape[0]
     g = group_starts.astype(np.int64)
     ng = g.shape[0]
     if n == 0 or ng == 0:
-        return []
+        e64 = np.zeros(0, dtype=np.int64)
+        out = {"blob": b"", "post_offsets": np.zeros(1, dtype=np.int64),
+               "df": e64, "cf": e64}
+        if with_blocks:
+            out.update(
+                blk_row_offsets=np.zeros(1, dtype=np.int64), blk_last_doc=e64,
+                blk_max_tf=e64.astype(np.int32),
+                blk_min_dl=e64.astype(np.int32), blk_offset=e64,
+            )
+        return out
     group_ends = np.concatenate((g[1:], [n]))
     sizes = group_ends - g
 
@@ -211,17 +224,10 @@ def encode_groups(
     tfs = np.asarray(tfs, dtype=np.int64)
     doclens = np.asarray(doclens, dtype=np.int64)
     cf = np.add.reduceat(tfs, g)
-    mv = memoryview(blob)
-    glo = byte_start[2 * g]
-    ghi = np.concatenate((glo[1:], [byte_start[2 * n]]))
-
+    post_offsets = np.concatenate((byte_start[2 * g], [byte_start[2 * n]]))
+    out = {"blob": blob, "post_offsets": post_offsets, "df": sizes, "cf": cf}
     if not with_blocks:
-        # partial-list path: block metadata is only needed on FINAL segment
-        # rows; skipping it here keeps the per-group tail loop trivial.
-        return [
-            {"postings": bytes(mv[int(glo[k]) : int(ghi[k])]), "df": int(sizes[k]), "cf": int(cf[k])}
-            for k in range(ng)
-        ]
+        return out
 
     # global block table: for group k, blocks start at postings g[k]+BLOCK*j
     nblocks = (sizes + BLOCK - 1) // BLOCK
@@ -235,26 +241,49 @@ def encode_groups(
     blk_start = g[blk_group] + blk_j * BLOCK
     blk_end = np.minimum(blk_start + BLOCK, group_ends[blk_group]) - 1
 
-    blk_max_tf = np.maximum.reduceat(tfs, blk_start).astype(np.int32)
-    blk_min_dl = np.minimum.reduceat(doclens, blk_start).astype(np.int32)
-    blk_last_doc = doc_ids[blk_end].astype(np.int64)
+    out["blk_row_offsets"] = np.concatenate((first_blk, [total_blocks]))
+    out["blk_max_tf"] = np.maximum.reduceat(tfs, blk_start).astype(np.int32) \
+        if total_blocks else np.zeros(0, np.int32)
+    out["blk_min_dl"] = np.minimum.reduceat(doclens, blk_start).astype(np.int32) \
+        if total_blocks else np.zeros(0, np.int32)
+    out["blk_last_doc"] = doc_ids[blk_end].astype(np.int64)
     # byte offset of each block, relative to its group's blob start
-    blk_offset = (byte_start[2 * blk_start] - byte_start[2 * g[blk_group]]).astype(np.int64)
+    out["blk_offset"] = (
+        byte_start[2 * blk_start] - byte_start[2 * g[blk_group]]
+    ).astype(np.int64)
+    return out
 
+
+def encode_groups(
+    group_starts: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    with_blocks: bool = True,
+) -> list[dict]:
+    """Per-group dict view of encode_groups_flat (one dict per group, same
+    keys as encode_postings) — for callers that want row objects rather
+    than flat Arrow-ready buffers."""
+    flat = encode_groups_flat(group_starts, doc_ids, tfs, doclens, with_blocks)
+    ng = flat["df"].shape[0]
+    mv = memoryview(flat["blob"])
+    po = flat["post_offsets"]
     out = []
     for k in range(ng):
-        b0, b1 = int(first_blk[k]), int(first_blk[k] + nblocks[k])
-        out.append(
-            {
-                "postings": bytes(mv[int(glo[k]) : int(ghi[k])]),
-                "df": int(sizes[k]),
-                "cf": int(cf[k]),
-                "block_last_doc": blk_last_doc[b0:b1],
-                "block_max_tf": blk_max_tf[b0:b1],
-                "block_min_dl": blk_min_dl[b0:b1],
-                "block_offset": blk_offset[b0:b1],
-            }
-        )
+        row = {
+            "postings": bytes(mv[int(po[k]) : int(po[k + 1])]),
+            "df": int(flat["df"][k]),
+            "cf": int(flat["cf"][k]),
+        }
+        if with_blocks:
+            b0, b1 = int(flat["blk_row_offsets"][k]), int(flat["blk_row_offsets"][k + 1])
+            row.update(
+                block_last_doc=flat["blk_last_doc"][b0:b1],
+                block_max_tf=flat["blk_max_tf"][b0:b1],
+                block_min_dl=flat["blk_min_dl"][b0:b1],
+                block_offset=flat["blk_offset"][b0:b1],
+            )
+        out.append(row)
     return out
 
 
@@ -295,6 +324,35 @@ def decode_block(
     )
 
 
+def encode_position_groups_flat(
+    group_starts: np.ndarray, tfs: np.ndarray, pos_flat: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Flat-buffer variant of encode_position_groups: -> (blob,
+    byte_offsets int64[ng+1]) — group k's position bytes are
+    blob[off[k]:off[k+1]]. Lets Arrow callers build the positions Binary
+    column straight from the shared buffer (no per-group bytes copies)."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    g = np.asarray(group_starts, dtype=np.int64)
+    ng = g.shape[0]
+    n_post = tfs.size
+    if n_post == 0 or pos_flat.size == 0:
+        return b"", np.zeros(ng + 1, dtype=np.int64)
+    val_starts = np.zeros(n_post, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=val_starts[1:])
+    pos_u = np.asarray(pos_flat, dtype=np.int64).view(np.uint64)
+    gaps = np.empty(pos_u.size, dtype=np.uint64)
+    gaps[0] = pos_u[0]
+    gaps[1:] = pos_u[1:] - pos_u[:-1]
+    gaps[val_starts] = pos_u[val_starts]  # reset delta chain per posting
+    blob, nbytes = varbyte_encode(gaps)
+    byte_start = np.zeros(pos_u.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, dtype=np.int64, out=byte_start[1:])
+    # first position-value index of each group
+    gv = np.concatenate((val_starts, [pos_u.size]))[g]
+    offs = np.concatenate((byte_start[gv], [byte_start[-1]]))
+    return blob, offs
+
+
 def encode_position_groups(
     group_starts: np.ndarray, tfs: np.ndarray, pos_flat: np.ndarray
 ) -> list[bytes]:
@@ -310,27 +368,9 @@ def encode_position_groups(
     verbatim (no patching). One vectorized varbyte pass for the whole
     partition; per-group blobs sliced by byte offsets.
     """
-    tfs = np.asarray(tfs, dtype=np.int64)
-    n_post = tfs.size
-    if n_post == 0 or pos_flat.size == 0:
-        return [b"" for _ in range(len(group_starts))]
-    val_starts = np.zeros(n_post, dtype=np.int64)
-    np.cumsum(tfs[:-1], out=val_starts[1:])
-    pos_u = np.asarray(pos_flat, dtype=np.int64).view(np.uint64)
-    gaps = np.empty(pos_u.size, dtype=np.uint64)
-    gaps[0] = pos_u[0]
-    gaps[1:] = pos_u[1:] - pos_u[:-1]
-    gaps[val_starts] = pos_u[val_starts]  # reset delta chain per posting
-    blob, nbytes = varbyte_encode(gaps)
-    byte_start = np.zeros(pos_u.size + 1, dtype=np.int64)
-    np.cumsum(nbytes, dtype=np.int64, out=byte_start[1:])
-    g = np.asarray(group_starts, dtype=np.int64)
-    # first position-value index of each group
-    gv = np.concatenate((val_starts, [pos_u.size]))[g]
-    glo = byte_start[gv]
-    ghi = np.concatenate((glo[1:], [byte_start[-1]]))
+    blob, offs = encode_position_groups_flat(group_starts, tfs, pos_flat)
     mv = memoryview(blob)
-    return [bytes(mv[int(a) : int(b)]) for a, b in zip(glo, ghi)]
+    return [bytes(mv[int(offs[k]) : int(offs[k + 1])]) for k in range(len(group_starts))]
 
 
 def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:

@@ -127,33 +127,17 @@ def fast_token_counts(
 
 
 def batch_token_stream(htmls, texts, with_positions: bool = False):
-    """Arrow-vectorized batch tokenizer: the whole normalize -> lower ->
-    split -> count pipeline runs in Arrow C++ kernels (one call per BATCH,
-    zero per-token Python objects) for ASCII documents — ~10x the per-doc
-    path, measured. Non-ASCII documents (where NFKC is not the identity)
-    take the pinned per-doc CPython path, so the token stream is EXACTLY
-    ``fast_token_counts``/``fast_token_positions`` per document — the
-    byte-identical-extraction invariant (BASELINE.json input_hint) holds
-    bit-for-bit. Property-tested against the per-doc path in
-    tests/test_textnorm.py.
-
-    Input: aligned sequences of html (bytes|None) and text (str|None).
-    Returns ``(doclens, doc_idx, codes, tfs, uniques, pos_flat)``:
-
-    - doclens  int64[n_docs]   token count per input doc (post-LWW rows)
-    - doc_idx  int64[n_post]   posting -> input row index, ascending
-    - codes    int64[n_post]   posting -> index into ``uniques``
-    - tfs      int64[n_post]   term frequency
-    - uniques  object[n_uniq]  term strings (MAY contain duplicates across
-      the ascii/fallback sections — consumers factorize/group by string)
-    - pos_flat int64[sum tfs]  ascending token positions per posting,
-      posting-major (``None`` unless ``with_positions``)
-    """
+    """Arrow-vectorized batch tokenizer over python lists (the original
+    entry point — salt planning and tests). Input: aligned sequences of
+    html (bytes|None) and text (str|None). Returns ``(doclens, doc_idx,
+    codes, tfs, uniques, pos_flat)`` with ``uniques`` as an OBJECT numpy
+    array (may contain duplicates across the ascii/fallback sections —
+    consumers factorize/group by string). See _token_stream_core for the
+    tokenization semantics and batch_token_stream_arrow for the
+    Arrow-native build-path variant."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
 
-    n = len(texts)
     resolved = []
     for h, t in zip(htmls, texts):
         if isinstance(t, str):
@@ -163,6 +147,88 @@ def batch_token_stream(htmls, texts, with_positions: bool = False):
         else:
             resolved.append("")
     arr = pa.array(resolved, type=pa.string())
+    dl, di, co, tf, uniq_arrow, pos = _token_stream_core(
+        arr, resolved.__getitem__, with_positions
+    )
+    uniques = (
+        np.asarray(uniq_arrow.to_pylist(), dtype=object)
+        if len(uniq_arrow)
+        else np.zeros(0, dtype=object)
+    )
+    return dl, di, co, tf, uniques, pos
+
+
+def batch_token_stream_arrow(html_arr, text_arr, with_positions: bool = False):
+    """Arrow-native batch tokenizer (the build hot path): input columns stay
+    Arrow end-to-end — NO per-document Python string objects are created
+    for ASCII text rows (the overwhelming majority of webtext), which cuts
+    the tokenize stage's allocation/GC and memory traffic (the contended
+    resource when many build workers share one socket).
+
+    ``text_arr``: pa.StringArray (null -> html fallback); ``html_arr``:
+    pa.BinaryArray or None. Returns the batch_token_stream tuple but with
+    ``uniques`` as a pyarrow StringArray."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(text_arr)
+    tvalid = pc.is_valid(text_arr)
+    if n and not pc.all(tvalid).as_py():
+        tv = tvalid.to_numpy(zero_copy_only=False)
+        miss = np.flatnonzero(~tv)
+        # html-only docs (minority): python strip_html per doc, scattered
+        # back via if_else — text rows never touch Python
+        sparse = np.full(n, None, dtype=object)
+        for i in miss:
+            h = (
+                html_arr[int(i)].as_py()
+                if html_arr is not None and html_arr[int(i)].is_valid
+                else None
+            )
+            sparse[i] = strip_html(h) if h is not None else ""
+        arr = pc.if_else(tvalid, text_arr, pa.array(sparse, type=pa.string()))
+    else:
+        arr = text_arr
+
+    def resolve(i: int) -> str:
+        v = arr[int(i)].as_py()
+        return v if v is not None else ""
+
+    return _token_stream_core(arr, resolve, with_positions)
+
+
+def _token_stream_core(arr, resolve_fb, with_positions: bool = False):
+    """Shared tokenizer core: the whole normalize -> lower -> split ->
+    count pipeline runs in Arrow C++ kernels (one call per BATCH, zero
+    per-token Python objects) for ASCII documents — ~10x the per-doc
+    path, measured. Non-ASCII documents (where NFKC is not the identity)
+    take the pinned per-doc CPython path (``resolve_fb(i)`` supplies the
+    raw resolved text), so the token stream is EXACTLY
+    ``fast_token_counts``/``fast_token_positions`` per document — the
+    byte-identical-extraction invariant (BASELINE.json input_hint) holds
+    bit-for-bit. Property-tested against the per-doc path in
+    tests/test_textnorm.py.
+
+    ``arr``: pa.StringArray of resolved text (nulls treated as "").
+    Returns ``(doclens, doc_idx, codes, tfs, uniques, pos_flat)``:
+
+    - doclens  int64[n_docs]   token count per input doc (post-LWW rows)
+    - doc_idx  int64[n_post]   posting -> input row index, ascending
+    - codes    int64[n_post]   posting -> index into ``uniques``
+    - tfs      int64[n_post]   term frequency
+    - uniques  pa.StringArray  term strings (MAY contain duplicates across
+      the ascii/fallback sections — consumers factorize/group)
+    - pos_flat int64[sum tfs]  ascending token positions per posting,
+      posting-major (``None`` unless ``with_positions``)
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    if arr.null_count:
+        arr = arr.fill_null("")
     ascii_mask = pc.string_is_ascii(arr)
     fb_idx = np.zeros(0, dtype=np.int64)
     if n and not pc.all(ascii_mask).as_py():
@@ -183,10 +249,10 @@ def batch_token_stream(htmls, texts, with_positions: bool = False):
     if nt:
         denc = pc.dictionary_encode(flat)
         codes_tok = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniques = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        uniques = denc.dictionary  # stays ARROW — no python string objects
     else:
         codes_tok = np.zeros(0, dtype=np.int64)
-        uniques = np.zeros(0, dtype=object)
+        uniques = pa.array([], type=pa.string())
     U = max(1, len(uniques))
     comp = parent * U + codes_tok  # (doc, term) composite; parent ascending
     pos_flat = None
@@ -225,7 +291,7 @@ def batch_token_stream(htmls, texts, with_positions: bool = False):
         voff = len(uniques)
         for i in fb_idx:
             if with_positions:
-                dl, items = fast_token_positions(None, resolved[i])
+                dl, items = fast_token_positions(None, resolve_fb(int(i)))
                 for term, tfv, ps in items:
                     f_uniq.append(term)
                     f_code.append(voff)
@@ -234,7 +300,7 @@ def batch_token_stream(htmls, texts, with_positions: bool = False):
                     f_tf.append(tfv)
                     f_pos.extend(ps)
             else:
-                dl, counts = fast_token_counts(None, resolved[i])
+                dl, counts = fast_token_counts(None, resolve_fb(int(i)))
                 for term, tfv in counts:
                     f_uniq.append(term)
                     f_code.append(voff)
@@ -243,8 +309,8 @@ def batch_token_stream(htmls, texts, with_positions: bool = False):
                     f_tf.append(tfv)
             doclens[i] = dl
         if f_code:
-            uniques = np.concatenate(
-                (uniques, np.asarray(f_uniq, dtype=object))
+            uniques = pa.concat_arrays(
+                [uniques, pa.array(f_uniq, type=pa.string())]
             )
             doc_idx = np.concatenate((doc_idx, np.asarray(f_doc, dtype=np.int64)))
             codes = np.concatenate((codes, np.asarray(f_code, dtype=np.int64)))

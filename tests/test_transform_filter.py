@@ -185,3 +185,26 @@ def test_encrypted_aes_roundtrip(spark):
     assert out["v"] != "secret value" and out["dec"] == "secret value"
     # deterministic (the SIV property): same plaintext+key -> same token
     assert enc.collect()[0]["v"] == out["v"]
+
+
+def test_bare_scan_files_gate(spark, tmp_path):
+    """bare_scan_files (public sameSemantics API, no _jdf): a plain parquet
+    scan qualifies for file-subset salt sampling; anything with a filter,
+    projection, or derived column falls back (their semantics would be
+    silently dropped by re-reading raw files)."""
+    from pyspark.sql import functions as F
+
+    from pgspark_index import build, fixtures
+
+    p = str(tmp_path / "t")
+    fixtures.make_webtext_df(spark, 200, seed=3, partitions=4).write.mode(
+        "overwrite"
+    ).parquet(p)
+    df = spark.read.parquet(p)
+    assert len(build.bare_scan_files(df)) > 0
+    assert build.bare_scan_files(df.filter(F.col("lang") == "en")) == []
+    assert build.bare_scan_files(df.select("url", "text")) == []
+    assert build.bare_scan_files(df.withColumn("x", F.lit(1))) == []
+    assert build.bare_scan_files(
+        spark.createDataFrame([(1,)], "a int")
+    ) == []
