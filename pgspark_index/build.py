@@ -137,6 +137,11 @@ COMBINED_SCHEMA = (
     "positions binary, ord bigint, doc_id bigint, url string, doclen int"
 )
 
+# multi-field variants: same row kinds, tagged with the owning field
+# (single-pass multi-field build — see make_tokenize_multifield_fn)
+COMBINED_MF_SCHEMA = COMBINED_SCHEMA + ", field string"
+SEG_MF_SCHEMA = SEG_SCHEMA + ", field string"
+
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -177,6 +182,29 @@ def _arrow_seg_schema():
             ("block_offset", pa.list_(pa.int64())),
             ("postings", pa.binary()), ("positions", pa.binary()),
         ]
+    )
+
+
+def _arrow_combined_mf_schema():
+    import pyarrow as pa
+
+    return _arrow_combined_schema().append(pa.field("field", pa.string()))
+
+
+def _arrow_seg_mf_schema():
+    import pyarrow as pa
+
+    return _arrow_seg_schema().append(pa.field("field", pa.string()))
+
+
+def _const_str_array(n: int, s: str):
+    """n copies of one string as a single repeated buffer (no objects)."""
+    import pyarrow as pa
+
+    b = s.encode()
+    offs = (np.arange(n + 1, dtype=np.int64) * len(b)).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.string(), n, [None, pa.py_buffer(offs), pa.py_buffer(b * n)]
     )
 
 
@@ -227,6 +255,239 @@ def _doc_salt(doc_ids: np.ndarray, fanouts: np.ndarray) -> np.ndarray:
         u = np.asarray(doc_ids[m], dtype=np.int64).view(np.uint64) * _GOLDEN
         salt[m] = ((u >> np.uint64(33)).astype(np.int64) % fanouts[m]).astype(np.int32)
     return salt
+
+
+class _PartialAcc:
+    """Per-field posting accumulator of the tokenize stage (shared by the
+    single-field and multi-field builds): buffers token-stream chunks and
+    flushes the Arrow arrays of one kind=1 partial-posting-list batch
+    (COMBINED_SCHEMA order, without any trailing field column).
+
+    All buffered state is numpy/Arrow — no Python objects accumulate.
+    """
+
+    __slots__ = (
+        "max_fanout", "max_term_bytes", "with_positions",
+        "acc_uniq", "acc_code", "acc_tf", "acc_doc", "acc_dl", "acc_pos",
+        "vocab_off", "buffered", "dropped", "salt_terms", "salt_fans",
+    )
+
+    def __init__(self, salt_map, max_fanout, max_term_bytes, with_positions):
+        import pyarrow as pa
+
+        self.max_fanout = max_fanout
+        self.max_term_bytes = max_term_bytes
+        self.with_positions = with_positions
+        self.acc_uniq: list = []          # ARROW string arrays (per chunk)
+        self.acc_code: list = []          # codes into the GLOBAL vocab
+        self.acc_tf: list = []
+        self.acc_doc: list = []           # doc ORDINAL per posting
+        self.acc_dl: list = []            # doclen per posting
+        self.acc_pos: list = []           # flat positions (with_positions)
+        self.vocab_off = 0
+        self.buffered = 0
+        self.dropped = 0                  # oversize-guard dropped postings
+        self.salt_terms = (
+            pa.array(sorted(salt_map), type=pa.string()) if salt_map else None
+        )
+        self.salt_fans = (
+            np.array([salt_map[t] for t in sorted(salt_map)], dtype=np.int64)
+            if salt_map
+            else None
+        )
+
+    def add(self, uniq_b, code_b, tf_b, doc_ords, dls, pos_b):
+        if code_b.size == 0:
+            return
+        self.acc_uniq.append(uniq_b)
+        self.acc_code.append(code_b + self.vocab_off)
+        self.vocab_off += len(uniq_b)
+        self.acc_tf.append(tf_b)
+        self.acc_doc.append(doc_ords)
+        self.acc_dl.append(dls)
+        if self.with_positions:
+            self.acc_pos.append(pos_b)
+        self.buffered += int(code_b.size)
+
+    def _reset(self):
+        self.acc_uniq, self.acc_code, self.acc_tf = [], [], []
+        self.acc_doc, self.acc_dl, self.acc_pos = [], [], []
+        self.vocab_off = 0
+        self.buffered = 0
+
+    def flush(self):
+        """-> list of COMBINED_SCHEMA arrays (ng partial rows) or None."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if self.buffered == 0:
+            return None
+        # per-chunk vocabularies may repeat terms — one C++
+        # dictionary_encode over the concatenated ARROW vocab
+        # canonicalizes them for the whole flush (no object arrays)
+        vocab = (
+            pa.concat_arrays(self.acc_uniq)
+            if len(self.acc_uniq) > 1
+            else self.acc_uniq[0]
+        )
+        denc = pc.dictionary_encode(vocab)
+        canon = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = denc.dictionary
+        codes = canon[np.concatenate(self.acc_code)]
+        doc = np.concatenate(self.acc_doc)
+        dl = np.concatenate(self.acc_dl)
+        tf = np.concatenate(self.acc_tf)
+        sel = None  # final posting order as indices into the ORIGINAL arrays
+        if self.max_term_bytes is not None:
+            # Lucene-analog oversize guard (term byte cap 32766,
+            # opensearch_mapper.go:44-53): drop oversized terms from the
+            # postings (doclen keeps counting them, like Lucene norms),
+            # account the drops. Vectorized over DISTINCT terms only.
+            term_lens = pc.utf8_length(uniques).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            bad = term_lens > self.max_term_bytes
+            if bad.any():
+                keep = ~bad[codes]
+                self.dropped += int((~keep).sum())
+                sel = np.flatnonzero(keep)
+                doc, dl, tf, codes = doc[keep], dl[keep], tf[keep], codes[keep]
+                if doc.size == 0:
+                    self._reset()
+                    return None
+        fan = np.ones(len(uniques), dtype=np.int64)
+        if self.salt_terms is not None:
+            # head-term fanout scatter: hash-probe the few salted terms
+            # against the flush vocab in C++ (index_in), never a
+            # per-unique Python dict lookup
+            hit = pc.index_in(self.salt_terms, value_set=uniques)
+            hit_np = hit.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            m = hit_np >= 0
+            fan[hit_np[m]] = self.salt_fans[m]
+        max_fanout = self.max_fanout
+        salt = _doc_salt(doc, fan[codes])
+        key = codes.astype(np.int64) * max_fanout + salt
+        # postings are accumulated doc-major over an ASCENDING doc
+        # stream, so a STABLE sort on the group key alone yields
+        # doc-ascending order within each group. Composite pack+sort
+        # (key<<k | index) is ~6x a stable argsort; key < 2^(63-k)
+        # always holds here (key <= uniques*64 <= postings*64).
+        n_post = key.shape[0]
+        kbits = max(1, int(n_post - 1).bit_length())
+        if int(key.max()) < (1 << (62 - kbits)):
+            comp = (key << np.int64(kbits)) | np.arange(n_post, dtype=np.int64)
+            comp.sort()
+            order = comp & np.int64((1 << kbits) - 1)
+            key = comp >> np.int64(kbits)
+            doc, dl, tf = doc[order], dl[order], tf[order]
+        else:
+            order = np.argsort(key, kind="stable")
+            doc, dl, tf, key = doc[order], dl[order], tf[order], key[order]
+        starts = np.concatenate(([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
+        flat = codecs.encode_groups_flat(starts, doc, tf, dl, with_blocks=True)
+        ng = flat["df"].shape[0]
+        if self.with_positions:
+            # ragged gather: reorder (and filter) each posting's
+            # position slice into the sorted posting order, then one
+            # vectorized encode for the whole flush
+            tf_orig = np.concatenate(self.acc_tf)  # original accumulation order
+            st = np.zeros(tf_orig.size, dtype=np.int64)
+            np.cumsum(tf_orig[:-1], out=st[1:])
+            final_idx = order if sel is None else sel[order]
+            lens = tf_orig[final_idx]
+            out_starts = np.zeros(lens.size, dtype=np.int64)
+            np.cumsum(lens[:-1], out=out_starts[1:])
+            total = int(lens.sum())
+            gidx = (
+                np.repeat(st[final_idx], lens)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(out_starts, lens)
+            )
+            pos_sorted = np.concatenate(self.acc_pos)[gidx]
+            pos_blob, pos_offs = codecs.encode_position_groups_flat(
+                starts, lens, pos_sorted
+            )
+        else:
+            pos_blob, pos_offs = b"", np.zeros(ng + 1, dtype=np.int64)
+        term_idx = key[starts] // max_fanout
+        arrays = [
+            pa.array(np.ones(ng, dtype=np.int32)),
+            uniques.take(pa.array(term_idx)),
+            pa.array((key[starts] % max_fanout).astype(np.int32)),
+            pa.array(flat["df"].astype(np.int64)),
+            pa.array(flat["cf"].astype(np.int64)),
+            pa.array(doc[starts]),
+            _list_from_flat(
+                flat["blk_row_offsets"], flat["blk_last_doc"], pa.int64()
+            ),
+            _list_from_flat(
+                flat["blk_row_offsets"], flat["blk_max_tf"], pa.int32()
+            ),
+            _list_from_flat(
+                flat["blk_row_offsets"], flat["blk_min_dl"], pa.int32()
+            ),
+            _list_from_flat(
+                flat["blk_row_offsets"], flat["blk_offset"], pa.int64()
+            ),
+            _binary_from_flat(flat["blob"], flat["post_offsets"]),
+            _binary_from_flat(pos_blob, pos_offs),
+            pa.array(np.full(ng, -1, dtype=np.int64)),
+            pa.array(np.full(ng, -1, dtype=np.int64)),
+            _empty_varlen(ng, pa.string()),
+            pa.array(np.full(ng, -1, dtype=np.int32)),
+        ]
+        self._reset()
+        return arrays
+
+
+def _metrics_arrays(dropped: int):
+    """kind=2 accounting row (COMBINED_SCHEMA order, no field column):
+    dropped-posting counters for lineage (the reference's dropped-row
+    counters, wal_kafka_batch_writer.go:168-179 / search_store.go:137-143)."""
+    import pyarrow as pa
+
+    return [
+        pa.array([2], type=pa.int32()),
+        pa.array([""], type=pa.string()),
+        pa.array([-1], type=pa.int32()),
+        pa.array([dropped], type=pa.int64()),
+        pa.array([0], type=pa.int64()),
+        pa.array([-1], type=pa.int64()),
+        pa.array([[]], type=pa.list_(pa.int64())),
+        pa.array([[]], type=pa.list_(pa.int32())),
+        pa.array([[]], type=pa.list_(pa.int32())),
+        pa.array([[]], type=pa.list_(pa.int64())),
+        pa.array([b""], type=pa.binary()),
+        pa.array([b""], type=pa.binary()),
+        pa.array([-1], type=pa.int64()),
+        pa.array([-1], type=pa.int64()),
+        pa.array([""], type=pa.string()),
+        pa.array([-1], type=pa.int32()),
+    ]
+
+
+def _doc_row_arrays(n, ords, doc_ids, url_arr, doclens):
+    """kind=0 docs-sidecar row arrays (COMBINED_SCHEMA order, no field)."""
+    import pyarrow as pa
+
+    return [
+        pa.array(np.zeros(n, dtype=np.int32)),
+        _empty_varlen(n, pa.string()),
+        pa.array(np.full(n, -1, dtype=np.int32)),
+        pa.array(np.zeros(n, dtype=np.int64)),
+        pa.array(np.zeros(n, dtype=np.int64)),
+        pa.array(np.full(n, -1, dtype=np.int64)),
+        _empty_lists(n, pa.int64()),
+        _empty_lists(n, pa.int32()),
+        _empty_lists(n, pa.int32()),
+        _empty_lists(n, pa.int64()),
+        _empty_varlen(n, pa.binary()),
+        _empty_varlen(n, pa.binary()),
+        pa.array(ords),
+        pa.array(doc_ids),
+        url_arr,
+        pa.array(doclens.astype(np.int32)),
+    ]
 
 
 def make_tokenize_fn(
@@ -284,10 +545,7 @@ def make_tokenize_fn(
     )
 
     def fn(batches):
-        import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
-        from pyspark import TaskContext
 
         from .textnorm import batch_token_stream_arrow as _bts
 
@@ -296,155 +554,8 @@ def make_tokenize_fn(
         pid = ctx.partitionId() if ctx is not None else 0
         ord_base = np.int64(pid) << np.int64(ORD_SHIFT)
         doc_seq = 0  # rank of the next KEPT doc within this task
-
-        # numpy/arrow-chunk accumulators — the batch tokenizer emits
-        # arrays, never per-token Python
-        acc_uniq: list = []               # ARROW string arrays (per batch)
-        acc_code: list[np.ndarray] = []   # codes into the GLOBAL vocab
-        acc_tf: list[np.ndarray] = []
-        acc_doc: list[np.ndarray] = []    # doc ORDINAL per posting
-        acc_dl: list[np.ndarray] = []     # doclen per posting
-        acc_pos: list[np.ndarray] = []    # flat positions (with_positions)
-        vocab_off = 0
-        buffered = 0
-        dropped_postings = 0
         prev_doc = None  # streaming-dedup carry across batches
-        salt_terms = (
-            pa.array(sorted(salt_map), type=pa.string()) if salt_map else None
-        )
-        salt_fans = (
-            np.array([salt_map[t] for t in sorted(salt_map)], dtype=np.int64)
-            if salt_map
-            else None
-        )
-
-        def flush():
-            nonlocal acc_uniq, acc_code, acc_tf, acc_doc, acc_dl, acc_pos
-            nonlocal vocab_off, buffered, dropped_postings
-            if buffered == 0:
-                return None
-            # per-chunk vocabularies may repeat terms — one C++
-            # dictionary_encode over the concatenated ARROW vocab
-            # canonicalizes them for the whole flush (no object arrays)
-            vocab = (
-                pa.concat_arrays(acc_uniq) if len(acc_uniq) > 1 else acc_uniq[0]
-            )
-            denc = pc.dictionary_encode(vocab)
-            canon = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            uniques = denc.dictionary
-            codes = canon[np.concatenate(acc_code)]
-            doc = np.concatenate(acc_doc)
-            dl = np.concatenate(acc_dl)
-            tf = np.concatenate(acc_tf)
-            sel = None  # final posting order as indices into the ORIGINAL arrays
-            if max_term_bytes is not None:
-                # Lucene-analog oversize guard (term byte cap 32766,
-                # opensearch_mapper.go:44-53): drop oversized terms from the
-                # postings (doclen keeps counting them, like Lucene norms),
-                # account the drops. Vectorized over DISTINCT terms only.
-                term_lens = pc.utf8_length(uniques).to_numpy(
-                    zero_copy_only=False
-                ).astype(np.int64)
-                bad = term_lens > max_term_bytes
-                if bad.any():
-                    keep = ~bad[codes]
-                    dropped_postings += int((~keep).sum())
-                    sel = np.flatnonzero(keep)
-                    doc, dl, tf, codes = doc[keep], dl[keep], tf[keep], codes[keep]
-                    if doc.size == 0:
-                        acc_uniq, acc_code, acc_tf = [], [], []
-                        acc_doc, acc_dl, acc_pos = [], [], []
-                        vocab_off = 0
-                        buffered = 0
-                        return None
-            fan = np.ones(len(uniques), dtype=np.int64)
-            if salt_terms is not None:
-                # head-term fanout scatter: hash-probe the few salted terms
-                # against the flush vocab in C++ (index_in), never a
-                # per-unique Python dict lookup
-                hit = pc.index_in(salt_terms, value_set=uniques)
-                hit_np = hit.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
-                m = hit_np >= 0
-                fan[hit_np[m]] = salt_fans[m]
-            salt = _doc_salt(doc, fan[codes])
-            key = codes.astype(np.int64) * max_fanout + salt
-            # postings are accumulated doc-major over an ASCENDING doc
-            # stream, so a STABLE sort on the group key alone yields
-            # doc-ascending order within each group. Composite pack+sort
-            # (key<<k | index) is ~6x a stable argsort; key < 2^(63-k)
-            # always holds here (key <= uniques*64 <= postings*64).
-            n_post = key.shape[0]
-            kbits = max(1, int(n_post - 1).bit_length())
-            if int(key.max()) < (1 << (62 - kbits)):
-                comp = (key << np.int64(kbits)) | np.arange(n_post, dtype=np.int64)
-                comp.sort()
-                order = comp & np.int64((1 << kbits) - 1)
-                key = comp >> np.int64(kbits)
-                doc, dl, tf = doc[order], dl[order], tf[order]
-            else:
-                order = np.argsort(key, kind="stable")
-                doc, dl, tf, key = doc[order], dl[order], tf[order], key[order]
-            starts = np.concatenate(([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
-            flat = codecs.encode_groups_flat(starts, doc, tf, dl, with_blocks=True)
-            ng = flat["df"].shape[0]
-            if with_positions:
-                # ragged gather: reorder (and filter) each posting's
-                # position slice into the sorted posting order, then one
-                # vectorized encode for the whole flush
-                tf_orig = np.concatenate(acc_tf)  # original accumulation order
-                st = np.zeros(tf_orig.size, dtype=np.int64)
-                np.cumsum(tf_orig[:-1], out=st[1:])
-                final_idx = order if sel is None else sel[order]
-                lens = tf_orig[final_idx]
-                out_starts = np.zeros(lens.size, dtype=np.int64)
-                np.cumsum(lens[:-1], out=out_starts[1:])
-                total = int(lens.sum())
-                gidx = (
-                    np.repeat(st[final_idx], lens)
-                    + np.arange(total, dtype=np.int64)
-                    - np.repeat(out_starts, lens)
-                )
-                pos_sorted = np.concatenate(acc_pos)[gidx]
-                pos_blob, pos_offs = codecs.encode_position_groups_flat(
-                    starts, lens, pos_sorted
-                )
-            else:
-                pos_blob, pos_offs = b"", np.zeros(ng + 1, dtype=np.int64)
-            term_idx = key[starts] // max_fanout
-            out = pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.ones(ng, dtype=np.int32)),
-                    uniques.take(pa.array(term_idx)),
-                    pa.array((key[starts] % max_fanout).astype(np.int32)),
-                    pa.array(flat["df"].astype(np.int64)),
-                    pa.array(flat["cf"].astype(np.int64)),
-                    pa.array(doc[starts]),
-                    _list_from_flat(
-                        flat["blk_row_offsets"], flat["blk_last_doc"], pa.int64()
-                    ),
-                    _list_from_flat(
-                        flat["blk_row_offsets"], flat["blk_max_tf"], pa.int32()
-                    ),
-                    _list_from_flat(
-                        flat["blk_row_offsets"], flat["blk_min_dl"], pa.int32()
-                    ),
-                    _list_from_flat(
-                        flat["blk_row_offsets"], flat["blk_offset"], pa.int64()
-                    ),
-                    _binary_from_flat(flat["blob"], flat["post_offsets"]),
-                    _binary_from_flat(pos_blob, pos_offs),
-                    pa.array(np.full(ng, -1, dtype=np.int64)),
-                    pa.array(np.full(ng, -1, dtype=np.int64)),
-                    _empty_varlen(ng, pa.string()),
-                    pa.array(np.full(ng, -1, dtype=np.int32)),
-                ],
-                schema=schema,
-            )
-            acc_uniq, acc_code, acc_tf = [], [], []
-            acc_doc, acc_dl, acc_pos = [], [], []
-            vocab_off = 0
-            buffered = 0
-            return out
+        acc = _PartialAcc(salt_map, max_fanout, max_term_bytes, with_positions)
 
         for batch in batches:
             n = batch.num_rows
@@ -477,72 +588,116 @@ def make_tokenize_fn(
             dl_b, doc_idx_b, code_b, tf_b, uniq_b, pos_b = _bts(
                 html_arr, text_arr, with_positions
             )
-            if code_b.size:
-                acc_uniq.append(uniq_b)
-                acc_code.append(code_b + vocab_off)
-                vocab_off += len(uniq_b)
-                acc_tf.append(tf_b)
-                acc_doc.append(ords[doc_idx_b])
-                acc_dl.append(dl_b[doc_idx_b])
-                if with_positions:
-                    acc_pos.append(pos_b)
-                buffered += int(code_b.size)
+            acc.add(uniq_b, code_b, tf_b, ords[doc_idx_b], dl_b[doc_idx_b], pos_b)
             url_arr = (
                 batch.column("url") if "url" in names else _empty_varlen(n, pa.string())
             )
             yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.zeros(n, dtype=np.int32)),
-                    _empty_varlen(n, pa.string()),
-                    pa.array(np.full(n, -1, dtype=np.int32)),
-                    pa.array(np.zeros(n, dtype=np.int64)),
-                    pa.array(np.zeros(n, dtype=np.int64)),
-                    pa.array(np.full(n, -1, dtype=np.int64)),
-                    _empty_lists(n, pa.int64()),
-                    _empty_lists(n, pa.int32()),
-                    _empty_lists(n, pa.int32()),
-                    _empty_lists(n, pa.int64()),
-                    _empty_varlen(n, pa.binary()),
-                    _empty_varlen(n, pa.binary()),
-                    pa.array(ords),
-                    pa.array(doc_ids),
-                    url_arr,
-                    pa.array(dl_b.astype(np.int32)),
-                ],
-                schema=schema,
+                _doc_row_arrays(n, ords, doc_ids, url_arr, dl_b), schema=schema
             )
-            if buffered >= chunk:
-                out = flush()
-                if out is not None and out.num_rows:
-                    yield out
-        out = flush()
-        if out is not None and out.num_rows:
-            yield out
-        if dropped_postings:
-            # kind=2 metrics row: dropped-posting accounting for lineage
-            # (the reference's dropped-row counters,
-            # wal_kafka_batch_writer.go:168-179 / search_store.go:137-143).
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array([2], type=pa.int32()),
-                    pa.array([""], type=pa.string()),
-                    pa.array([-1], type=pa.int32()),
-                    pa.array([dropped_postings], type=pa.int64()),
-                    pa.array([0], type=pa.int64()),
-                    pa.array([-1], type=pa.int64()),
-                    pa.array([[]], type=pa.list_(pa.int64())),
-                    pa.array([[]], type=pa.list_(pa.int32())),
-                    pa.array([[]], type=pa.list_(pa.int32())),
-                    pa.array([[]], type=pa.list_(pa.int64())),
-                    pa.array([b""], type=pa.binary()),
-                    pa.array([b""], type=pa.binary()),
-                    pa.array([-1], type=pa.int64()),
-                    pa.array([-1], type=pa.int64()),
-                    pa.array([""], type=pa.string()),
-                    pa.array([-1], type=pa.int32()),
-                ],
-                schema=schema,
+            if acc.buffered >= chunk:
+                arrays = acc.flush()
+                if arrays is not None:
+                    yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+        arrays = acc.flush()
+        if arrays is not None:
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+        if acc.dropped:
+            yield pa.RecordBatch.from_arrays(_metrics_arrays(acc.dropped), schema=schema)
+
+    return fn
+
+
+def make_tokenize_multifield_fn(
+    field_names: list[str],
+    salt_maps: dict[str, dict[str, int]] | None = None,
+    max_fanout: int = 64,
+    max_term_bytes: int | None = 32766,
+    chunk_rows: int | None = None,
+):
+    """mapInArrow factory for the SINGLE-PASS multi-field build: one
+    tokenization pass over the corpus emits EVERY field's doc rows and
+    partial posting lists, tagged with a ``field`` column
+    (COMBINED_MF_SCHEMA).
+
+    Reference shape: pgstream indexes every column of a document into one
+    search store with per-column typed mappings
+    (/root/reference/pkg/wal/processor/search/store/search_pg_mapper.go:137-183)
+    — K scored text fields never cost K passes over the table. Here each
+    input batch is tokenized once per field column (``__field_<name>``),
+    into per-field accumulators; doc ordinals are assigned ONCE per doc and
+    shared by every field, so all field indexes of a unit agree on the
+    ordinal space and differ only in doclen/postings."""
+    salt_maps = salt_maps or {}
+    chunk = int(
+        chunk_rows
+        or os.environ.get("PGSPARK_PARTIAL_CHUNK_ROWS", _PARTIAL_CHUNK_ROWS)
+    )
+
+    def fn(batches):
+        import pyarrow as pa
+
+        from .textnorm import batch_token_stream_arrow as _bts
+
+        schema = _arrow_combined_mf_schema()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        ord_base = np.int64(pid) << np.int64(ORD_SHIFT)
+        doc_seq = 0
+        prev_doc = None
+        accs = {
+            f: _PartialAcc(salt_maps.get(f, {}), max_fanout, max_term_bytes, False)
+            for f in field_names
+        }
+
+        def tagged(arrays, f, n):
+            return pa.RecordBatch.from_arrays(
+                arrays + [_const_str_array(n, f)], schema=schema
             )
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            names = batch.schema.names
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            keep = np.ones(n, dtype=bool)
+            keep[1:] = doc_ids[1:] != doc_ids[:-1]
+            if prev_doc is not None and doc_ids[0] == prev_doc:
+                keep[0] = False
+            prev_doc = int(doc_ids[-1])
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                doc_ids = doc_ids[keep]
+                n = batch.num_rows
+                if n == 0:
+                    continue
+            ords = ord_base + np.int64(doc_seq) + np.arange(n, dtype=np.int64)
+            doc_seq += n
+            url_arr = (
+                batch.column("url") if "url" in names else _empty_varlen(n, pa.string())
+            )
+            for f in field_names:
+                text_arr = batch.column(f"__field_{f}")
+                dl_b, doc_idx_b, code_b, tf_b, uniq_b, _ = _bts(
+                    None, text_arr, False
+                )
+                accs[f].add(
+                    uniq_b, code_b, tf_b, ords[doc_idx_b], dl_b[doc_idx_b], None
+                )
+                yield tagged(_doc_row_arrays(n, ords, doc_ids, url_arr, dl_b), f, n)
+                if accs[f].buffered >= chunk:
+                    arrays = accs[f].flush()
+                    if arrays is not None:
+                        yield tagged(arrays, f, len(arrays[0]))
+        for f in field_names:
+            arrays = accs[f].flush()
+            if arrays is not None:
+                yield tagged(arrays, f, len(arrays[0]))
+            if accs[f].dropped:
+                yield tagged(_metrics_arrays(accs[f].dropped), f, 1)
 
     return fn
 
@@ -601,6 +756,10 @@ def _splice_merge_fn(batches):
         return o[arr.offset : arr.offset + len(arr) + 1].astype(np.int64), arr.values
 
     term = col("term")
+    # multi-field build: rows additionally carry the owning field — group
+    # key becomes (field, term, salt) and the column passes through
+    has_field = "field" in tbl.schema.names
+    field = col("field") if has_field else None
     salts = col("salt").to_numpy(zero_copy_only=False).astype(np.int32)
     dfs = col("df").to_numpy(zero_copy_only=False).astype(np.int64)
     cfs = col("cf").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -618,6 +777,10 @@ def _splice_merge_fn(batches):
         neq = pc.not_equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
             zero_copy_only=False
         )
+        if has_field:
+            neq |= pc.not_equal(field.slice(1), field.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
         grp = np.concatenate(([0], np.flatnonzero(neq | (salts[1:] != salts[:-1])) + 1))
     else:
         grp = np.zeros(1, dtype=np.int64)
@@ -669,32 +832,34 @@ def _splice_merge_fn(batches):
         ro = np.concatenate((off_abs[grp], [off_abs[-1]]))
         return _list_from_flat(ro, values, None)
 
+    arrays = [
+        term.take(take),
+        pa.array(salts[grp]),
+        pa.array(np.full(ng, pid, dtype=np.int32)),
+        pa.array(np.add.reduceat(dfs, grp)),
+        pa.array(np.add.reduceat(cfs, grp)),
+        group_list(bld_o, bld_vals),       # flat values reused zero-copy
+        group_list(bmt_o, bmt_vals),
+        group_list(bmd_o, bmd_vals),
+        group_list(boff_o, pa.array(out_boff)),
+        _binary_from_flat(bytes(out_ba), out_post_off),
+        # positions are doc-local gaps — group concat is the identity on
+        # the flat buffer: reuse it with group-start offsets
+        pa.Array.from_buffers(
+            pa.binary(), ng,
+            [
+                None,
+                pa.py_buffer(
+                    np.concatenate((pos_o[grp], [pos_o[-1]])).astype(np.int32)
+                ),
+                pa.py_buffer(pos_d),
+            ],
+        ),
+    ]
+    if has_field:
+        arrays.append(field.take(take))
     yield pa.RecordBatch.from_arrays(
-        [
-            term.take(take),
-            pa.array(salts[grp]),
-            pa.array(np.full(ng, pid, dtype=np.int32)),
-            pa.array(np.add.reduceat(dfs, grp)),
-            pa.array(np.add.reduceat(cfs, grp)),
-            group_list(bld_o, bld_vals),       # flat values reused zero-copy
-            group_list(bmt_o, bmt_vals),
-            group_list(bmd_o, bmd_vals),
-            group_list(boff_o, pa.array(out_boff)),
-            _binary_from_flat(bytes(out_ba), out_post_off),
-            # positions are doc-local gaps — group concat is the identity on
-            # the flat buffer: reuse it with group-start offsets
-            pa.Array.from_buffers(
-                pa.binary(), ng,
-                [
-                    None,
-                    pa.py_buffer(
-                        np.concatenate((pos_o[grp], [pos_o[-1]])).astype(np.int32)
-                    ),
-                    pa.py_buffer(pos_d),
-                ],
-            ),
-        ],
-        schema=_arrow_seg_schema(),
+        arrays, schema=_arrow_seg_mf_schema() if has_field else _arrow_seg_schema()
     )
 
 
@@ -1107,3 +1272,167 @@ def build_index(
         "salt_plan_sec": salt_plan_sec,
         "phase_secs": [r.get("phase_secs") for r in built],
     }
+
+
+def field_index_dir(index_root: str, field: str) -> str:
+    """Field index layout of the single-pass multi-field build: each field
+    is a complete, independently-queryable index under the shared root."""
+    return os.path.join(index_root, f"field={field}")
+
+
+def build_index_multifield(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    index_root: str,
+    fields: dict,
+    id_col: str = "doc_id",
+    num_units: int = 1,
+    partitions: int | None = None,
+    resume: bool = True,
+    input_snapshot_id: int = 0,
+    salt_plans: dict[str, dict[str, int]] | None = None,
+    max_fanout: int = 64,
+    max_term_bytes: int | None = 32766,
+) -> dict[str, str]:
+    """SINGLE-PASS multi-field build: K scored text fields from ONE scan +
+    ONE tokenize pass + ONE partials shuffle per unit — never K passes
+    over the corpus.
+
+    Reference shape: pgstream maps every column of a document into one
+    search store with per-column typed mappings
+    (/root/reference/pkg/wal/processor/search/store/search_pg_mapper.go:137-183);
+    its users' multi-field queries hit one store. Here each field becomes
+    a complete index under ``index_root/field=<name>/`` — the exact layout
+    ``query.search_multifield`` consumes — but they are all built from one
+    job: the tokenize stage runs once per input row, tokenizing every
+    field column, with doc ordinals assigned ONCE and shared across fields
+    (so the per-field docs sidecars agree on the ordinal space and differ
+    only in doclen). At 100 TB this turns K corpus scans + K shuffles into
+    1 + 1: the per-field splits below read the persisted (compressed,
+    corpus-much-smaller) tokenize output, not the input table.
+
+    ``fields``: field name -> text Column (or column name) derived from a
+    source row, e.g. ``{"body": F.col("text"), "title": <headline expr>}``.
+    Positions are not recorded (phrase search stays a single-field
+    feature, as in the reference's per-field OpenSearch mappings).
+    Returns {field: index_dir} ready for ``query.search_multifield``."""
+    from . import merge as _merge
+
+    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fnames = sorted(fields)
+    fdirs = {f: field_index_dir(index_root, f) for f in fnames}
+    requested = list(range(num_units))
+    todo = requested
+    if resume:
+        # a unit counts as done only when EVERY field committed it
+        done_sets = [
+            manifest.completed_units(fdirs[f], input_snapshot_id) for f in fnames
+        ]
+        done = set.intersection(*done_sets) if done_sets else set()
+        todo = [u for u in requested if u not in done]
+
+    n_stripes = _stripes_for(partitions)
+    shift_bits = 64 - int(math.log2(n_stripes))
+    for unit in todo:
+        src = docs_df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_units)) == unit
+        )
+        fcols = [
+            (F.col(c) if isinstance(c, str) else c).alias(f"__field_{f}")
+            for f, c in fields.items()
+        ]
+        ded = src.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.lit(None).cast("string").alias("url"),
+            *fcols,
+        )
+        ukey = F.xxhash64("doc_id").bitwiseXOR(F.lit(-(1 << 63)))
+        # same one-data-shuffle plan as build_unit; the dedup tie-break
+        # hashes every field column so duplicate ids resolve deterministically
+        ded = (
+            ded.withColumn("stripe", F.shiftrightunsigned(ukey, shift_bits))
+            .repartition(partitions, "stripe")
+            .sortWithinPartitions(
+                F.asc("stripe"),
+                F.asc(F.xxhash64("doc_id")),
+                F.asc("doc_id"),
+                *[F.desc(F.xxhash64(f"__field_{f}")) for f in fnames],
+            )
+        )
+        combined = ded.mapInArrow(
+            make_tokenize_multifield_fn(fnames, salt_plans, max_fanout, max_term_bytes),
+            schema=COMBINED_MF_SCHEMA,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # ONE pass populates the cache and yields per-field doc stats
+            stats_rows = (
+                combined.groupBy("field", "kind")
+                .agg(
+                    F.count(F.when(F.col("kind") == 0, 1)).alias("n"),
+                    F.sum(F.when(F.col("kind") == 0, F.col("doclen"))).alias("sum_dl"),
+                    F.sum(F.when(F.col("kind") == 2, F.col("df"))).alias("dropped"),
+                )
+                .collect()
+            )
+            docs_n = {f: 0 for f in fnames}
+            docs_dl = {f: 0 for f in fnames}
+            dropped = {f: 0 for f in fnames}
+            for r in stats_rows:
+                docs_n[r["field"]] += int(r["n"] or 0)
+                docs_dl[r["field"]] += int(r["sum_dl"] or 0)
+                dropped[r["field"]] += int(r["dropped"] or 0)
+            for f in fnames:
+                combined.filter(
+                    (F.col("kind") == 0) & (F.col("field") == f)
+                ).select("ord", "doc_id", "url", "doclen").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(docs_path(fdirs[f]), f"unit={unit}"))
+
+            partials = combined.filter(F.col("kind") == 1).select(
+                "term", "salt", "df", "cf", "first_doc",
+                "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+                "postings", "positions", "field",
+            )
+            seg = (
+                partials.repartition(partitions, "field", "term", "salt")
+                .sortWithinPartitions("field", "term", "salt", "first_doc")
+                .mapInArrow(_splice_merge_fn, schema=SEG_MF_SCHEMA)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            try:
+                seg_rows = (
+                    seg.groupBy("field")
+                    .agg(
+                        F.count(F.lit(1)).alias("terms"),
+                        F.sum(F.length("postings")).alias("bytes"),
+                    )
+                    .collect()
+                )
+                seg_stats = {r["field"]: r for r in seg_rows}
+                for f in fnames:
+                    seg.filter(F.col("field") == f).drop("field").write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(segments_path(fdirs[f]), f"unit={unit}"))
+                    st = seg_stats.get(f)
+                    manifest.commit_unit(
+                        fdirs[f],
+                        {
+                            "segment_id": f"u{unit}",
+                            "unit": unit,
+                            "ord_partitions": partitions,
+                            "input_snapshot_id": input_snapshot_id,
+                            "row_count": docs_n[f],
+                            "sum_doclen": docs_dl[f],
+                            "term_count": int(st["terms"]) if st else 0,
+                            "bytes": int(st["bytes"] or 0) if st else 0,
+                            "dropped_terms": dropped[f],
+                            "status": manifest.STATUS_COMPLETED,
+                        },
+                    )
+            finally:
+                seg.unpersist()
+        finally:
+            combined.unpersist()
+    for f in fnames:
+        _merge.merge_index(spark, fdirs[f])
+    return fdirs

@@ -76,34 +76,34 @@ def _documents(spark, sf_dir) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-_TITLE_INDEX_CACHE: dict[str, str] = {}
+_MF_INDEX_CACHE: dict[str, dict[str, str]] = {}
 
 
-def title_index(spark: SparkSession, sf_dir: str) -> str:
-    """Second-field index for multi-field search: a deterministic derived
-    'title' (the doc's first 8 tokens — a headline stand-in the SQL oracle
-    can replicate with list slicing). Built over the SAME doc_id space and
-    unit count as docs_index, so unit u holds the same docs in both."""
+def multifield_indexes(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """SINGLE-PASS multi-field build over documents: body (full text) +
+    title (first 8 tokens — a headline stand-in the SQL oracle can
+    replicate with list slicing) from ONE scan/tokenize/shuffle
+    (reference: one store with per-column mappings,
+    search_pg_mapper.go:137-183). Returns {field: index_dir}."""
     key = os.path.abspath(sf_dir)
-    idx = _TITLE_INDEX_CACHE.get(key)
-    if idx and os.path.exists(merge.stats_path(idx)):
-        return idx
-    idx = tempfile.mkdtemp(prefix="pgspark_title_index_")
+    fdirs = _MF_INDEX_CACHE.get(key)
+    if fdirs and all(os.path.exists(merge.stats_path(d)) for d in fdirs.values()):
+        return fdirs
+    root = tempfile.mkdtemp(prefix="pgspark_mf_index_")
     docs = _documents(spark, sf_dir)
-    title = docs.select(
-        "doc_id",
-        F.array_join(
-            F.slice(
-                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0), 1, 8
-            ),
-            " ",
-        ).alias("text"),
+    title = F.array_join(
+        F.slice(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0), 1, 8
+        ),
+        " ",
     )
-    provider = build.docs_unit_provider(title)
-    build.build_index(spark, provider, idx, num_units=2, partitions=8)
-    merge.merge_index(spark, idx)
-    _TITLE_INDEX_CACHE[key] = idx
-    return idx
+    fdirs = build.build_index_multifield(
+        spark, docs, root,
+        fields={"body": F.col("text"), "title": title},
+        num_units=2, partitions=8,
+    )
+    _MF_INDEX_CACHE[key] = fdirs
+    return fdirs
 
 
 def _events(spark, sf_dir) -> DataFrame:
@@ -285,10 +285,7 @@ def _registry() -> dict[str, tuple]:
     MF_BOOSTS = {"title": 2.0, "body": 1.0}
 
     def bm25_multifield(spark, sf_dir):
-        fields = {
-            "body": docs_index(spark, sf_dir),
-            "title": title_index(spark, sf_dir),
-        }
+        fields = multifield_indexes(spark, sf_dir)
         res = query.search_multifield(spark, fields, MF_TERMS, 10, boosts=MF_BOOSTS)
         return res.select("doc_id", F.round("score", 4).alias("score"))
 

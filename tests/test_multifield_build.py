@@ -1,0 +1,87 @@
+"""Single-pass multi-field build: one scan/tokenize/shuffle produces every
+field's index, bit-identical to separate per-field builds (reference:
+per-column mappings in one store, search_pg_mapper.go:137-183)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pgspark_index import build, merge, query
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.RandomState(41)
+    words = [f"w{i:05d}" for i in range(60)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.randint(6, 40)))
+        for _ in range(600)
+    ]
+    pdf = pd.DataFrame({"doc_id": np.arange(600, dtype="int64"), "text": texts})
+    return spark.createDataFrame(pdf, "doc_id long, text string")
+
+
+def _title():
+    return F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+
+
+def test_multifield_build_matches_separate_builds(spark, corpus, tmp_path):
+    root = str(tmp_path / "mf")
+    fdirs = build.build_index_multifield(
+        spark, corpus, root,
+        fields={"body": F.col("text"), "title": _title()},
+        num_units=2, partitions=4,
+    )
+    assert set(fdirs) == {"body", "title"}
+
+    # separate single-field builds of the same corpus
+    sep = {}
+    for name, col in [("body", F.col("text")), ("title", _title())]:
+        d = str(tmp_path / f"sep_{name}")
+        df = corpus.select("doc_id", col.alias("text"))
+        build.build_index(spark, build.docs_unit_provider(df), d,
+                          num_units=2, partitions=4, sample_fraction=1.0)
+        merge.merge_index(spark, d)
+        sep[name] = d
+
+    for name in fdirs:
+        a, b = merge.load_stats(fdirs[name]), merge.load_stats(sep[name])
+        assert a["n_docs"] == b["n_docs"], name
+        assert a["sum_doclen"] == b["sum_doclen"], name
+        assert a["postings_bytes"] == b["postings_bytes"], name
+        assert a["term_rows"] == b["term_rows"], name
+        # identical search results per field
+        for terms in (["w00001", "w00002"], ["w00010"], ["w00005", "w00009", "w00030"]):
+            ra = query.search(spark, fdirs[name], terms, 20).collect()
+            rb = query.search(spark, sep[name], terms, 20).collect()
+            assert [(r["doc_id"], r["score"]) for r in ra] == [
+                (r["doc_id"], r["score"]) for r in rb
+            ], (name, terms)
+
+    # multi-field query over the single-pass indexes == over separate ones
+    got = query.search_multifield(
+        spark, fdirs, ["w00001", "w00002", "w00010"], 15,
+        boosts={"title": 2.0, "body": 1.0},
+    ).collect()
+    exp = query.search_multifield(
+        spark, sep, ["w00001", "w00002", "w00010"], 15,
+        boosts={"title": 2.0, "body": 1.0},
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in exp
+    ]
+
+
+def test_multifield_build_resume(spark, corpus, tmp_path):
+    root = str(tmp_path / "mf2")
+    build.build_index_multifield(
+        spark, corpus, root, fields={"body": "text"}, num_units=2, partitions=4,
+    )
+    # re-run: all units committed in every field -> nothing rebuilt, stats stable
+    before = merge.load_stats(build.field_index_dir(root, "body"))
+    build.build_index_multifield(
+        spark, corpus, root, fields={"body": "text"}, num_units=2, partitions=4,
+    )
+    after = merge.load_stats(build.field_index_dir(root, "body"))
+    assert before == after
