@@ -49,7 +49,7 @@ def spin(secs=3.0):
         n += 1
     return n / (time.time() - t0)
 while True:
-    print(f"{spin()}", flush=True)
+    print(f"{time.time()} {spin()}", flush=True)
     time.sleep(9)
 """
 
@@ -82,7 +82,32 @@ def _stop_prober(proc) -> list[float]:
     except subprocess.TimeoutExpired:
         proc.kill()
         out = ""
-    return [float(l) for l in out.splitlines() if l.strip()]
+    samples = []
+    for l in out.splitlines():
+        if not l.strip():
+            continue
+        parts = l.split()
+        # (ts, speed); pre-timestamp emitters fall back to ts=0
+        samples.append(
+            (float(parts[0]), float(parts[1]))
+            if len(parts) == 2
+            else (0.0, float(parts[0]))
+        )
+    return samples
+
+
+def _window_min(samples: list[tuple[float, float]], t0: float, t1: float):
+    """Min probe speed among samples whose 3s spin overlapped [t0, t1] —
+    the per-query host-weather context (a sample printed at ts covers
+    roughly [ts-3, ts])."""
+    xs = [s for ts, s in samples if t0 - 1.0 <= ts <= t1 + 4.0]
+    if not xs:  # short window between samples: nearest sample by midpoint
+        mid = (t0 + t1) / 2
+        with_ts = [(abs(ts - mid), s) for ts, s in samples if ts > 0]
+        if not with_ts:
+            return None
+        xs = [min(with_ts)[1]]
+    return round(min(xs), 1)
 
 
 def main():
@@ -123,11 +148,14 @@ def main():
         query.search(spark, index_dir, queries[0]["terms"], 10).collect()
 
         lat = []
+        q_windows: dict[str, tuple[float, float]] = {}
         for q in queries:
             t0 = time.time()
             query.search(spark, index_dir, q["terms"], q["k"]).collect()
             lat.append(time.time() - t0)
-            timings[f"q{q['query_id']:02d}"] = round(lat[-1], 3)
+            key = f"q{q['query_id']:02d}"
+            timings[key] = round(lat[-1], 3)
+            q_windows[key] = (t0, t0 + lat[-1])
         lat_sorted = sorted(lat)
         p50 = lat_sorted[len(lat) // 2]
         p95 = lat_sorted[int(len(lat) * 0.95)]
@@ -139,8 +167,16 @@ def main():
         timings["batch_all_queries"] = round(batch_sec, 3)
 
         total = timings["build"] + timings["merge"] + sum(lat)
-        speeds = _stop_prober(prober)
+        samples = _stop_prober(prober)
         prober = None
+        speeds = [s for _, s in samples]
+        # per-query probe context for OUTLIERS (> 2x p50): was the slow
+        # query slow in a degraded host window, or genuinely slow?
+        outlier_probe = {
+            key: _window_min(samples, w0, w1)
+            for key, (w0, w1) in q_windows.items()
+            if timings[key] > 2 * p50
+        }
         out = {
             "metric": "webtext index build + merge + 50 BM25 top-k queries (engine end-to-end)",
             "value": round(total, 3),
@@ -158,6 +194,7 @@ def main():
             "inrun_probe_mean": (
                 round(sum(speeds) / len(speeds), 1) if speeds else None
             ),
+            "outlier_query_probe_min": outlier_probe,
         }
         print(json.dumps(out))
     finally:

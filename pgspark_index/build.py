@@ -114,6 +114,11 @@ def docs_path(index_dir: str) -> str:
     return os.path.join(index_dir, "docs")
 
 
+def quarantine_path(index_dir: str) -> str:
+    """Failed-docs sidecar: (doc_id, error) rows for per-doc poison drops."""
+    return os.path.join(index_dir, "quarantine")
+
+
 _CHUNK_ROWS = 1 << 20  # ~1M postings (~50 MB of arrays) per vectorized flush
 # flush granularity of the tokenize stage: ~2M postings bounds the python
 # accumulator working set (~150 MB incl. term strings) — measured faster
@@ -466,6 +471,35 @@ def _metrics_arrays(dropped: int):
     ]
 
 
+def _quarantine_arrays(ids: list[int], errs: list[str]):
+    """kind=3 poison-doc rows (COMBINED_SCHEMA order, no field column):
+    per-document failures quarantined instead of failing the unit — the
+    reference retries/drops individual failed documents of a bulk request,
+    not the whole batch (search_store_retrier.go:94-150). doc_id carries
+    the id (-1 if unreadable); the url column carries the error string."""
+    import pyarrow as pa
+
+    n = len(ids)
+    return [
+        pa.array(np.full(n, 3, dtype=np.int32)),
+        _empty_varlen(n, pa.string()),
+        pa.array(np.full(n, -1, dtype=np.int32)),
+        pa.array(np.zeros(n, dtype=np.int64)),
+        pa.array(np.zeros(n, dtype=np.int64)),
+        pa.array(np.full(n, -1, dtype=np.int64)),
+        _empty_lists(n, pa.int64()),
+        _empty_lists(n, pa.int32()),
+        _empty_lists(n, pa.int32()),
+        _empty_lists(n, pa.int64()),
+        _empty_varlen(n, pa.binary()),
+        _empty_varlen(n, pa.binary()),
+        pa.array(np.full(n, -1, dtype=np.int64)),
+        pa.array(np.asarray(ids, dtype=np.int64)),
+        pa.array([e[:500] for e in errs], type=pa.string()),
+        pa.array(np.full(n, -1, dtype=np.int32)),
+    ]
+
+
 def _doc_row_arrays(n, ords, doc_ids, url_arr, doclens):
     """kind=0 docs-sidecar row arrays (COMBINED_SCHEMA order, no field)."""
     import pyarrow as pa
@@ -557,12 +591,22 @@ def make_tokenize_fn(
         prev_doc = None  # streaming-dedup carry across batches
         acc = _PartialAcc(salt_map, max_fanout, max_term_bytes, with_positions)
 
-        for batch in batches:
+        q_ids: list[int] = []
+        q_errs: list[str] = []
+
+        def consume(batch):
+            """Tokenize one input batch -> kind=0 doc-row RecordBatch (or
+            None if fully deduped). Failure-atomic: everything fallible
+            (id decode, text resolve, tokenize) runs BEFORE any mutation
+            of acc/doc_seq/prev_doc, so the per-doc fallback can replay
+            the batch row by row after an exception."""
+            nonlocal doc_seq, prev_doc
             n = batch.num_rows
-            if n == 0:
-                continue
             names = batch.schema.names
-            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            id_col = batch.column("doc_id")
+            if id_col.null_count:
+                raise ValueError("null doc_id")
+            doc_ids = id_col.to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False
             )
             # streaming LWW dedup: input sorted (doc_id ASC, version DESC,
@@ -571,30 +615,56 @@ def make_tokenize_fn(
             keep[1:] = doc_ids[1:] != doc_ids[:-1]
             if prev_doc is not None and doc_ids[0] == prev_doc:
                 keep[0] = False
-            prev_doc = int(doc_ids[-1])
+            last_doc = int(doc_ids[-1])
             if not keep.all():
                 batch = batch.filter(pa.array(keep))
                 doc_ids = doc_ids[keep]
                 n = batch.num_rows
-                if n == 0:
-                    continue
+            if n == 0:
+                prev_doc = last_doc
+                return None
             html_arr = batch.column("html") if "html" in names else None
             text_arr = batch.column("text")
-            # dense ordinals (format v3): pid << ORD_SHIFT | running rank
-            # over this task's kept docs (contiguous per task — the splice
-            # disjointness invariant)
-            ords = ord_base + np.int64(doc_seq) + np.arange(n, dtype=np.int64)
-            doc_seq += n
             dl_b, doc_idx_b, code_b, tf_b, uniq_b, pos_b = _bts(
                 html_arr, text_arr, with_positions
             )
+            # -- fallible section over; commit state --
+            prev_doc = last_doc
+            # dense ordinals (format v3): pid << ORD_SHIFT | running rank
+            # over this task's kept docs (contiguous per task — the splice
+            # disjointness invariant; quarantined docs consume no ordinal)
+            ords = ord_base + np.int64(doc_seq) + np.arange(n, dtype=np.int64)
+            doc_seq += n
             acc.add(uniq_b, code_b, tf_b, ords[doc_idx_b], dl_b[doc_idx_b], pos_b)
             url_arr = (
                 batch.column("url") if "url" in names else _empty_varlen(n, pa.string())
             )
-            yield pa.RecordBatch.from_arrays(
+            return pa.RecordBatch.from_arrays(
                 _doc_row_arrays(n, ords, doc_ids, url_arr, dl_b), schema=schema
             )
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            try:
+                out = [consume(batch)]
+            except Exception:  # noqa: BLE001 — poison batch: replay per doc
+                out = []
+                for i in range(batch.num_rows):
+                    row = batch.slice(i, 1)
+                    try:
+                        out.append(consume(row))
+                    except Exception as exc:  # noqa: BLE001 — quarantine doc
+                        rid = row.column("doc_id")
+                        did = rid[0].as_py() if rid.null_count == 0 else -1
+                        q_ids.append(int(did) if did is not None else -1)
+                        q_errs.append(f"{type(exc).__name__}: {exc}")
+                        # the doc is DROPPED whole: older versions of the
+                        # same id must not resurrect it
+                        prev_doc = int(did) if did is not None else prev_doc
+            for rb in out:
+                if rb is not None:
+                    yield rb
             if acc.buffered >= chunk:
                 arrays = acc.flush()
                 if arrays is not None:
@@ -604,6 +674,10 @@ def make_tokenize_fn(
             yield pa.RecordBatch.from_arrays(arrays, schema=schema)
         if acc.dropped:
             yield pa.RecordBatch.from_arrays(_metrics_arrays(acc.dropped), schema=schema)
+        if q_ids:
+            yield pa.RecordBatch.from_arrays(
+                _quarantine_arrays(q_ids, q_errs), schema=schema
+            )
 
     return fn
 
@@ -1118,6 +1192,7 @@ def build_unit(
                 F.count(F.when(F.col("kind") == 0, 1)).alias("n"),
                 F.sum(F.when(F.col("kind") == 0, F.col("doclen"))).alias("sum_dl"),
                 F.sum(F.when(F.col("kind") == 2, F.col("df"))).alias("dropped"),
+                F.count(F.when(F.col("kind") == 3, 1)).alias("quarantined"),
             )
             .filter(F.col("kind") == 0)
             .select("ord", "doc_id", "url", "doclen")
@@ -1126,6 +1201,22 @@ def build_unit(
             os.path.join(docs_path(index_dir), f"unit={unit}")
         )
         dropped_terms = docs_obs.get["dropped"] or 0
+        quarantined = int(docs_obs.get["quarantined"] or 0)
+        if quarantined:
+            # poison-doc quarantine (per-doc retry granularity,
+            # search_store_retrier.go:94-150): the failed docs are dropped
+            # from the index but ACCOUNTED — ids + errors land in a
+            # failed-docs sidecar and the manifest row; the unit itself
+            # commits, so resume never re-fails on data poison.
+            combined.filter(F.col("kind") == 3).select(
+                F.col("doc_id"), F.col("url").alias("error")
+            ).write.mode("overwrite").parquet(
+                os.path.join(quarantine_path(index_dir), f"unit={unit}")
+            )
+            print(
+                f"DATALOSS unit={unit}: {quarantined} poison doc(s) "
+                f"quarantined (see quarantine/unit={unit})"
+            )
         phases["tokenize_docs"] = round(_time.time() - _t0, 2)
 
         partials = combined.filter(F.col("kind") == 1).select(
@@ -1168,6 +1259,7 @@ def build_unit(
             "term_count": int(seg_obs.get["term_rows"] or 0),
             "bytes": int(seg_obs.get["bytes"] or 0),
             "dropped_terms": int(dropped_terms),
+            "quarantined_docs": quarantined,
             "status": manifest.STATUS_COMPLETED,
         }
         manifest.commit_unit(index_dir, row)

@@ -338,6 +338,58 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
     )
     R["bm25_phrase"] = (bm25_phrase, bm25_sql(PHRASE, doc_filter_cte=_phrase_cte))
 
+    # prefix / wildcard term queries: lexicon range-scan expansion feeding
+    # the standard scorer (scoring_boolean rewrite; the keyword-subfield
+    # prefix/wildcard shape the reference's mapper emits,
+    # opensearch_mapper.go:17,44-53)
+    PREFIX = "qu"
+    WILDCARD = "f?st"  # ? = one char -> SQL LIKE 'f_st'
+
+    def bm25_prefix(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.search_prefix(spark, idx, PREFIX, k=10, max_expansions=128)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    _exp_cte = (
+        "SELECT DISTINCT term FROM tok WHERE term LIKE '{like}' "
+        "ORDER BY term LIMIT 128"
+    )
+    _expand_sql = """
+WITH {tok},
+exp AS ({exp}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN exp USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    R["bm25_prefix"] = (
+        bm25_prefix,
+        _expand_sql.format(tok=TOK_CTE, exp=_exp_cte.format(like=f"{PREFIX}%")),
+    )
+
+    def bm25_wildcard(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.search_wildcard(spark, idx, WILDCARD, k=10, max_expansions=128)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_wildcard"] = (
+        bm25_wildcard,
+        _expand_sql.format(
+            tok=TOK_CTE,
+            exp=_exp_cte.format(like=WILDCARD.replace("*", "%").replace("?", "_")),
+        ),
+    )
+
     # bool/should with minimum_should_match (between OR and AND)
     MSM_TERMS = ["data", "query", "fast", "vector"]
 
@@ -1070,6 +1122,60 @@ scored AS (
   FROM cand CROSS JOIN q
 )
 SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+    )
+
+    # ---- hybrid BM25 + vector top-k (knn_vector fields live in the SAME
+    # document as text fields, search_pg_mapper.go:166-176,256-269): RRF
+    # fusion of each side's top-C, ranks on rounded scores (deterministic) ----
+    _HY_C = 50
+
+    def hybrid(spark, sf_dir):
+        from . import hybrid as hy
+
+        idx = docs_index(spark, sf_dir)
+        qv = _query_vec(spark, sf_dir)
+        return hy.hybrid_topk(
+            spark, idx, _embeddings(spark, sf_dir), BM25_HEAD_TERMS, qv,
+            k=10, candidates=_HY_C, method="rrf", exclude_id=0,
+        )
+
+    _hy_tlist = ", ".join(f"'{t}'" for t in sorted(set(BM25_HEAD_TERMS)))
+    R["hybrid_topk"] = (
+        hybrid,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_hy_tlist})
+),
+t_scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+t_cand AS (SELECT doc_id, score FROM t_scored ORDER BY score DESC, doc_id ASC LIMIT {_HY_C}),
+t_rank AS (SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC) AS r_t FROM t_cand),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+v_scored AS (
+  SELECT vec_id AS doc_id,
+         round(list_sum(list_transform(list_zip(embedding, q.qv), z -> z[1]::DOUBLE * z[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+),
+v_cand AS (SELECT doc_id, cos FROM v_scored ORDER BY cos DESC, doc_id ASC LIMIT {_HY_C}),
+v_rank AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r_v FROM v_cand),
+fused AS (
+  SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + r_t), 0.0) + coalesce(1.0 / (60 + r_v), 0.0) AS f
+  FROM t_rank t FULL OUTER JOIN v_rank v ON t.doc_id = v.doc_id
+)
+SELECT doc_id, round(f, 6) AS score FROM fused ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
     )
 

@@ -48,6 +48,7 @@ _FIELDS = {
     "term_count": pa.int64(),      # distinct (term, salt) rows
     "bytes": pa.int64(),           # compressed postings bytes
     "dropped_terms": pa.int64(),   # oversize-guard dropped postings
+    "quarantined_docs": pa.int64(),  # per-doc poison drops (failed-docs sidecar)
     "format_version": pa.int32(),
     "status": pa.string(),
     "error": pa.string(),
@@ -69,6 +70,7 @@ def commit_unit(index_dir: str, row: dict) -> None:
     defaults = {
         "error": None,
         "dropped_terms": 0,
+        "quarantined_docs": 0,
         "format_version": FORMAT_VERSION,
         "started_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         "finished_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),

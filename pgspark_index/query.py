@@ -756,6 +756,106 @@ def search_multifield(
     return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def expand_prefix(
+    index_dir: str, prefix: str, max_expansions: int = 128
+) -> list[str]:
+    """Prefix -> matching lexicon terms (lexicographic order, capped).
+
+    The lexicon is term-sorted, range-partitioned parquet, so the prefix
+    is a pure RANGE predicate ``prefix <= term < prefix+1`` — parquet
+    row-group min/max statistics prune the scan to the touched groups, a
+    driver-side pyarrow read with no Spark job (same access path as the
+    exact-term lookup). The OpenSearch analog is the prefix/wildcard query
+    over the keyword subfield the reference's mapper writes for every text
+    column (opensearch_mapper.go:17,44-53)."""
+    if not prefix:
+        raise ValueError("empty prefix")
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.dataset as ds
+
+    # tokens are [a-z0-9]+ — bumping the last byte is a safe upper bound
+    upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    files = sorted(
+        _glob.glob(_os.path.join(merge.lexicon_path(index_dir), "*.parquet"))
+    )
+    dataset = ds.dataset(files, format="parquet")
+    table = dataset.to_table(
+        columns=["term"],
+        filter=(ds.field("term") >= prefix) & (ds.field("term") < upper),
+    )
+    terms = sorted(set(table["term"].to_pylist()))
+    return terms[:max_expansions]
+
+
+def expand_wildcard(
+    index_dir: str, pattern: str, max_expansions: int = 128
+) -> list[str]:
+    """Wildcard pattern (``*`` = any run, ``?`` = one char) -> matching
+    lexicon terms. The leading literal segment prunes via the same range
+    predicate as ``expand_prefix``; the full pattern is verified with an
+    anchored regex over the (already pruned) candidate terms."""
+    import re as _re
+
+    lead = _re.split(r"[*?]", pattern, maxsplit=1)[0]
+    rx = _re.compile(
+        "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pattern
+        ) + "$"
+    )
+    if lead:
+        cands = expand_prefix(index_dir, lead, max_expansions=1 << 20)
+    else:  # leading wildcard: full lexicon scan (documented-expensive,
+        # exactly as in OpenSearch)
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.dataset as ds
+
+        files = sorted(
+            _glob.glob(_os.path.join(merge.lexicon_path(index_dir), "*.parquet"))
+        )
+        cands = sorted(
+            set(
+                ds.dataset(files, format="parquet")
+                .to_table(columns=["term"])["term"]
+                .to_pylist()
+            )
+        )
+    return [t for t in cands if rx.match(t)][:max_expansions]
+
+
+def search_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 128,
+    **kwargs,
+) -> DataFrame:
+    """Prefix query: expand against the lexicon, then score the expanded
+    term set through the standard BM25 scorer (the scoring_boolean
+    rewrite — each expanded term keeps its own idf). Deterministic: the
+    expansion is the lexicographically first ``max_expansions`` matches."""
+    terms = expand_prefix(index_dir, prefix, max_expansions)
+    return search(spark, index_dir, terms, k, **kwargs)
+
+
+def search_wildcard(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 128,
+    **kwargs,
+) -> DataFrame:
+    """Wildcard query via expand-then-score (scoring_boolean rewrite)."""
+    terms = expand_wildcard(index_dir, pattern, max_expansions)
+    return search(spark, index_dir, terms, k, **kwargs)
+
+
 def search_phrase(
     spark: SparkSession,
     index_dir: str,

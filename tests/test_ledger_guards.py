@@ -178,3 +178,66 @@ def test_schema_evolution_rename_alias(spark, tmp_path):
     diff2 = fields.evolve_mapping(idx, evolved, renames={"lang": "language"})
     assert not any(diff2.values()) or diff2["renamed"] == {}
     assert fields.read_mapping(idx)["version"] == 2
+
+
+def test_poison_doc_quarantined_not_unit_failed(spark, tmp_path):
+    """Per-doc retry granularity (search_store_retrier.go:94-150): a poison
+    row (null doc_id here — unreadable identity) is quarantined to the
+    failed-docs sidecar with its error; the unit still COMMITS, the clean
+    docs index bit-identically to a poison-free build, and resume does not
+    re-fail."""
+    import pandas as pd
+
+    clean = pd.DataFrame(
+        {
+            "doc_id": list(range(40)),
+            "text": [f"alpha beta page {i} w{i % 7}" for i in range(40)],
+        }
+    )
+    clean_df = spark.createDataFrame(clean, "doc_id long, text string")
+    poison_df = clean_df.unionByName(
+        spark.createDataFrame(
+            [(None, "poison row with unreadable identity")],
+            "doc_id long, text string",
+        )
+    )
+
+    idx_p = str(tmp_path / "poison")
+    res = build.build_index(
+        spark, build.docs_unit_provider(poison_df), idx_p,
+        num_units=1, partitions=4, sample_fraction=1.0,
+    )
+    assert res["failed_units"] == []
+    merge.merge_index(spark, idx_p)
+
+    m = manifest.read_manifest(idx_p)
+    assert int(m["quarantined_docs"].sum()) == 1
+    assert m["status"].eq(manifest.STATUS_COMPLETED).all()
+    qdir = build.quarantine_path(idx_p)
+    q = spark.read.parquet(os.path.join(qdir, "unit=0")).collect()
+    assert len(q) == 1
+    assert q[0]["doc_id"] == -1
+    assert "doc_id" in q[0]["error"]
+
+    # clean docs are indexed bit-identically to a poison-free build
+    idx_c = str(tmp_path / "clean")
+    build.build_index(
+        spark, build.docs_unit_provider(clean_df), idx_c,
+        num_units=1, partitions=4, sample_fraction=1.0,
+    )
+    merge.merge_index(spark, idx_c)
+    sp, sc = merge.load_stats(idx_p), merge.load_stats(idx_c)
+    assert sp["n_docs"] == sc["n_docs"] == 40
+    assert sp["postings_bytes"] == sc["postings_bytes"]
+    a = query.search(spark, idx_p, ["alpha", "w3"], 10).collect()
+    b = query.search(spark, idx_c, ["alpha", "w3"], 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+    # resume: the unit is committed, nothing to redo
+    res2 = build.build_index(
+        spark, build.docs_unit_provider(poison_df), idx_p,
+        num_units=1, partitions=4, sample_fraction=1.0,
+    )
+    assert res2["built_units"] == [] and res2["skipped_units"] == [0]
