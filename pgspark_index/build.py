@@ -729,39 +729,75 @@ def make_tokenize_multifield_fn(
                 arrays + [_const_str_array(n, f)], schema=schema
             )
 
-        for batch in batches:
+        q_ids: list[int] = []
+        q_errs: list[str] = []
+
+        def consume(batch):
+            """One input batch -> list of tagged doc-row RecordBatches
+            (one per field). Failure-atomic like the single-field path:
+            every fallible step (id decode, ALL fields' tokenize) runs
+            before any accumulator/counter mutation, so a poison doc is
+            dropped from EVERY field, never half-indexed."""
+            nonlocal doc_seq, prev_doc
             n = batch.num_rows
-            if n == 0:
-                continue
             names = batch.schema.names
-            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            id_col = batch.column("doc_id")
+            if id_col.null_count:
+                raise ValueError("null doc_id")
+            doc_ids = id_col.to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False
             )
             keep = np.ones(n, dtype=bool)
             keep[1:] = doc_ids[1:] != doc_ids[:-1]
             if prev_doc is not None and doc_ids[0] == prev_doc:
                 keep[0] = False
-            prev_doc = int(doc_ids[-1])
+            last_doc = int(doc_ids[-1])
             if not keep.all():
                 batch = batch.filter(pa.array(keep))
                 doc_ids = doc_ids[keep]
                 n = batch.num_rows
-                if n == 0:
-                    continue
+            if n == 0:
+                prev_doc = last_doc
+                return []
+            toks = {
+                f: _bts(None, batch.column(f"__field_{f}"), False)
+                for f in field_names
+            }
+            # -- fallible section over; commit state --
+            prev_doc = last_doc
             ords = ord_base + np.int64(doc_seq) + np.arange(n, dtype=np.int64)
             doc_seq += n
             url_arr = (
                 batch.column("url") if "url" in names else _empty_varlen(n, pa.string())
             )
+            out = []
             for f in field_names:
-                text_arr = batch.column(f"__field_{f}")
-                dl_b, doc_idx_b, code_b, tf_b, uniq_b, _ = _bts(
-                    None, text_arr, False
-                )
+                dl_b, doc_idx_b, code_b, tf_b, uniq_b, _ = toks[f]
                 accs[f].add(
                     uniq_b, code_b, tf_b, ords[doc_idx_b], dl_b[doc_idx_b], None
                 )
-                yield tagged(_doc_row_arrays(n, ords, doc_ids, url_arr, dl_b), f, n)
+                out.append(tagged(_doc_row_arrays(n, ords, doc_ids, url_arr, dl_b), f, n))
+            return out
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            try:
+                out = consume(batch)
+            except Exception:  # noqa: BLE001 — poison batch: replay per doc
+                out = []
+                for i in range(batch.num_rows):
+                    row = batch.slice(i, 1)
+                    try:
+                        out.extend(consume(row))
+                    except Exception as exc:  # noqa: BLE001 — quarantine doc
+                        rid = row.column("doc_id")
+                        did = rid[0].as_py() if rid.null_count == 0 else -1
+                        q_ids.append(int(did) if did is not None else -1)
+                        q_errs.append(f"{type(exc).__name__}: {exc}")
+                        prev_doc = int(did) if did is not None else prev_doc
+            yield from out
+            for f in field_names:
                 if accs[f].buffered >= chunk:
                     arrays = accs[f].flush()
                     if arrays is not None:
@@ -772,6 +808,12 @@ def make_tokenize_multifield_fn(
                 yield tagged(arrays, f, len(arrays[0]))
             if accs[f].dropped:
                 yield tagged(_metrics_arrays(accs[f].dropped), f, 1)
+        if q_ids:
+            # quarantined docs are field-independent: tag with the FIRST
+            # field (one sidecar row per doc, accounted once)
+            yield tagged(
+                _quarantine_arrays(q_ids, q_errs), field_names[0], len(q_ids)
+            )
 
     return fn
 
@@ -1463,16 +1505,29 @@ def build_index_multifield(
                     F.count(F.when(F.col("kind") == 0, 1)).alias("n"),
                     F.sum(F.when(F.col("kind") == 0, F.col("doclen"))).alias("sum_dl"),
                     F.sum(F.when(F.col("kind") == 2, F.col("df"))).alias("dropped"),
+                    F.count(F.when(F.col("kind") == 3, 1)).alias("quarantined"),
                 )
                 .collect()
             )
             docs_n = {f: 0 for f in fnames}
             docs_dl = {f: 0 for f in fnames}
             dropped = {f: 0 for f in fnames}
+            quarantined = 0  # field-independent (doc dropped from ALL fields)
             for r in stats_rows:
                 docs_n[r["field"]] += int(r["n"] or 0)
                 docs_dl[r["field"]] += int(r["sum_dl"] or 0)
                 dropped[r["field"]] += int(r["dropped"] or 0)
+                quarantined += int(r["quarantined"] or 0)
+            if quarantined:
+                combined.filter(F.col("kind") == 3).select(
+                    F.col("doc_id"), F.col("url").alias("error")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(quarantine_path(index_root), f"unit={unit}")
+                )
+                print(
+                    f"DATALOSS unit={unit}: {quarantined} poison doc(s) "
+                    f"quarantined from all {len(fnames)} fields"
+                )
             for f in fnames:
                 combined.filter(
                     (F.col("kind") == 0) & (F.col("field") == f)
@@ -1518,6 +1573,7 @@ def build_index_multifield(
                             "term_count": int(st["terms"]) if st else 0,
                             "bytes": int(st["bytes"] or 0) if st else 0,
                             "dropped_terms": dropped[f],
+                            "quarantined_docs": quarantined,
                             "status": manifest.STATUS_COMPLETED,
                         },
                     )

@@ -17,6 +17,12 @@ pgspark_index.cli) it falls back to the tuned local session. Examples:
   spark-submit … compact --index /idx/web-v1
   spark-submit … search --index /idx/web-v1 --terms data query fast -k 10
   spark-submit … search --index-base /idx --alias web --terms data -k 10
+  spark-submit … search --index /idx/web-v1 --prefix que -k 10
+  spark-submit … search --index /idx/web-v1 --wildcard 'f?st' -k 10
+  spark-submit … build-multifield --input /data/webtext --index /idx/web-mf \
+      --fields body=text title=headline --units 64
+  spark-submit … hybrid --index /idx/web-v1 --embeddings /data/emb \
+      --terms data query --vec-id 7 -k 10
 """
 
 from __future__ import annotations
@@ -72,11 +78,28 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("merge", help="rebuild lexicon + global stats")
     m.add_argument("--index", required=True)
 
+    mf = sub.add_parser(
+        "build-multifield",
+        help="single-pass multi-field build (K fields, one scan+shuffle)",
+    )
+    mf.add_argument("--input", required=True)
+    mf.add_argument("--format", default="parquet")
+    mf.add_argument("--index", required=True, help="index ROOT (field=<name>/ subdirs)")
+    mf.add_argument("--fields", nargs="+", required=True, metavar="NAME=COLUMN",
+                    help="e.g. body=text title=headline")
+    mf.add_argument("--units", type=int, default=4)
+    mf.add_argument("--partitions", type=int, default=None)
+    mf.add_argument("--snapshot", type=int, default=0)
+
     s = sub.add_parser("search", help="top-k BM25 query")
     s.add_argument("--index", help="index dir")
     s.add_argument("--index-base", help="base dir for --alias resolution")
     s.add_argument("--alias", help="alias name (with --index-base)")
-    s.add_argument("--terms", nargs="+", required=True)
+    g = s.add_mutually_exclusive_group(required=True)
+    g.add_argument("--terms", nargs="+")
+    g.add_argument("--prefix", help="prefix query (lexicon range expansion)")
+    g.add_argument("--wildcard", help="wildcard query, * and ? (e.g. 'f?st')")
+    s.add_argument("--max-expansions", type=int, default=128)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--mode", choices=["or", "and"], default="or")
     s.add_argument("--strategy", default="maxscore",
@@ -85,6 +108,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="bool.must_not terms")
     s.add_argument("--ranges", type=int, default=0,
                    help=">0: doc-range-parallel scoring with this many ranges")
+
+    h = sub.add_parser("hybrid", help="fused BM25 + vector top-k (RRF/linear)")
+    h.add_argument("--index", required=True, help="text index dir")
+    h.add_argument("--embeddings", required=True,
+                   help="parquet with (vec_id, embedding) joined on doc_id")
+    h.add_argument("--terms", nargs="+", required=True)
+    h.add_argument("--vec-id", type=int, required=True,
+                   help="query = this row's embedding (excluded from results)")
+    h.add_argument("-k", type=int, default=10)
+    h.add_argument("--candidates", type=int, default=50)
+    h.add_argument("--method", choices=["rrf", "linear"], default="rrf")
+    h.add_argument("--w-text", type=float, default=1.0)
+    h.add_argument("--w-vec", type=float, default=1.0)
 
     a = p.parse_args(argv)
     spark = _spark(f"pgspark_index-{a.cmd}")
@@ -112,6 +148,21 @@ def main(argv: list[str] | None = None) -> int:
             partitions=a.partitions,
         )
         print(json.dumps(res, default=str))
+    elif a.cmd == "build-multifield":
+        from . import build
+
+        fields = {}
+        for spec in a.fields:
+            name, _, col = spec.partition("=")
+            if not col:
+                p.error(f"--fields entries are NAME=COLUMN, got {spec!r}")
+            fields[name] = col
+        fdirs = build.build_index_multifield(
+            spark, _read_input(spark, a.input, a.format), a.index,
+            fields=fields, num_units=a.units, partitions=a.partitions,
+            input_snapshot_id=a.snapshot,
+        )
+        print(json.dumps({"field_indexes": fdirs}))
     elif a.cmd == "compact":
         from . import incremental
 
@@ -130,13 +181,38 @@ def main(argv: list[str] | None = None) -> int:
             from . import aliases
 
             idx = aliases.resolve(a.index_base, a.alias)
-        if a.ranges > 0:
+        if a.prefix:
+            df = query.search_prefix(
+                spark, idx, a.prefix, a.k, max_expansions=a.max_expansions
+            )
+        elif a.wildcard:
+            df = query.search_wildcard(
+                spark, idx, a.wildcard, a.k, max_expansions=a.max_expansions
+            )
+        elif a.ranges > 0:
             df = query.search_ranged(spark, idx, a.terms, a.k, ranges=a.ranges)
         else:
             df = query.search(
                 spark, idx, a.terms, a.k, strategy=a.strategy, mode=a.mode,
                 exclude_terms=a.exclude_terms,
             )
+        for r in df.collect():
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+    elif a.cmd == "hybrid":
+        from pyspark.sql import functions as F
+
+        from . import hybrid as hy
+
+        emb = spark.read.parquet(a.embeddings)
+        row = emb.filter(F.col("vec_id") == a.vec_id).select("embedding").collect()
+        if not row:
+            p.error(f"vec_id {a.vec_id} not found in {a.embeddings}")
+        qv = [float(x) for x in row[0]["embedding"]]
+        df = hy.hybrid_topk(
+            spark, a.index, emb, a.terms, qv, k=a.k, candidates=a.candidates,
+            method=a.method, w_text=a.w_text, w_vec=a.w_vec,
+            exclude_id=a.vec_id,
+        )
         for r in df.collect():
             print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
     return 0

@@ -70,3 +70,52 @@ def test_cli_build_search_delta_compact(spark, tmp_index, tmp_path):
         ["search", "--index-base", base, "--alias", "web",
          "--terms", *q["terms"], "-k", "5"])]
     assert {r["doc_id"] for r in rows_a}
+
+
+def test_cli_prefix_wildcard_multifield_hybrid(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    src = str(tmp_path / "docs")
+    rng = np.random.RandomState(5)
+    vocab = ["apple", "apply", "appal", "fast", "fist", "feast"] + [
+        f"w{i:03d}" for i in range(30)
+    ]
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(200, dtype="int64"),
+        "text": [" ".join(rng.choice(vocab, size=12)) for _ in range(200)],
+        "headline": [" ".join(rng.choice(vocab, size=3)) for _ in range(200)],
+    })
+    spark.createDataFrame(
+        pdf, "doc_id long, text string, headline string"
+    ).write.parquet(src)
+
+    root = str(tmp_path / "mfidx")
+    res = json.loads(_run([
+        "build-multifield", "--input", src, "--index", root,
+        "--fields", "body=text", "title=headline", "--units", "1",
+        "--partitions", "2",
+    ])[-1])
+    assert set(res["field_indexes"]) == {"body", "title"}
+    body = res["field_indexes"]["body"]
+
+    rows_p = [json.loads(l) for l in _run(
+        ["search", "--index", body, "--prefix", "app", "-k", "5"])]
+    assert rows_p
+    rows_w = [json.loads(l) for l in _run(
+        ["search", "--index", body, "--wildcard", "f?st", "-k", "5"])]
+    assert rows_w
+
+    emb = pd.DataFrame({
+        "vec_id": np.arange(200, dtype="int64"),
+        "embedding": list(rng.randn(200, 4).astype("float64")),
+    })
+    esrc = str(tmp_path / "emb")
+    spark.createDataFrame(emb, "vec_id long, embedding array<double>").write.parquet(esrc)
+    rows_h = [json.loads(l) for l in _run(
+        ["hybrid", "--index", body, "--embeddings", esrc,
+         "--terms", "apple", "fast", "--vec-id", "0", "-k", "5"])]
+    assert len(rows_h) == 5
+    assert all(r["doc_id"] != 0 for r in rows_h)
+    scores = [r["score"] for r in rows_h]
+    assert scores == sorted(scores, reverse=True)

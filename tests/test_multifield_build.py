@@ -85,3 +85,36 @@ def test_multifield_build_resume(spark, corpus, tmp_path):
     )
     after = merge.load_stats(build.field_index_dir(root, "body"))
     assert before == after
+
+
+def test_multifield_poison_doc_quarantined(spark, tmp_path):
+    """Per-doc quarantine parity with the single-field path: a poison row
+    (null doc_id) is dropped from EVERY field, the unit commits, and each
+    field's manifest carries the quarantined_docs count."""
+    import os
+
+    from pgspark_index import manifest
+
+    clean = pd.DataFrame({
+        "doc_id": np.arange(50, dtype="int64"),
+        "text": [f"alpha beta w{i % 5}" for i in range(50)],
+    })
+    df = spark.createDataFrame(clean, "doc_id long, text string").unionByName(
+        spark.createDataFrame([(None, "poison")], "doc_id long, text string")
+    )
+    root = str(tmp_path / "mfq")
+    fdirs = build.build_index_multifield(
+        spark, df, root,
+        fields={"body": F.col("text"),
+                "title": F.array_join(F.slice(F.split("text", " "), 1, 2), " ")},
+        num_units=1, partitions=2,
+    )
+    for name, d in fdirs.items():
+        st = merge.load_stats(d)
+        assert st["n_docs"] == 50, name
+        m = manifest.read_manifest(d)
+        assert int(m["quarantined_docs"].sum()) == 1, name
+    q = spark.read.parquet(
+        os.path.join(build.quarantine_path(root), "unit=0")
+    ).collect()
+    assert len(q) == 1 and q[0]["doc_id"] == -1
