@@ -1414,6 +1414,50 @@ def field_index_dir(index_root: str, field: str) -> str:
     return os.path.join(index_root, f"field={field}")
 
 
+def multifield_tokenize_input(
+    docs_df: DataFrame,
+    fields: dict,
+    id_col: str,
+    num_units: int,
+    unit: int,
+    partitions: int,
+) -> DataFrame:
+    """Unit-sliced, stripe-partitioned, dedup-sorted input for the
+    multi-field tokenize stage. Exposed separately from
+    ``build_index_multifield`` so plan evidence (tools/explain_plans.py)
+    can render exactly the DataFrame the build executes: its physical
+    plan MUST contain ONE scan of the corpus regardless of how many
+    fields are indexed — the single-scan claim of the multi-field build."""
+    fnames = sorted(fields)
+    n_stripes = _stripes_for(partitions)
+    shift_bits = 64 - int(math.log2(n_stripes))
+    src = docs_df.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_units)) == unit
+    )
+    fcols = [
+        (F.col(c) if isinstance(c, str) else c).alias(f"__field_{f}")
+        for f, c in fields.items()
+    ]
+    ded = src.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("url"),
+        *fcols,
+    )
+    ukey = F.xxhash64("doc_id").bitwiseXOR(F.lit(-(1 << 63)))
+    # same one-data-shuffle plan as build_unit; the dedup tie-break
+    # hashes every field column so duplicate ids resolve deterministically
+    return (
+        ded.withColumn("stripe", F.shiftrightunsigned(ukey, shift_bits))
+        .repartition(partitions, "stripe")
+        .sortWithinPartitions(
+            F.asc("stripe"),
+            F.asc(F.xxhash64("doc_id")),
+            F.asc("doc_id"),
+            *[F.desc(F.xxhash64(f"__field_{f}")) for f in fnames],
+        )
+    )
+
+
 def build_index_multifield(
     spark: SparkSession,
     docs_df: DataFrame,
@@ -1465,33 +1509,9 @@ def build_index_multifield(
         done = set.intersection(*done_sets) if done_sets else set()
         todo = [u for u in requested if u not in done]
 
-    n_stripes = _stripes_for(partitions)
-    shift_bits = 64 - int(math.log2(n_stripes))
     for unit in todo:
-        src = docs_df.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_units)) == unit
-        )
-        fcols = [
-            (F.col(c) if isinstance(c, str) else c).alias(f"__field_{f}")
-            for f, c in fields.items()
-        ]
-        ded = src.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.lit(None).cast("string").alias("url"),
-            *fcols,
-        )
-        ukey = F.xxhash64("doc_id").bitwiseXOR(F.lit(-(1 << 63)))
-        # same one-data-shuffle plan as build_unit; the dedup tie-break
-        # hashes every field column so duplicate ids resolve deterministically
-        ded = (
-            ded.withColumn("stripe", F.shiftrightunsigned(ukey, shift_bits))
-            .repartition(partitions, "stripe")
-            .sortWithinPartitions(
-                F.asc("stripe"),
-                F.asc(F.xxhash64("doc_id")),
-                F.asc("doc_id"),
-                *[F.desc(F.xxhash64(f"__field_{f}")) for f in fnames],
-            )
+        ded = multifield_tokenize_input(
+            docs_df, fields, id_col, num_units, unit, partitions
         )
         combined = ded.mapInArrow(
             make_tokenize_multifield_fn(fnames, salt_plans, max_fanout, max_term_bytes),

@@ -161,6 +161,33 @@ def main():
          jac_plan)
     )
 
+    # 8. multi-field build: K fields from ONE corpus scan + ONE exchange
+    mf = build.multifield_tokenize_input(
+        pq_df.select(F.xxhash64("url").alias("doc_id"), "text",
+                     F.substring("text", 1, 40).alias("headline")),
+        fields={"body": F.col("text"), "title": F.col("headline")},
+        id_col="doc_id", num_units=4, unit=0, partitions=4,
+    )
+    mf_plan = formatted(mf)
+    # count node DETAIL headers ("(1) Scan parquet") — each physical node
+    # appears twice in formatted output (tree line + detail header)
+    import re
+
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", mf_plan, re.M))
+    n_exch = len(re.findall(r"^\(\d+\) Exchange", mf_plan, re.M))
+    assert n_scans == 1, f"multifield must scan once, saw {n_scans}"
+    assert n_exch == 1, f"multifield must shuffle once, saw {n_exch}"
+    sections.append(
+        ("Multi-field build: K fields, ONE scan + ONE exchange",
+         "The single-pass multi-field build (build_index_multifield) MUST "
+         "show exactly one `Scan parquet` and one `Exchange` however many "
+         "fields are indexed — every field column rides the same unit-sliced "
+         "scan and the same hash-stripe shuffle; the per-field split "
+         "downstream reads the persisted tokenize output, never the corpus "
+         "again. (Asserted by this generator: 2 fields, 1 scan, 1 exchange.)",
+         mf_plan)
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     for title, requirement, plan in sections:
         out.append(f"## {title}\n\n{requirement}\n\n```\n{plan}```\n")
