@@ -1471,6 +1471,7 @@ def build_index_multifield(
     salt_plans: dict[str, dict[str, int]] | None = None,
     max_fanout: int = 64,
     max_term_bytes: int | None = 32766,
+    unit_base: int = 0,
 ) -> dict[str, str]:
     """SINGLE-PASS multi-field build: K scored text fields from ONE scan +
     ONE tokenize pass + ONE partials shuffle per unit — never K passes
@@ -1493,25 +1494,29 @@ def build_index_multifield(
     source row, e.g. ``{"body": F.col("text"), "title": <headline expr>}``.
     Positions are not recorded (phrase search stays a single-field
     feature, as in the reference's per-field OpenSearch mappings).
+    ``unit_base`` offsets the committed unit ids (delta builds namespace
+    their units as ``1_000_000 * snapshot + i`` exactly like the
+    single-field ``incremental.build_delta``); the 0-based slice index
+    still drives the pmod unit predicate.
     Returns {field: index_dir} ready for ``query.search_multifield``."""
     from . import merge as _merge
 
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     fnames = sorted(fields)
     fdirs = {f: field_index_dir(index_root, f) for f in fnames}
-    requested = list(range(num_units))
-    todo = requested
+    todo = list(range(num_units))
     if resume:
         # a unit counts as done only when EVERY field committed it
         done_sets = [
             manifest.completed_units(fdirs[f], input_snapshot_id) for f in fnames
         ]
         done = set.intersection(*done_sets) if done_sets else set()
-        todo = [u for u in requested if u not in done]
+        todo = [i for i in todo if unit_base + i not in done]
 
-    for unit in todo:
+    for slice_i in todo:
+        unit = unit_base + slice_i
         ded = multifield_tokenize_input(
-            docs_df, fields, id_col, num_units, unit, partitions
+            docs_df, fields, id_col, num_units, slice_i, partitions
         )
         combined = ded.mapInArrow(
             make_tokenize_multifield_fn(fnames, salt_plans, max_fanout, max_term_bytes),

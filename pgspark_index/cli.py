@@ -21,6 +21,12 @@ pgspark_index.cli) it falls back to the tuned local session. Examples:
   spark-submit … search --index /idx/web-v1 --wildcard 'f?st' -k 10
   spark-submit … build-multifield --input /data/webtext --index /idx/web-mf \
       --fields body=text title=headline --units 64
+  spark-submit … delta-multifield --input /data/webtext_2024_31 \
+      --index /idx/web-mf --fields body=text title=headline --snapshot 31
+  spark-submit … search --index-root /idx/web-mf --terms data query \
+      --boosts title=2.0 -k 10
+  spark-submit … retry-quarantined --input /data/webtext_fixed \
+      --index /idx/web-v1 --snapshot 32
   spark-submit … hybrid --index /idx/web-v1 --embeddings /data/emb \
       --terms data query --vec-id 7 -k 10
 """
@@ -91,10 +97,36 @@ def main(argv: list[str] | None = None) -> int:
     mf.add_argument("--partitions", type=int, default=None)
     mf.add_argument("--snapshot", type=int, default=0)
 
+    md = sub.add_parser(
+        "delta-multifield",
+        help="incremental delta for a multi-field index (one pass, all fields)",
+    )
+    md.add_argument("--input", required=True, help="delta rows (new snapshot only)")
+    md.add_argument("--format", default="parquet")
+    md.add_argument("--index", required=True, help="index ROOT (field=<name>/ subdirs)")
+    md.add_argument("--fields", nargs="+", required=True, metavar="NAME=COLUMN")
+    md.add_argument("--snapshot", type=int, required=True)
+    md.add_argument("--units", type=int, default=1)
+    md.add_argument("--partitions", type=int, default=None)
+
+    rq = sub.add_parser(
+        "retry-quarantined",
+        help="re-ingest quarantined poison docs from a corrected source",
+    )
+    rq.add_argument("--input", required=True)
+    rq.add_argument("--format", default="parquet")
+    rq.add_argument("--index", required=True)
+    rq.add_argument("--snapshot", type=int, required=True,
+                    help="input snapshot id for the retry delta unit")
+    rq.add_argument("--partitions", type=int, default=None)
+
     s = sub.add_parser("search", help="top-k BM25 query")
     s.add_argument("--index", help="index dir")
     s.add_argument("--index-base", help="base dir for --alias resolution")
     s.add_argument("--alias", help="alias name (with --index-base)")
+    s.add_argument("--index-root", help="multi-field root (field=<name>/ dirs)")
+    s.add_argument("--boosts", nargs="*", default=[], metavar="FIELD=W",
+                   help="per-field boosts for --index-root, e.g. title=2.0")
     g = s.add_mutually_exclusive_group(required=True)
     g.add_argument("--terms", nargs="+")
     g.add_argument("--prefix", help="prefix query (lexicon range expansion)")
@@ -148,6 +180,29 @@ def main(argv: list[str] | None = None) -> int:
             partitions=a.partitions,
         )
         print(json.dumps(res, default=str))
+    elif a.cmd == "delta-multifield":
+        from . import incremental
+
+        fields = {}
+        for spec in a.fields:
+            name, _, col = spec.partition("=")
+            if not col:
+                p.error(f"--fields entries are NAME=COLUMN, got {spec!r}")
+            fields[name] = col
+        res = incremental.build_delta_multifield(
+            spark, _read_input(spark, a.input, a.format), a.index,
+            fields=fields, input_snapshot_id=a.snapshot,
+            num_units=a.units, partitions=a.partitions,
+        )
+        print(json.dumps(res, default=str))
+    elif a.cmd == "retry-quarantined":
+        from . import incremental
+
+        res = incremental.retry_quarantined(
+            spark, _read_input(spark, a.input, a.format), a.index,
+            input_snapshot_id=a.snapshot, partitions=a.partitions,
+        )
+        print(json.dumps(res, default=str))
     elif a.cmd == "build-multifield":
         from . import build
 
@@ -174,6 +229,21 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "search":
         from . import query
 
+        if a.index_root:
+            boosts = {}
+            for spec in a.boosts:
+                name, _, w = spec.partition("=")
+                if not w:
+                    p.error(f"--boosts entries are FIELD=WEIGHT, got {spec!r}")
+                boosts[name] = float(w)
+            if not a.terms:
+                p.error("--index-root search takes --terms")
+            df = query.search_multifield(
+                spark, a.index_root, a.terms, a.k, boosts=boosts or None
+            )
+            for r in df.collect():
+                print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+            return 0
         idx = a.index
         if idx is None:
             if not (a.index_base and a.alias):

@@ -277,6 +277,51 @@ def _registry() -> dict[str, tuple]:
         "SELECT count(*)::BIGINT AS live_docs FROM documents WHERE lang <> 'de'",
     )
 
+    # per-doc retry of quarantined poison docs (search_store_retrier.go:
+    # 94-150: only the retriable failed documents are resent): build
+    # excluding a deterministic subset, quarantine those ids, re-ingest
+    # them from the full table, verify the index converges to the full
+    # corpus with exactly that many docs retried
+    def quarantine_retry_count(spark, sf_dir):
+        import shutil
+        import tempfile as _tf
+
+        from . import incremental
+
+        docs = _documents(spark, sf_dir)
+        idx = _tf.mkdtemp(prefix="pgspark_retry_")
+        try:
+            build.build_index(
+                spark,
+                build.docs_unit_provider(docs.filter(F.col("doc_id") % 97 != 0)),
+                idx, num_units=1, partitions=8,
+            )
+            merge.merge_index(spark, idx)
+            poison = docs.filter(F.col("doc_id") % 97 == 0).select(
+                "doc_id", F.lit("ValueError: synthetic poison").alias("error")
+            )
+            poison.write.parquet(
+                os.path.join(build.quarantine_path(idx), "unit=0")
+            )
+            res = incremental.retry_quarantined(
+                spark, build.docs_unit_provider(docs), idx, input_snapshot_id=1
+            )
+            stats = merge.load_stats(idx)
+            return spark.createDataFrame(
+                [(int(stats["n_docs"]), int(res["retried"]),
+                  int(res["still_quarantined"]))],
+                "live_docs bigint, retried bigint, still_quarantined bigint",
+            )
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+
+    R["quarantine_retry_count"] = (
+        quarantine_retry_count,
+        "SELECT (SELECT count(*) FROM documents)::BIGINT AS live_docs, "
+        "(SELECT count(*) FROM documents WHERE doc_id % 97 = 0)::BIGINT AS retried, "
+        "0::BIGINT AS still_quarantined",
+    )
+
     # multi-field BM25 with per-field boosts (per-column mappings,
     # search_pg_mapper.go:137-183): title (first-8-tokens headline field,
     # boost 2.0) + body (full text, boost 1.0), each with its own

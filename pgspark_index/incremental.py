@@ -44,6 +44,7 @@ from .build import (
     build_unit,
     docs_path,
     plan_salts_source,
+    quarantine_path,
     segments_path,
     webtext_unit_provider,
 )
@@ -197,6 +198,189 @@ def build_delta(
     # next merge_index)
     merge.merge_index(spark, index_dir)
     return {"built_units": [r["unit"] for r in built], "tombstones": n_tomb}
+
+
+def retry_quarantined(
+    spark: SparkSession,
+    source,
+    index_dir: str,
+    input_snapshot_id: int,
+    partitions: int | None = None,
+    **build_kwargs,
+) -> dict:
+    """Re-ingest previously quarantined poison docs from a (corrected)
+    source — the per-document retry half of the reference's store retrier
+    (search_store_retrier.go:94-150: only the retriable failed documents
+    of a bulk request are resent, never the whole batch).
+
+    ``source`` is a DataFrame or unit provider in the same shape the index
+    was built from. Only rows whose doc_id appears in the quarantine
+    sidecar are selected (a left-semi join the optimizer broadcasts for
+    the usual tiny poison set — never a corpus rescan of the clean docs),
+    and indexed as a delta unit of ``input_snapshot_id`` through the
+    standard commit protocol. Quarantine rows whose doc re-indexed
+    successfully are then cleared; rows that failed AGAIN are re-
+    quarantined by the delta build itself (a fresh attempt row — the
+    sidecar is an attempt log), and rows with unreadable identity
+    (doc_id = -1) are unretriable and kept.
+
+    Single-field indexes only (the multi-field root keeps one shared
+    sidecar; retry there is a per-field rebuild decision for the caller).
+    Returns {"retried": n, "still_quarantined": n, "built_units": [...]}.
+    """
+    import shutil
+
+    qpath = quarantine_path(index_dir)
+    if not os.path.isdir(qpath):
+        return {"retried": 0, "still_quarantined": 0, "built_units": []}
+    # freeze the retryable id set BEFORE the delta build: the sidecar is
+    # re-read afterwards (the build may append fresh attempt rows) and a
+    # lazy plan over qpath could see those. A tiny parquet snapshot keeps
+    # the set deterministic and never driver-resident.
+    ids_tmp = os.path.join(index_dir, f".retry-ids-{input_snapshot_id}")
+    (
+        spark.read.parquet(qpath)
+        .filter(F.col("doc_id") != -1)
+        .select("doc_id")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(ids_tmp)
+    )
+    try:
+        retryable = spark.read.parquet(ids_tmp)
+        if not retryable.head(1):
+            still = spark.read.parquet(qpath).count()
+            return {"retried": 0, "still_quarantined": still, "built_units": []}
+        base = source if callable(source) else webtext_unit_provider(source)
+
+        def filtered(unit: int, total: int) -> DataFrame:
+            return base(unit, total).join(
+                spark.read.parquet(ids_tmp), "doc_id", "left_semi"
+            )
+
+        res = build_delta(
+            spark, filtered, index_dir, input_snapshot_id,
+            num_units=1, partitions=partitions, **build_kwargs,
+        )
+        # indexed = docs the delta actually committed; clear their rows
+        indexed = (
+            spark.read.parquet(docs_path(index_dir))
+            .filter(F.col("unit").isin(res["built_units"]))
+            .select("doc_id")
+        )
+        n_retried = indexed.join(retryable, "doc_id", "left_semi").count()
+        remaining = (
+            spark.read.parquet(qpath)
+            .join(indexed, "doc_id", "left_anti")
+            .select("doc_id", "error", "unit")
+        )
+        n_remaining = remaining.count()
+        # hidden staging + renames: Spark readers ignore dot-dirs. The one
+        # non-atomic window (old renamed away, new not yet renamed in)
+        # leaves qpath briefly absent — readers then see "no quarantine",
+        # never a partial mix; the docs themselves are already committed
+        staging = os.path.join(index_dir, ".quarantine-staging")
+        old = os.path.join(index_dir, ".quarantine-old")
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        if n_remaining:
+            remaining.write.mode("overwrite").partitionBy("unit").parquet(staging)
+            os.replace(qpath, old)
+            os.replace(staging, qpath)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(qpath, old)
+            shutil.rmtree(old, ignore_errors=True)
+        return {
+            "retried": int(n_retried),
+            "still_quarantined": int(n_remaining),
+            "built_units": res["built_units"],
+            "tombstones": res.get("tombstones", 0),
+        }
+    finally:
+        shutil.rmtree(ids_tmp, ignore_errors=True)
+
+
+def build_delta_multifield(
+    spark: SparkSession,
+    delta_df: DataFrame,
+    index_root: str,
+    fields: dict,
+    input_snapshot_id: int,
+    id_col: str = "doc_id",
+    num_units: int = 1,
+    partitions: int | None = None,
+    **build_kwargs,
+) -> dict:
+    """Incremental delta for a single-pass multi-field index: ONE
+    scan/tokenize/shuffle indexes the changed rows into every field
+    (``build.build_index_multifield`` with namespaced unit ids), then the
+    superseded doc_ids are tombstoned in EVERY field dir so each remains
+    independently queryable and ``search_multifield`` stays correct.
+
+    Same commit ordering as ``build_delta`` (units first, THEN tombstones
+    — a crash between the two leaves both versions readable), same
+    snapshot-namespaced unit ids, same staging-then-rename tombstone
+    publish. The doc sets of all fields agree by construction (one shared
+    ordinal assignment), so tombstones are computed ONCE against the
+    first field's older units and fanned out."""
+    import shutil
+
+    from .build import build_index_multifield, field_index_dir
+
+    fnames = sorted(fields)
+    fdirs = {f: field_index_dir(index_root, f) for f in fnames}
+    base_unit = 1_000_000 * input_snapshot_id
+    build_index_multifield(
+        spark, delta_df, index_root, fields=fields, id_col=id_col,
+        num_units=num_units, partitions=partitions,
+        input_snapshot_id=input_snapshot_id, unit_base=base_unit,
+        **build_kwargs,
+    )
+    first = fdirs[fnames[0]]
+    other_units = [
+        u
+        for u in manifest.completed_units(first)
+        if not (base_unit <= u < base_unit + num_units)
+    ]
+    if other_units:
+        existing = (
+            spark.read.parquet(docs_path(first))
+            .filter(F.col("unit").isin(other_units))
+            .select("doc_id")
+        )
+        tomb = (
+            delta_df.select(F.col(id_col).cast("long").alias("doc_id"))
+            .distinct()
+            .join(existing, "doc_id", "left_semi")
+            .withColumn("snapshot", F.lit(input_snapshot_id).cast("long"))
+        )
+    else:
+        tomb = spark.createDataFrame([], "doc_id bigint, snapshot bigint")
+    # one semi-join computes the tombstone set; the K per-field writes
+    # re-read the cached result, not the delta/docs join
+    tomb = tomb.persist()
+    n_tomb = 0
+    for f in fnames:
+        os.makedirs(tombstones_path(fdirs[f]), exist_ok=True)
+        final = os.path.join(
+            tombstones_path(fdirs[f]), f"snapshot-{input_snapshot_id}"
+        )
+        tmp = os.path.join(
+            tombstones_path(fdirs[f]), f".staging-snapshot-{input_snapshot_id}"
+        )
+        tomb.write.mode("overwrite").parquet(tmp)
+        n_tomb = spark.read.parquet(tmp).count()
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        merge.merge_index(spark, fdirs[f])
+    tomb.unpersist()
+    return {
+        "built_units": [base_unit + i for i in range(num_units)],
+        "tombstones": n_tomb,
+        "field_indexes": fdirs,
+    }
 
 
 def drop_docs(

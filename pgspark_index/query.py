@@ -679,9 +679,25 @@ def search_ranged(
     return per_range.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def discover_fields(index_root: str) -> dict[str, str]:
+    """Field dirs of a multi-field index root (``field=<name>/`` layout —
+    the one-store view of ``build.build_index_multifield``)."""
+    import glob as _glob
+    import os as _os
+
+    out = {
+        _os.path.basename(d).split("=", 1)[1]: d
+        for d in _glob.glob(_os.path.join(index_root, "field=*"))
+        if _os.path.isdir(d)
+    }
+    if not out:
+        raise FileNotFoundError(f"no field=<name> dirs under {index_root}")
+    return out
+
+
 def search_multifield(
     spark: SparkSession,
-    field_indexes: dict[str, str],
+    field_indexes: dict[str, str] | str,
     terms: list[str],
     k: int = 10,
     boosts: dict[str, float] | None = None,
@@ -696,7 +712,12 @@ def search_multifield(
     is unit-local and exact: unit u's scorer receives every field's lists
     for u, computes score(d) = sum_f boost_f * BM25_f(d, q) with each
     field's own idf/doclen/avgdl, and emits its top-k; the global top-k is
-    a TakeOrderedAndProject. -> DataFrame(doc_id, score)."""
+    a TakeOrderedAndProject. -> DataFrame(doc_id, score).
+
+    Passing the multi-field index ROOT (a str) instead of the dict
+    discovers the ``field=<name>/`` dirs automatically."""
+    if isinstance(field_indexes, str):
+        field_indexes = discover_fields(field_indexes)
     boosts = {f: 1.0 for f in field_indexes} | (boosts or {})
     terms = sorted(set(terms))
     fields = sorted(field_indexes)

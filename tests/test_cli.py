@@ -119,3 +119,81 @@ def test_cli_prefix_wildcard_multifield_hybrid(spark, tmp_path):
     assert all(r["doc_id"] != 0 for r in rows_h)
     scores = [r["score"] for r in rows_h]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_delta_multifield_root_search_retry(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    src = str(tmp_path / "docs")
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(60, dtype="int64"),
+        "text": [f"alpha base{i} w{i % 5}" for i in range(60)],
+        "headline": [f"head hl{i} w{i % 3}" for i in range(60)],
+    })
+    spark.createDataFrame(
+        pdf, "doc_id long, text string, headline string"
+    ).write.parquet(src)
+
+    root = str(tmp_path / "mfidx")
+    _run(["build-multifield", "--input", src, "--index", root,
+          "--fields", "body=text", "title=headline",
+          "--units", "1", "--partitions", "2"])
+
+    # one-store search through the root with a title boost
+    rows = [json.loads(l) for l in _run(
+        ["search", "--index-root", root, "--terms", "alpha", "head",
+         "--boosts", "title=2.0", "-k", "5"])]
+    assert len(rows) == 5
+
+    # incremental multi-field delta
+    dsrc = str(tmp_path / "delta")
+    dpdf = pd.DataFrame({
+        "doc_id": np.arange(55, 65, dtype="int64"),
+        "text": [f"alpha zz7 new{i}" for i in range(10)],
+        "headline": [f"newhead zz8 nh{i}" for i in range(10)],
+    })
+    spark.createDataFrame(
+        dpdf, "doc_id long, text string, headline string"
+    ).write.parquet(dsrc)
+    res = json.loads(_run(
+        ["delta-multifield", "--input", dsrc, "--index", root,
+         "--fields", "body=text", "title=headline", "--snapshot", "1",
+         "--partitions", "2"])[-1])
+    assert res["tombstones"] == 5
+    rows2 = [json.loads(l) for l in _run(
+        ["search", "--index-root", root, "--terms", "zz7", "zz8", "-k", "20"])]
+    assert {r["doc_id"] for r in rows2} == set(range(55, 65))
+
+
+def test_cli_retry_quarantined(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from pgspark_index import build as _build
+
+    full = str(tmp_path / "full")
+    pdf = pd.DataFrame({
+        "url": [f"https://ex.com/{i}" for i in range(50)],
+        "warc_ts": pd.Timestamp("2024-01-01"),
+        "html": [None] * 50,
+        "text": [f"alpha page{i} w{i % 7}" + (" zmagic" if i == 9 else "")
+                 for i in range(50)],
+        "lang": "en",
+    })
+    spark.createDataFrame(pdf).write.parquet(full)
+
+    idx = str(tmp_path / "idx")
+    _run(["build", "--input", full, "--index", idx,
+          "--units", "1", "--partitions", "2"])
+    # simulate a build-time poison doc: url 9's doc_id quarantined
+    doc9 = spark.sql(f"SELECT xxhash64('https://ex.com/9') AS id").collect()[0]["id"]
+    spark.createDataFrame(
+        [(int(doc9), "ValueError: synthetic")], "doc_id long, error string"
+    ).write.parquet(os.path.join(_build.quarantine_path(idx), "unit=0"))
+
+    res = json.loads(_run(
+        ["retry-quarantined", "--input", full, "--index", idx,
+         "--snapshot", "1"])[-1])
+    assert res["retried"] == 1
+    assert res["still_quarantined"] == 0

@@ -118,3 +118,72 @@ def test_multifield_poison_doc_quarantined(spark, tmp_path):
         os.path.join(build.quarantine_path(root), "unit=0")
     ).collect()
     assert len(q) == 1 and q[0]["doc_id"] == -1
+
+
+def test_multifield_delta_tombstones_every_field(spark, tmp_path):
+    """One-pass delta for a multi-field index: changed rows become a
+    namespaced unit in EVERY field from one scan, superseded versions are
+    tombstoned in every field dir, and each field index equals the
+    single-field delta pipeline run on the same data."""
+    import os
+
+    from pgspark_index import incremental, manifest
+
+    base = pd.DataFrame({
+        "doc_id": np.arange(60, dtype="int64"),
+        "text": [f"alpha w{i % 5} base{i}" for i in range(60)],
+        "headline": [f"head w{i % 3} hl{i}" for i in range(60)],
+    })
+    fields = {"body": "text", "title": "headline"}
+    root = str(tmp_path / "mfdelta")
+    build.build_index_multifield(
+        spark, spark.createDataFrame(base, "doc_id long, text string, headline string"),
+        root, fields=fields, num_units=1, partitions=2,
+    )
+
+    delta = pd.DataFrame({
+        "doc_id": np.arange(55, 65, dtype="int64"),
+        "text": [f"alpha zz7 new{i}" for i in range(55, 65)],
+        "headline": [f"newhead zz8 nh{i}" for i in range(55, 65)],
+    })
+    res = incremental.build_delta_multifield(
+        spark,
+        spark.createDataFrame(delta, "doc_id long, text string, headline string"),
+        root, fields=fields, input_snapshot_id=1, partitions=2,
+    )
+    assert res["tombstones"] == 5  # ids 55..59 superseded
+    assert res["built_units"] == [1_000_000]
+
+    for f, d in res["field_indexes"].items():
+        m = manifest.read_manifest(d)
+        assert 1_000_000 in set(m["unit"].astype(int)), f
+        assert os.path.isdir(
+            os.path.join(incremental.tombstones_path(d), "snapshot-1")
+        ), f
+        assert merge.load_stats(d)["n_docs"] == 65, f
+
+    # new-version terms hit in both fields; superseded versions are dead
+    hits = query.search(spark, res["field_indexes"]["body"], ["zz7"], 20)
+    assert {r["doc_id"] for r in hits.collect()} == set(range(55, 65))
+    hits_t = query.search(spark, res["field_indexes"]["title"], ["zz8"], 20)
+    assert {r["doc_id"] for r in hits_t.collect()} == set(range(55, 65))
+    assert query.search(spark, res["field_indexes"]["body"], ["base55"], 5).count() == 0
+    assert query.search(spark, res["field_indexes"]["body"], ["base54"], 5).count() == 1
+
+    # equality with the single-field delta pipeline on the body field
+    sep = str(tmp_path / "sep_body")
+    bdf = spark.createDataFrame(base[["doc_id", "text"]], "doc_id long, text string")
+    build.build_index(spark, build.docs_unit_provider(bdf), sep,
+                      num_units=1, partitions=2, sample_fraction=1.0)
+    merge.merge_index(spark, sep)
+    ddf = spark.createDataFrame(delta[["doc_id", "text"]], "doc_id long, text string")
+    incremental.build_delta(
+        spark, build.docs_unit_provider(ddf), sep,
+        input_snapshot_id=1, partitions=2, sample_fraction=1.0,
+    )
+    for terms in (["alpha"], ["zz7"], ["w1"]):
+        ra = query.search(spark, res["field_indexes"]["body"], terms, 20).collect()
+        rb = query.search(spark, sep, terms, 20).collect()
+        assert [(r["doc_id"], r["score"]) for r in ra] == [
+            (r["doc_id"], r["score"]) for r in rb
+        ], terms
