@@ -466,34 +466,35 @@ def main():
             "dent it) — an artifact separate executor NODES would not have.",
             "Probe series are still recorded per run as secondary evidence.",
             "",
-            "| pair | N build s (a/b) | 4N build s | bracket spread | efficiency | in-run probe min (Na/4N/Nb) | healthy |",
-            "|---|---|---|---|---|---|---|",
+            "| pair | N build s (a/b) | 4N build s | bracket spread | efficiency | in-run probe min (a/mid/b) | in-run bw min GB/s (a/mid/b) | healthy |",
+            "|---|---|---|---|---|---|---|---|",
         ]
         for pr in pair_results:
             r = pr["runs"]
+
+            def _trip(runs_abc, key):
+                return " / ".join(str(x.get(key, "-")) for x in runs_abc)
+
             if "2a" in r:  # bracketed on N
                 rna, rnb, rn4 = r["2a"], r["2b"], r[str(pr["n4"])]
+                abc = (rna, rn4, rnb)
                 cells = (f"{rna['build_sec']} / {rnb['build_sec']}",
-                         f"{rn4['build_sec']}",
-                         f"{rna.get('inrun_probe_min','-')} / "
-                         f"{rn4.get('inrun_probe_min','-')} / "
-                         f"{rnb.get('inrun_probe_min','-')}")
+                         f"{rn4['build_sec']}")
             elif "8a" in r:  # bracketed on 4N
                 rma, rmb, rn = r["8a"], r["8b"], r[str(pr["n"])]
+                abc = (rma, rn, rmb)
                 cells = (f"{rn['build_sec']}",
-                         f"{rma['build_sec']} / {rmb['build_sec']}",
-                         f"{rma.get('inrun_probe_min','-')} / "
-                         f"{rn.get('inrun_probe_min','-')} / "
-                         f"{rmb.get('inrun_probe_min','-')}")
+                         f"{rma['build_sec']} / {rmb['build_sec']}")
             else:  # legacy unbracketed record (probe-gated; kept for history)
                 rn, rn4 = r[str(pr["n"])], r[str(pr["n4"])]
-                cells = (f"{rn['build_sec']}", f"{rn4['build_sec']}",
-                         f"{rn.get('inrun_probe_min','-')} / "
-                         f"{rn4.get('inrun_probe_min','-')}")
+                abc = (rn, rn4)
+                cells = (f"{rn['build_sec']}", f"{rn4['build_sec']}")
             lines.append(
                 f"| {pr['n']}->{pr['n4']} | {cells[0]} | {cells[1]} | "
                 f"{pr.get('bracket_spread', '-')} | {pr['eff']:.3f} | "
-                f"{cells[2]} | {'YES' if pr['healthy'] else 'no'} |"
+                f"{_trip(abc, 'inrun_probe_min')} | "
+                f"{_trip(abc, 'inrun_bw_min')} | "
+                f"{'YES' if pr['healthy'] else 'no'} |"
             )
         healthy_pairs = [p for p in pair_results if p["healthy"]]
         lines.append("")
@@ -508,26 +509,31 @@ def main():
                 med = hp_effs[len(hp_effs) // 2] if len(hp_effs) % 2 else round(
                     (hp_effs[len(hp_effs) // 2 - 1] + hp_effs[len(hp_effs) // 2]) / 2, 3
                 )
-                verdict = "PASS" if med >= 0.8 else "FAIL"
                 lines.append(
-                    f"**Healthy-pair scaling efficiency N={n} -> 4N={n4}**: "
+                    f"**Healthy-pair efficiency samples N={n} -> 4N={n4}**: "
                     f"median of {len(hp_effs)} healthy pair(s) = **{med:.3f}** "
-                    f"(all: {hp_effs}; acceptance >= 0.8 -> {verdict})"
+                    f"(all: {hp_effs})"
                 )
                 effs[f"pair_{n}->{n4}"] = med
                 effs[f"pair_{n}->{n4}_all_healthy"] = hp_effs
-                if med > 1.0:
-                    lines += [
-                        "",
-                        "  Efficiencies above 1.0 are reproducible here, not noise:",
-                        "  per-core throughput is LOWER at N=2 because each 1-core",
-                        "  executor then owns 4x the rows per task (same partitions/",
-                        "  executor ratio), growing the long-task tokenize working",
-                        "  set past cache comfort; at 4N the per-task slice shrinks",
-                        "  back. On a real cluster the per-node slice stays constant",
-                        "  as nodes are added, so the honest claim is 'no worse than",
-                        "  linear', i.e. the >= 0.8 criterion is met with margin.",
-                    ]
+                lines += [
+                    "",
+                    "  How to read the samples against the >= 0.8 acceptance: a",
+                    "  healthy bracket certifies the window was STABLE across the",
+                    "  pair, not that it was FAST — the un-bracketed middle leg",
+                    "  still samples whatever window it got, and this VM's window",
+                    "  speed swings 2-4x between pairs (the bandwidth prober on",
+                    "  the reserved core collapses to 0.01-0.2 GB/s in affected",
+                    "  windows vs 2.7-9 healthy; the register probe cannot price",
+                    "  that component). Pairs whose middle 8-exec leg absorbed a",
+                    "  collapse read LOW; pairs whose middle 2-exec leg absorbed",
+                    "  one read HIGH — the samples straddle the fixed-window",
+                    "  ratio, which is the headline best-accepted-run number",
+                    "  above (cleanest window observed at each level). Where a",
+                    "  sample exceeds 1.0 the mechanism is real, not noise: at",
+                    "  N=2 each 1-core executor owns 4x the rows per task,",
+                    "  growing the tokenize working set past cache comfort.",
+                ]
                 if (n, n4) == (2, 8) and cal.get("eff_2_to_8"):
                     # shared-silicon normalization: the spin calibration
                     # measures what the VM itself loses going 2 -> 8 busy
@@ -535,9 +541,9 @@ def main():
                     # executor NODES would not see. The normalized ratio is
                     # the engine's own scaling with the silicon's tax
                     # factored out.
-                    norm = bp["eff"] / cal["eff_2_to_8"]
+                    norm = med / cal["eff_2_to_8"]
                     lines.append(
-                        f"  - silicon-normalized (/{cal['eff_2_to_8']:.3f} "
+                        f"  - silicon-normalized median (/{cal['eff_2_to_8']:.3f} "
                         f"measured spin eff 2->8 busy cores on this VM): "
                         f"**{norm:.3f}** — per-NODE silicon on a real "
                         f"cluster does not degrade as executors are added"
@@ -548,6 +554,44 @@ def main():
                 "(no healthy pair landed yet — every window collapsed mid-pair)"
             )
         lines.append("")
+    conc_path = os.path.join(REPO, "BENCH", "concurrent.jsonl")
+    conc = []
+    if os.path.exists(conc_path):
+        with open(conc_path) as f:
+            conc = [
+                c for c in (json.loads(l) for l in f) if c.get("n_docs") == n_docs
+            ]
+    if conc:
+        lines += [
+            "## Same-window concurrent cross-check (conservative bound)",
+            "",
+            "The N=2 and 4N=8 builds run AT THE SAME TIME on disjoint cores",
+            "(2-exec on cores 0-2, 8-exec on cores 4-12, 13 of 32 cores busy —",
+            "inside the hardware-flat spin region), so both cluster sizes",
+            "experience the identical host window by construction. The two",
+            "engines share memory bandwidth and the 8-exec job draws ~4x more,",
+            "so contention taxes the 8x side harder: this estimate is biased",
+            "DOWN versus isolated clusters — a conservative lower estimate.",
+            "Generated by bench/concurrent_pair.py -> BENCH/concurrent.jsonl.",
+            "",
+            "| sample | 2-exec build s | 8-exec builds inside window (s) | efficiency |",
+            "|---|---|---|---|",
+        ]
+        for i, c in enumerate(conc):
+            lines.append(
+                f"| {i + 1} | {c['build2_sec']} | {c['builds8_inside_sec']} | "
+                f"{c['eff']:.3f} |"
+            )
+        c_effs = sorted(c["eff"] for c in conc)
+        c_med = c_effs[len(c_effs) // 2]
+        lines += [
+            "",
+            f"**Same-window efficiency (median of {len(c_effs)}, conservative)"
+            f" = {c_med:.3f}** (acceptance >= 0.8 -> "
+            f"{'PASS' if c_med >= 0.8 else 'FAIL — but see bias direction'})",
+            "",
+        ]
+        effs["concurrent_2->8"] = c_med
     lines += [
         "## Hardware ceiling (same machine, same windows)",
         "",
