@@ -41,6 +41,7 @@ def sf_of(sf_dir: str) -> float:
 
 _PROBER_SRC = r"""
 import time
+import numpy as np
 def spin(secs=3.0):
     t0 = time.time(); n = 0; x = 1
     while time.time() - t0 < secs:
@@ -48,9 +49,20 @@ def spin(secs=3.0):
             x = (x * 1103515245 + 12345) % 2147483648
         n += 1
     return n / (time.time() - t0)
+_BUF = np.ones(8_000_000, dtype=np.float64)  # 64 MB — far beyond LLC
+_OUT = np.empty_like(_BUF)
+def bandwidth(secs=1.0):
+    # the register spin is blind to memory contention, which is what
+    # actually collapses on this VM's bad windows (see BENCH/BASELINE.md)
+    t0 = time.time(); n = 0
+    while time.time() - t0 < secs:
+        np.multiply(_BUF, 1.0000001, out=_OUT)
+        _ = float(_OUT.sum())
+        n += 1
+    return n * _BUF.nbytes * 3 / (time.time() - t0) / 1e9
 while True:
-    print(f"{time.time()} {spin()}", flush=True)
-    time.sleep(9)
+    print(f"{time.time()} {spin()} {bandwidth():.2f}", flush=True)
+    time.sleep(8)
 """
 
 
@@ -86,28 +98,58 @@ def _stop_prober(proc) -> list[float]:
     for l in out.splitlines():
         if not l.strip():
             continue
-        parts = l.split()
-        # (ts, speed); pre-timestamp emitters fall back to ts=0
-        samples.append(
-            (float(parts[0]), float(parts[1]))
-            if len(parts) == 2
-            else (0.0, float(parts[0]))
-        )
+        parts = [float(x) for x in l.split()]
+        # (ts, spin, bw); older emitters lacked ts and/or bw
+        if len(parts) == 3:
+            samples.append((parts[0], parts[1], parts[2]))
+        elif len(parts) == 2:
+            samples.append((parts[0], parts[1], None))
+        else:
+            samples.append((0.0, parts[0], None))
     return samples
 
 
-def _window_min(samples: list[tuple[float, float]], t0: float, t1: float):
+def _window_min(samples, t0: float, t1: float):
     """Min probe speed among samples whose 3s spin overlapped [t0, t1] —
     the per-query host-weather context (a sample printed at ts covers
     roughly [ts-3, ts])."""
-    xs = [s for ts, s in samples if t0 - 1.0 <= ts <= t1 + 4.0]
+    xs = [s for ts, s, _bw in samples if t0 - 1.0 <= ts <= t1 + 4.0]
     if not xs:  # short window between samples: nearest sample by midpoint
         mid = (t0 + t1) / 2
-        with_ts = [(abs(ts - mid), s) for ts, s in samples if ts > 0]
+        with_ts = [(abs(ts - mid), s) for ts, s, _bw in samples if ts > 0]
         if not with_ts:
             return None
         xs = [min(with_ts)[1]]
     return round(min(xs), 1)
+
+
+# ---- A-B-A bracket legs ----------------------------------------------------
+# Fixed-WORK reference legs (seconds for a deterministic CPU+memory job)
+# run before the engine, between build and queries, and after — the same
+# bracketing discipline bench/scaling.py uses for the scaling campaign.
+# If the three legs agree (small spread), the engine numbers in between
+# were measured in a stable host window and round-over-round deltas are
+# attributable to code; if they disagree, the run self-reports as
+# weather-contaminated instead of masquerading as a regression.
+
+
+def _bracket_leg() -> dict:
+    import numpy as np
+
+    t0 = time.time()
+    x = 1
+    for _ in range(120):
+        for _ in range(100000):
+            x = (x * 1103515245 + 12345) % 2147483648
+    spin_sec = time.time() - t0
+    buf = np.ones(8_000_000, dtype=np.float64)
+    out = np.empty_like(buf)
+    t0 = time.time()
+    for _ in range(25):
+        np.multiply(buf, 1.0000001, out=out)
+        _ = float(out.sum())
+    bw_sec = time.time() - t0
+    return {"spin_sec": round(spin_sec, 3), "bw_sec": round(bw_sec, 3)}
 
 
 def main():
@@ -118,6 +160,7 @@ def main():
     n_queries = 50
 
     probe_start = round(_spin_once(), 1)
+    bracket = {"pre": _bracket_leg()}
     prober = _start_prober()
     spark = get_spark(app="pgspark_bench", cores=cpus, shuffle_partitions=cpus)
     index_dir = tempfile.mkdtemp(prefix="pgspark_bench_idx_")
@@ -143,6 +186,8 @@ def main():
         stats = merge.merge_index(spark, index_dir)
         timings["merge"] = round(time.time() - t0, 3)
 
+        bracket["mid"] = _bracket_leg()  # between build and query phases
+
         queries = fixtures.make_query_set(n_queries, seed=123)
         # warm the lexicon/segment file footers
         query.search(spark, index_dir, queries[0]["terms"], 10).collect()
@@ -167,9 +212,14 @@ def main():
         timings["batch_all_queries"] = round(batch_sec, 3)
 
         total = timings["build"] + timings["merge"] + sum(lat)
+        bracket["post"] = _bracket_leg()
+        legs = [bracket[k]["spin_sec"] + bracket[k]["bw_sec"]
+                for k in ("pre", "mid", "post")]
+        bracket["spread"] = round((max(legs) - min(legs)) / min(legs), 3)
         samples = _stop_prober(prober)
         prober = None
-        speeds = [s for _, s in samples]
+        speeds = [s for _, s, _bw in samples]
+        bws = [b for _, _s, b in samples if b is not None]
         # per-query probe context for OUTLIERS (> 2x p50): was the slow
         # query slow in a degraded host window, or genuinely slow?
         outlier_probe = {
@@ -194,6 +244,11 @@ def main():
             "inrun_probe_mean": (
                 round(sum(speeds) / len(speeds), 1) if speeds else None
             ),
+            "inrun_bw_min_gbps": round(min(bws), 2) if bws else None,
+            "inrun_bw_mean_gbps": (
+                round(sum(bws) / len(bws), 2) if bws else None
+            ),
+            "bracket_legs": bracket,
             "outlier_query_probe_min": outlier_probe,
         }
         print(json.dumps(out))

@@ -149,6 +149,23 @@ SEG_MF_SCHEMA = SEG_SCHEMA + ", field string"
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
+# ---- poison-doc quarantine policy ----------------------------------------
+# Only DATA-SHAPED exceptions are quarantinable: the reference's retrier
+# separates per-document data failures from internal/retriable errors and
+# never swallows the latter (search_store_retrier.go:94-150
+# getRetriableDocs; severity split in search/errors.go). Value/Type/Key/
+# Index/Overflow/Unicode errors are what malformed text/ids raise —
+# pyarrow's ArrowInvalid subclasses ValueError. Infra failures
+# (MemoryError incl. pyarrow's ArrowMemoryError, OSError, interpreter
+# errors) RE-RAISE and fail the unit, so a systematic tokenizer regression
+# or allocator failure is a retried unit in the failure ledger, never
+# silent per-doc data loss.
+_QUARANTINABLE = (ValueError, TypeError, KeyError, IndexError, OverflowError)
+
+
+def _quarantinable(exc: BaseException) -> bool:
+    return isinstance(exc, _QUARANTINABLE) and not isinstance(exc, MemoryError)
+
 
 # ---- Arrow construction helpers (hot-path stages are mapInArrow: columns
 # are built straight from flat numpy/byte buffers — zero per-row Python
@@ -648,13 +665,17 @@ def make_tokenize_fn(
                 continue
             try:
                 out = [consume(batch)]
-            except Exception:  # noqa: BLE001 — poison batch: replay per doc
+            except Exception as exc:  # noqa: BLE001 — poison batch?
+                if not _quarantinable(exc):
+                    raise  # infra/internal failure: fail the unit (retried)
                 out = []
                 for i in range(batch.num_rows):
                     row = batch.slice(i, 1)
                     try:
                         out.append(consume(row))
                     except Exception as exc:  # noqa: BLE001 — quarantine doc
+                        if not _quarantinable(exc):
+                            raise
                         rid = row.column("doc_id")
                         did = rid[0].as_py() if rid.null_count == 0 else -1
                         q_ids.append(int(did) if did is not None else -1)
@@ -688,6 +709,7 @@ def make_tokenize_multifield_fn(
     max_fanout: int = 64,
     max_term_bytes: int | None = 32766,
     chunk_rows: int | None = None,
+    with_positions: bool = False,
 ):
     """mapInArrow factory for the SINGLE-PASS multi-field build: one
     tokenization pass over the corpus emits EVERY field's doc rows and
@@ -720,7 +742,9 @@ def make_tokenize_multifield_fn(
         doc_seq = 0
         prev_doc = None
         accs = {
-            f: _PartialAcc(salt_maps.get(f, {}), max_fanout, max_term_bytes, False)
+            f: _PartialAcc(
+                salt_maps.get(f, {}), max_fanout, max_term_bytes, with_positions
+            )
             for f in field_names
         }
 
@@ -760,7 +784,7 @@ def make_tokenize_multifield_fn(
                 prev_doc = last_doc
                 return []
             toks = {
-                f: _bts(None, batch.column(f"__field_{f}"), False)
+                f: _bts(None, batch.column(f"__field_{f}"), with_positions)
                 for f in field_names
             }
             # -- fallible section over; commit state --
@@ -772,9 +796,9 @@ def make_tokenize_multifield_fn(
             )
             out = []
             for f in field_names:
-                dl_b, doc_idx_b, code_b, tf_b, uniq_b, _ = toks[f]
+                dl_b, doc_idx_b, code_b, tf_b, uniq_b, pos_b = toks[f]
                 accs[f].add(
-                    uniq_b, code_b, tf_b, ords[doc_idx_b], dl_b[doc_idx_b], None
+                    uniq_b, code_b, tf_b, ords[doc_idx_b], dl_b[doc_idx_b], pos_b
                 )
                 out.append(tagged(_doc_row_arrays(n, ords, doc_ids, url_arr, dl_b), f, n))
             return out
@@ -784,13 +808,17 @@ def make_tokenize_multifield_fn(
                 continue
             try:
                 out = consume(batch)
-            except Exception:  # noqa: BLE001 — poison batch: replay per doc
+            except Exception as exc:  # noqa: BLE001 — poison batch?
+                if not _quarantinable(exc):
+                    raise  # infra/internal failure: fail the unit (retried)
                 out = []
                 for i in range(batch.num_rows):
                     row = batch.slice(i, 1)
                     try:
                         out.extend(consume(row))
                     except Exception as exc:  # noqa: BLE001 — quarantine doc
+                        if not _quarantinable(exc):
+                            raise
                         rid = row.column("doc_id")
                         did = rid[0].as_py() if rid.null_count == 0 else -1
                         q_ids.append(int(did) if did is not None else -1)
@@ -818,6 +846,15 @@ def make_tokenize_multifield_fn(
     return fn
 
 
+# output-batch flush threshold of the splice merge: a batch is emitted
+# once its postings (or positions) bytes reach this, keeping every
+# per-batch Binary column safely below Arrow's 2 GiB int32-offset ceiling
+# no matter how large the shuffle partition is. One (term, salt) group is
+# never split across batches; a SINGLE group past 2 GiB raises (raise the
+# term's salt fanout instead — plan_salts bounds group size by design).
+_SPLICE_FLUSH_BYTES = int(os.environ.get("PGSPARK_SPLICE_FLUSH_BYTES", 1 << 30))
+
+
 def _splice_merge_fn(batches):
     """mapInArrow: shuffled partial lists (sorted by term, salt, first_doc)
     -> final segment rows by BLOB SPLICING — O(rows), not O(postings).
@@ -831,12 +868,15 @@ def _splice_merge_fn(batches):
     round-1 decode/lexsort/re-encode merge was memory-bandwidth-bound and
     capped multi-core scaling; splicing touches ~bytes-of-metadata only.
 
-    Arrow-native: input Binary/List columns are read as (offsets, flat
-    buffer) pairs — zero per-row bytes()/ndarray objects — and three of
-    the four output block tables REUSE the input flat values arrays
-    outright (group concatenation of adjacent rows is the identity on the
-    flat buffer; only the list offsets change). The posting bytes make
-    exactly one pass into a single output buffer.
+    Arrow-native and 2 GiB-safe end to end: input Binary/List columns are
+    read per input batch as (offsets, flat buffer) pairs — zero per-row
+    bytes()/ndarray objects — and accumulated under INT64 offsets, so a
+    shuffle partition whose postings or positions column exceeds Arrow's
+    int32 offset range never overflows (the old combine_chunks()+chunk(0)
+    path aborted there). Output is emitted in multiple record batches
+    bounded by _SPLICE_FLUSH_BYTES; three of the four block tables and the
+    positions bytes are contiguous slices of the input flat buffers (group
+    concatenation of adjacent rows is the identity on the flat buffer).
 
     Blocks stay valid (decode_block handles ragged blocks); compression is
     preserved (the patched gap is a true small delta)."""
@@ -846,17 +886,9 @@ def _splice_merge_fn(batches):
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
-    blist = [b for b in batches if b.num_rows]
-    if not blist:
-        return
-    tbl = pa.Table.from_batches(blist).combine_chunks()
-    n = tbl.num_rows
-
-    def col(name):
-        return tbl.column(name).chunk(0)
 
     def bin_parts(arr):
-        # (absolute byte offsets int64[n+1], flat uint8 data) — zero-copy
+        # (byte offsets int64[n+1] rebased to 0, flat uint8 data slice)
         o = np.frombuffer(arr.buffers()[1], dtype=np.int32)
         o = o[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
         buf = arr.buffers()[2]
@@ -864,30 +896,86 @@ def _splice_merge_fn(batches):
             np.frombuffer(buf, dtype=np.uint8) if buf is not None
             else np.zeros(0, dtype=np.uint8)
         )
-        return o, data
+        return o - o[0], data[o[0] : o[-1]]
 
     def list_parts(arr):
-        # (absolute value offsets int64[n+1], flat child Array) — zero-copy
+        # (value offsets int64[n+1] rebased to 0, flat child values slice)
         o = np.frombuffer(arr.buffers()[1], dtype=np.int32)
-        return o[arr.offset : arr.offset + len(arr) + 1].astype(np.int64), arr.values
+        o = o[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+        vals = arr.values.slice(int(o[0]), int(o[-1] - o[0]))
+        return o - o[0], vals.to_numpy(zero_copy_only=False)
 
-    term = col("term")
-    # multi-field build: rows additionally carry the owning field — group
-    # key becomes (field, term, salt) and the column passes through
-    has_field = "field" in tbl.schema.names
-    field = col("field") if has_field else None
-    salts = col("salt").to_numpy(zero_copy_only=False).astype(np.int32)
-    dfs = col("df").to_numpy(zero_copy_only=False).astype(np.int64)
-    cfs = col("cf").to_numpy(zero_copy_only=False).astype(np.int64)
-    first = col("first_doc").to_numpy(zero_copy_only=False).astype(np.int64)
-    post_o, post_d = bin_parts(col("postings"))
-    pos_o, pos_d = bin_parts(col("positions"))
-    bld_o, bld_vals = list_parts(col("block_last_doc"))
-    bmt_o, bmt_vals = list_parts(col("block_max_tf"))
-    bmd_o, bmd_vals = list_parts(col("block_min_dl"))
-    boff_o, boff_vals = list_parts(col("block_offset"))
-    bld_np = bld_vals.to_numpy(zero_copy_only=False)
-    boff_np = boff_vals.to_numpy(zero_copy_only=False).astype(np.int64)
+    term_chunks: list = []
+    field_chunks: list = []
+    salt_c, df_c, cf_c, first_c = [], [], [], []
+    post_off_c, post_dat = [], []
+    pos_off_c, pos_dat = [], []
+    blk_off_c = []  # all four block tables share one offsets structure
+    bld_c, bmt_c, bmd_c, boff_c = [], [], [], []
+    post_base = pos_base = blk_base = 0
+    has_field = False
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        has_field = "field" in b.schema.names
+        term_chunks.append(b.column("term"))
+        if has_field:
+            field_chunks.append(b.column("field"))
+        salt_c.append(b.column("salt").to_numpy(zero_copy_only=False))
+        df_c.append(b.column("df").to_numpy(zero_copy_only=False))
+        cf_c.append(b.column("cf").to_numpy(zero_copy_only=False))
+        first_c.append(b.column("first_doc").to_numpy(zero_copy_only=False))
+        o, d = bin_parts(b.column("postings"))
+        post_off_c.append(o[:-1] + post_base)
+        post_dat.append(d)
+        post_base += d.shape[0]
+        o, d = bin_parts(b.column("positions"))
+        pos_off_c.append(o[:-1] + pos_base)
+        pos_dat.append(d)
+        pos_base += d.shape[0]
+        o, v = list_parts(b.column("block_last_doc"))
+        blk_off_c.append(o[:-1] + blk_base)
+        blk_base += v.shape[0]
+        bld_c.append(v)
+        _, v = list_parts(b.column("block_max_tf"))
+        bmt_c.append(v)
+        _, v = list_parts(b.column("block_min_dl"))
+        bmd_c.append(v)
+        _, v = list_parts(b.column("block_offset"))
+        boff_c.append(v)
+    if not term_chunks:
+        return
+
+    def cat(chunks, dtype, total, sentinel=None):
+        parts = chunks if sentinel is None else chunks + [
+            np.array([total], dtype=np.int64)
+        ]
+        a = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        return a.astype(dtype, copy=False)
+
+    term = term_chunks[0] if len(term_chunks) == 1 else pa.concat_arrays(term_chunks)
+    field = None
+    if has_field:
+        field = (
+            field_chunks[0] if len(field_chunks) == 1
+            else pa.concat_arrays(field_chunks)
+        )
+    salts = cat(salt_c, np.int32, 0)
+    dfs = cat(df_c, np.int64, 0)
+    cfs = cat(cf_c, np.int64, 0)
+    first = cat(first_c, np.int64, 0)
+    n = salts.shape[0]
+    post_o = cat(post_off_c, np.int64, post_base, sentinel=True)
+    post_d = post_dat[0] if len(post_dat) == 1 else np.concatenate(post_dat)
+    pos_o = cat(pos_off_c, np.int64, pos_base, sentinel=True)
+    pos_d = pos_dat[0] if len(pos_dat) == 1 else np.concatenate(pos_dat)
+    blk_o = cat(blk_off_c, np.int64, blk_base, sentinel=True)
+    bld_np = bld_c[0] if len(bld_c) == 1 else np.concatenate(bld_c)
+    bmt_np = bmt_c[0] if len(bmt_c) == 1 else np.concatenate(bmt_c)
+    bmd_np = bmd_c[0] if len(bmd_c) == 1 else np.concatenate(bmd_c)
+    boff_np = (
+        boff_c[0] if len(boff_c) == 1 else np.concatenate(boff_c)
+    ).astype(np.int64, copy=False)
 
     if n > 1:
         neq = pc.not_equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
@@ -902,21 +990,72 @@ def _splice_merge_fn(batches):
         grp = np.zeros(1, dtype=np.int64)
     ge = np.concatenate((grp[1:], [n]))
     ng = grp.shape[0]
+    df_g = np.add.reduceat(dfs, grp)
+    cf_g = np.add.reduceat(cfs, grp)
+    out_schema = _arrow_seg_mf_schema() if has_field else _arrow_seg_schema()
 
-    out_ba = bytearray()
-    out_post_off = np.empty(ng + 1, dtype=np.int64)
-    out_post_off[0] = 0
-    out_boff = np.empty(boff_np.shape[0], dtype=np.int64)
     mv_post = memoryview(post_d)
-    terms_np = None  # only materialized on an invariant violation
+    out_ba = bytearray()
+    out_post_off = [0]
+    out_boff_parts: list = []
+    flush_a = 0  # first group index of the batch being accumulated
+
+    def emit(a, b):
+        if len(out_ba) >= (1 << 31):
+            raise ValueError(
+                "spliced postings batch exceeds 2 GiB (first term="
+                f"{term[int(grp[a])].as_py()!r}); a single (term, salt) group "
+                "this large means the term needs a higher salt fanout "
+                "(plan_salts salt_target/max_fanout)"
+            )
+        gsl = grp[a:b]
+        take = pa.array(gsl)
+        nrows = b - a
+        v0, v1 = int(blk_o[gsl[0]]), int(blk_o[ge[b - 1]])
+        row_off = np.concatenate((blk_o[gsl], [v1])) - v0
+        p0, p1 = int(pos_o[gsl[0]]), int(pos_o[ge[b - 1]])
+        if p1 - p0 >= (1 << 31):
+            raise ValueError("positions bytes of one group batch exceed 2 GiB")
+        boff_out = (
+            out_boff_parts[0] if len(out_boff_parts) == 1
+            else np.concatenate(out_boff_parts)
+            if out_boff_parts
+            else np.zeros(0, dtype=np.int64)
+        )
+        arrays = [
+            term.take(take),
+            pa.array(salts[gsl]),
+            pa.array(np.full(nrows, pid, dtype=np.int32)),
+            pa.array(df_g[a:b]),
+            pa.array(cf_g[a:b]),
+            _list_from_flat(row_off, pa.array(bld_np[v0:v1], type=pa.int64()), None),
+            _list_from_flat(row_off, pa.array(bmt_np[v0:v1], type=pa.int32()), None),
+            _list_from_flat(row_off, pa.array(bmd_np[v0:v1], type=pa.int32()), None),
+            _list_from_flat(row_off, pa.array(boff_out, type=pa.int64()), None),
+            _binary_from_flat(
+                bytes(out_ba), np.asarray(out_post_off, dtype=np.int64)
+            ),
+            # positions are doc-local gaps — group concat is the identity
+            # on the flat buffer: a contiguous slice with rebased offsets
+            _binary_from_flat(
+                pos_d[p0:p1],
+                np.concatenate((pos_o[gsl], [p1])) - p0,
+            ),
+        ]
+        if has_field:
+            arrays.append(field.take(take))
+        return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
     for k in range(ng):
         s, e = int(grp[k]), int(ge[k])
         # first partial verbatim (singleton groups stop here)
         out_ba += mv_post[post_o[s] : post_o[s + 1]]
-        out_boff[boff_o[s] : boff_o[s + 1]] = boff_np[boff_o[s] : boff_o[s + 1]]
-        if e - s > 1:
+        if e - s == 1:
+            out_boff_parts.append(boff_np[blk_o[s] : blk_o[s + 1]])
+        else:
+            parts = [boff_np[blk_o[s] : blk_o[s + 1]]]
             base = int(post_o[s + 1] - post_o[s])
-            last_prev = int(bld_np[bld_o[s + 1] - 1])
+            last_prev = int(bld_np[blk_o[s + 1] - 1])
             for j in range(s + 1, e):
                 o0, o1 = int(post_o[j]), int(post_o[j + 1])
                 fd = int(first[j])
@@ -935,48 +1074,168 @@ def _splice_merge_fn(batches):
                 out_ba += new_first
                 out_ba += mv_post[o0 + fl : o1]
                 delta = len(new_first) - fl
-                lo, hi = int(boff_o[j]), int(boff_o[j + 1])
-                out_boff[lo:hi] = boff_np[lo:hi] + (delta + base)
-                out_boff[lo] = base
+                q = boff_np[blk_o[j] : blk_o[j + 1]] + (delta + base)
+                if q.size:
+                    q[0] = base
+                parts.append(q)
                 base += (o1 - o0) + delta
-                last_prev = int(bld_np[bld_o[j + 1] - 1])
-        out_post_off[k + 1] = len(out_ba)
+                last_prev = int(bld_np[blk_o[j + 1] - 1])
+            out_boff_parts.append(np.concatenate(parts))
+        out_post_off.append(len(out_ba))
+        pos_span = int(pos_o[ge[k]] - pos_o[grp[flush_a]])
+        if len(out_ba) >= _SPLICE_FLUSH_BYTES or pos_span >= _SPLICE_FLUSH_BYTES:
+            yield emit(flush_a, k + 1)
+            flush_a = k + 1
+            out_ba = bytearray()
+            out_post_off = [0]
+            out_boff_parts = []
+    if flush_a < ng:
+        yield emit(flush_a, ng)
 
-    take = pa.array(grp)
 
-    def group_list(off_abs, values):
-        ro = np.concatenate((off_abs[grp], [off_abs[-1]]))
-        return _list_from_flat(ro, values, None)
+# committed segment rows recast as splice-ready partials (the fold path):
+# same columns the build's partials carry into _splice_merge_fn
+PARTIAL_FULL_SCHEMA = (
+    "term string, salt int, df bigint, cf bigint, first_doc bigint, "
+    "block_last_doc array<bigint>, block_max_tf array<int>, "
+    "block_min_dl array<int>, block_offset array<bigint>, postings binary, "
+    "positions binary"
+)
 
-    arrays = [
-        term.take(take),
-        pa.array(salts[grp]),
-        pa.array(np.full(ng, pid, dtype=np.int32)),
-        pa.array(np.add.reduceat(dfs, grp)),
-        pa.array(np.add.reduceat(cfs, grp)),
-        group_list(bld_o, bld_vals),       # flat values reused zero-copy
-        group_list(bmt_o, bmt_vals),
-        group_list(bmd_o, bmd_vals),
-        group_list(boff_o, pa.array(out_boff)),
-        _binary_from_flat(bytes(out_ba), out_post_off),
-        # positions are doc-local gaps — group concat is the identity on
-        # the flat buffer: reuse it with group-start offsets
-        pa.Array.from_buffers(
-            pa.binary(), ng,
-            [
-                None,
-                pa.py_buffer(
-                    np.concatenate((pos_o[grp], [pos_o[-1]])).astype(np.int32)
-                ),
-                pa.py_buffer(pos_d),
-            ],
-        ),
-    ]
-    if has_field:
-        arrays.append(field.take(take))
-    yield pa.RecordBatch.from_arrays(
-        arrays, schema=_arrow_seg_mf_schema() if has_field else _arrow_seg_schema()
+
+def _arrow_partial_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()), ("salt", pa.int32()),
+            ("df", pa.int64()), ("cf", pa.int64()), ("first_doc", pa.int64()),
+            ("block_last_doc", pa.list_(pa.int64())),
+            ("block_max_tf", pa.list_(pa.int32())),
+            ("block_min_dl", pa.list_(pa.int32())),
+            ("block_offset", pa.list_(pa.int64())),
+            ("postings", pa.binary()), ("positions", pa.binary()),
+        ]
     )
+
+
+def make_rebase_fn(bases: dict[int, int]):
+    """mapInArrow factory for the tiered unit merge (incremental.merge_units):
+    committed SEGMENT rows (with their ``unit`` partition column) ->
+    splice-ready PARTIAL rows whose doc ordinals are shifted by the
+    per-unit base ``bases[unit]`` (a constant ``offset << ORD_SHIFT`` —
+    the closed-form ordinal re-basing, same family as compact's
+    renumbering).
+
+    Because an ordinal is ``partition_id << ORD_SHIFT | rank``, adding the
+    base re-labels the unit's partitions into a combined ordinal grid
+    without decoding a single posting: only each list's FIRST varint (the
+    absolute first ordinal) is rewritten, block_last_doc values shift by
+    the constant, and block_offset entries absorb the first-varint length
+    change. Positions are doc-local gaps — untouched. Everything is
+    vectorized over the batch's flat buffers (read_first_varints /
+    varbyte_encode / ragged_copy): zero per-posting work, zero per-row
+    Python string/bytes objects.
+
+    Reference precedent: Lucene's segment merge renumbers docIDs by
+    concatenating segment ordinal ranges (the search store the reference
+    writes to inherits exactly this, docs-side); pgstream's own analog is
+    the recorder folding completed work units
+    (snapshot_generator_recorder.go:241-379)."""
+
+    def fn(batches):
+        import pyarrow as pa
+
+        schema = _arrow_partial_schema()
+
+        def split(batches):
+            # int32-offset safety: slice any batch whose postings bytes
+            # approach 2 GiB (head-term rows) into row windows
+            for b in batches:
+                nb = b.column("postings").nbytes
+                if nb < (1 << 30) or b.num_rows == 1:
+                    yield b
+                    continue
+                step = max(1, int(b.num_rows * (1 << 30) / nb))
+                for i in range(0, b.num_rows, step):
+                    yield b.slice(i, min(step, b.num_rows - i))
+
+        for b in split(batches):
+            if b.num_rows == 0:
+                continue
+            n = b.num_rows
+            units = b.column("unit").to_numpy(zero_copy_only=False).astype(np.int64)
+            ub, inv = np.unique(units, return_inverse=True)
+            base_row = np.array([bases[int(u)] for u in ub], dtype=np.int64)[inv]
+
+            def bin_parts(arr):
+                o = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+                o = o[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+                buf = arr.buffers()[2]
+                data = (
+                    np.frombuffer(buf, dtype=np.uint8)
+                    if buf is not None
+                    else np.zeros(0, dtype=np.uint8)
+                )
+                return o - o[0], data[o[0] : o[-1]]
+
+            def list_parts(arr):
+                o = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+                o = o[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+                vals = arr.values.slice(int(o[0]), int(o[-1] - o[0]))
+                return o - o[0], vals.to_numpy(zero_copy_only=False)
+
+            post_o, post_d = bin_parts(b.column("postings"))
+            # first varint of every list: absolute first ordinal + length
+            v0, fl = codecs.read_first_varints(post_d, post_o[:-1])
+            new_first = v0 + base_row.view(np.uint64)
+            nf_blob, nf_len = codecs.varbyte_encode(new_first)
+            nf_dat = np.frombuffer(nf_blob, dtype=np.uint8)
+            nf_off = np.zeros(n, dtype=np.int64)
+            np.cumsum(nf_len[:-1].astype(np.int64), out=nf_off[1:])
+            nf_len = nf_len.astype(np.int64)
+            tail_len = (post_o[1:] - post_o[:-1]) - fl
+            out_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(nf_len + tail_len, out=out_off[1:])
+            out = np.empty(int(out_off[-1]), dtype=np.uint8)
+            codecs.ragged_copy(out, out_off[:-1], nf_dat, nf_off, nf_len)
+            codecs.ragged_copy(
+                out, out_off[:-1] + nf_len, post_d, post_o[:-1] + fl, tail_len
+            )
+
+            blk_o, bld = list_parts(b.column("block_last_doc"))
+            counts = blk_o[1:] - blk_o[:-1]
+            bld_new = bld.astype(np.int64) + np.repeat(base_row, counts)
+            _, boff = list_parts(b.column("block_offset"))
+            delta = nf_len - fl
+            boff_new = boff.astype(np.int64) + np.repeat(delta, counts)
+            starts = blk_o[:-1][counts > 0]
+            boff_new[starts] = 0  # first block offset is always 0
+
+            _, bmt = list_parts(b.column("block_max_tf"))
+            _, bmd = list_parts(b.column("block_min_dl"))
+            pos_arr = b.column("positions")
+
+            arrays = [
+                b.column("term"),
+                b.column("salt"),
+                b.column("df"),
+                b.column("cf"),
+                pa.array((new_first).view(np.int64)),
+                _list_from_flat(blk_o, pa.array(bld_new, type=pa.int64()), None),
+                _list_from_flat(
+                    blk_o, pa.array(bmt.astype(np.int32), type=pa.int32()), None
+                ),
+                _list_from_flat(
+                    blk_o, pa.array(bmd.astype(np.int32), type=pa.int32()), None
+                ),
+                _list_from_flat(blk_o, pa.array(boff_new, type=pa.int64()), None),
+                _binary_from_flat(out, out_off),
+                pos_arr,
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    return fn
 
 
 def plan_salts(
@@ -1151,6 +1410,8 @@ def build_unit(
     max_term_bytes: int | None = 32766,
     max_id_bytes: int | None = 512,
     with_positions: bool = False,
+    quarantine_max_docs: int = 100,
+    quarantine_max_frac: float = 0.01,
 ) -> dict:
     """Build one work unit end-to-end and commit its manifest row.
 
@@ -1259,6 +1520,25 @@ def build_unit(
                 f"DATALOSS unit={unit}: {quarantined} poison doc(s) "
                 f"quarantined (see quarantine/unit={unit})"
             )
+            # volume guard: per-doc quarantine is for SCATTERED data
+            # poison; a systematic failure (every doc failing) must fail
+            # the unit, not silently drop the corpus (the ADVICE-flagged
+            # unbounded-data-loss mode). Threshold = max(absolute floor,
+            # fraction of the unit's rows).
+            n_rows = int(docs_obs.get["n"])
+            limit = max(
+                int(quarantine_max_docs),
+                int(quarantine_max_frac * (n_rows + quarantined)),
+            )
+            if quarantined > limit:
+                raise RuntimeError(
+                    f"unit {unit}: {quarantined} quarantined docs exceed the "
+                    f"threshold {limit} (quarantine_max_docs="
+                    f"{quarantine_max_docs}, quarantine_max_frac="
+                    f"{quarantine_max_frac} of {n_rows + quarantined} rows) — "
+                    "failing the unit instead of committing systematic data "
+                    "loss; see quarantine sidecar for per-doc errors"
+                )
         phases["tokenize_docs"] = round(_time.time() - _t0, 2)
 
         partials = combined.filter(F.col("kind") == 1).select(
@@ -1326,6 +1606,8 @@ def build_index(
     max_term_bytes: int | None = 32766,
     max_id_bytes: int | None = 512,
     with_positions: bool = False,
+    quarantine_max_docs: int = 100,
+    quarantine_max_frac: float = 0.01,
 ) -> dict:
     """Full (resumable) build. ``units`` limits work for tests/incremental.
 
@@ -1358,6 +1640,7 @@ def build_index(
         fields.write_mapping(index_dir, fields.mapping_for(src_df))
     import time as _time
 
+    _wall0 = _time.time()
     _t0 = _time.time()
     salt_plan = plan_salts_source(
         source, num_units, sample_fraction, salt_target, max_fanout
@@ -1382,6 +1665,8 @@ def build_index(
                     max_term_bytes=max_term_bytes,
                     max_id_bytes=max_id_bytes,
                     with_positions=with_positions,
+                    quarantine_max_docs=quarantine_max_docs,
+                    quarantine_max_frac=quarantine_max_frac,
                 )
             )
         except Exception as exc:  # noqa: BLE001 — ledger + re-raise/skip
@@ -1399,13 +1684,29 @@ def build_index(
                 raise
             print(f"DATALOSS unit={u} skipped after error: {exc}")
             failed.append(u)
-    return {
+    res = {
         "built_units": [r["unit"] for r in built],
         "skipped_units": [u for u in requested if u not in todo],
         "failed_units": failed,
         "salt_plan_sec": salt_plan_sec,
         "phase_secs": [r.get("phase_secs") for r in built],
     }
+    from .metrics import write_metrics
+
+    write_metrics(
+        index_dir, "build",
+        {
+            **res,
+            "wall_sec": round(_time.time() - _wall0, 3),
+            "rows_indexed": sum(int(r["row_count"]) for r in built),
+            "dropped_terms": sum(int(r.get("dropped_terms", 0)) for r in built),
+            "quarantined_docs": sum(
+                int(r.get("quarantined_docs", 0)) for r in built
+            ),
+            "postings_bytes": sum(int(r.get("bytes", 0)) for r in built),
+        },
+    )
+    return res
 
 
 def field_index_dir(index_root: str, field: str) -> str:
@@ -1421,6 +1722,7 @@ def multifield_tokenize_input(
     num_units: int,
     unit: int,
     partitions: int,
+    version_col: str | None = None,
 ) -> DataFrame:
     """Unit-sliced, stripe-partitioned, dedup-sorted input for the
     multi-field tokenize stage. Exposed separately from
@@ -1438,14 +1740,20 @@ def multifield_tokenize_input(
         (F.col(c) if isinstance(c, str) else c).alias(f"__field_{f}")
         for f, c in fields.items()
     ]
+    vcols = (
+        [F.col(version_col).alias("__version")] if version_col is not None else []
+    )
     ded = src.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.lit(None).cast("string").alias("url"),
+        *vcols,
         *fcols,
     )
     ukey = F.xxhash64("doc_id").bitwiseXOR(F.lit(-(1 << 63)))
-    # same one-data-shuffle plan as build_unit; the dedup tie-break
-    # hashes every field column so duplicate ids resolve deterministically
+    # same one-data-shuffle plan as build_unit; with a version column the
+    # dedup is true last-writer-wins (version DESC first — mirroring the
+    # single-field build's LSN-as-version order, build_unit's sort); the
+    # per-field content hashes stay as deterministic tie-breaks
     return (
         ded.withColumn("stripe", F.shiftrightunsigned(ukey, shift_bits))
         .repartition(partitions, "stripe")
@@ -1453,6 +1761,7 @@ def multifield_tokenize_input(
             F.asc("stripe"),
             F.asc(F.xxhash64("doc_id")),
             F.asc("doc_id"),
+            *([F.desc("__version")] if version_col is not None else []),
             *[F.desc(F.xxhash64(f"__field_{f}")) for f in fnames],
         )
     )
@@ -1472,6 +1781,10 @@ def build_index_multifield(
     max_fanout: int = 64,
     max_term_bytes: int | None = 32766,
     unit_base: int = 0,
+    quarantine_max_docs: int = 100,
+    quarantine_max_frac: float = 0.01,
+    version_col: str | None = None,
+    with_positions: bool = False,
 ) -> dict[str, str]:
     """SINGLE-PASS multi-field build: K scored text fields from ONE scan +
     ONE tokenize pass + ONE partials shuffle per unit — never K passes
@@ -1492,8 +1805,9 @@ def build_index_multifield(
 
     ``fields``: field name -> text Column (or column name) derived from a
     source row, e.g. ``{"body": F.col("text"), "title": <headline expr>}``.
-    Positions are not recorded (phrase search stays a single-field
-    feature, as in the reference's per-field OpenSearch mappings).
+    ``with_positions`` records per-posting token positions in EVERY field
+    (enables query.search_multifield_phrase — the multi_match type=phrase
+    shape).
     ``unit_base`` offsets the committed unit ids (delta builds namespace
     their units as ``1_000_000 * snapshot + i`` exactly like the
     single-field ``incremental.build_delta``); the 0-based slice index
@@ -1516,10 +1830,14 @@ def build_index_multifield(
     for slice_i in todo:
         unit = unit_base + slice_i
         ded = multifield_tokenize_input(
-            docs_df, fields, id_col, num_units, slice_i, partitions
+            docs_df, fields, id_col, num_units, slice_i, partitions,
+            version_col=version_col,
         )
         combined = ded.mapInArrow(
-            make_tokenize_multifield_fn(fnames, salt_plans, max_fanout, max_term_bytes),
+            make_tokenize_multifield_fn(
+                fnames, salt_plans, max_fanout, max_term_bytes,
+                with_positions=with_positions,
+            ),
             schema=COMBINED_MF_SCHEMA,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
@@ -1553,6 +1871,17 @@ def build_index_multifield(
                     f"DATALOSS unit={unit}: {quarantined} poison doc(s) "
                     f"quarantined from all {len(fnames)} fields"
                 )
+                n_rows = docs_n[fnames[0]]
+                limit = max(
+                    int(quarantine_max_docs),
+                    int(quarantine_max_frac * (n_rows + quarantined)),
+                )
+                if quarantined > limit:
+                    raise RuntimeError(
+                        f"unit {unit}: {quarantined} quarantined docs exceed "
+                        f"the threshold {limit} — failing the unit instead of "
+                        "committing systematic data loss"
+                    )
             for f in fnames:
                 combined.filter(
                     (F.col("kind") == 0) & (F.col("field") == f)

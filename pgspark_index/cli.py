@@ -27,6 +27,12 @@ pgspark_index.cli) it falls back to the tuned local session. Examples:
       --boosts title=2.0 -k 10
   spark-submit … retry-quarantined --input /data/webtext_fixed \
       --index /idx/web-v1 --snapshot 32
+  spark-submit … merge-units --index /idx/web-v1
+  spark-submit … status --index /idx/web-v1 --latest-snapshot 33
+  spark-submit … search --index /idx/web-v1 --phrase table hash -k 10
+  spark-submit … search --index-root /idx/web-mf --phrase table hash \
+      --boosts title=2.0 -k 10
+  spark-submit … search --index-root /idx/web-mf --prefix qu -k 10
   spark-submit … hybrid --index /idx/web-v1 --embeddings /data/emb \
       --terms data query --vec-id 7 -k 10
 """
@@ -81,6 +87,26 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="expunge tombstones, renumber, refresh stats")
     c.add_argument("--index", required=True)
 
+    mu = sub.add_parser(
+        "merge-units",
+        help="tiered unit merge: fold committed units into one "
+             "(Lucene background segment merge analog)",
+    )
+    mu.add_argument("--index", required=True)
+    mu.add_argument("--units", type=int, nargs="*", default=None,
+                    help="units to fold (default: all committed)")
+    mu.add_argument("--partitions", type=int, default=None)
+
+    st = sub.add_parser(
+        "status",
+        help="index health: units, tombstone debt, quarantine, lag "
+             "(cmd/status.go analog)",
+    )
+    st.add_argument("--index", required=True,
+                    help="index dir or multi-field root")
+    st.add_argument("--latest-snapshot", type=int, default=None,
+                    help="latest AVAILABLE input snapshot -> reports lag")
+
     m = sub.add_parser("merge", help="rebuild lexicon + global stats")
     m.add_argument("--index", required=True)
 
@@ -96,6 +122,11 @@ def main(argv: list[str] | None = None) -> int:
     mf.add_argument("--units", type=int, default=4)
     mf.add_argument("--partitions", type=int, default=None)
     mf.add_argument("--snapshot", type=int, default=0)
+    mf.add_argument("--positions", action="store_true",
+                    help="store token positions in every field "
+                         "(enables --index-root --phrase)")
+    mf.add_argument("--version-col", default=None,
+                    help="version column for last-writer-wins dedup")
 
     md = sub.add_parser(
         "delta-multifield",
@@ -131,6 +162,10 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--terms", nargs="+")
     g.add_argument("--prefix", help="prefix query (lexicon range expansion)")
     g.add_argument("--wildcard", help="wildcard query, * and ? (e.g. 'f?st')")
+    g.add_argument("--phrase", nargs="+",
+                   help="exact-phrase query (index built with --positions)")
+    s.add_argument("--slop", type=int, default=0,
+                   help="with --phrase: ordered-window proximity slop")
     s.add_argument("--max-expansions", type=int, default=128)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--mode", choices=["or", "and"], default="or")
@@ -215,13 +250,30 @@ def main(argv: list[str] | None = None) -> int:
         fdirs = build.build_index_multifield(
             spark, _read_input(spark, a.input, a.format), a.index,
             fields=fields, num_units=a.units, partitions=a.partitions,
-            input_snapshot_id=a.snapshot,
+            input_snapshot_id=a.snapshot, with_positions=a.positions,
+            version_col=a.version_col,
         )
         print(json.dumps({"field_indexes": fdirs}))
     elif a.cmd == "compact":
         from . import incremental
 
         print(json.dumps(incremental.compact(spark, a.index), default=str))
+    elif a.cmd == "merge-units":
+        from . import incremental
+
+        print(json.dumps(
+            incremental.merge_units(
+                spark, a.index, units=a.units or None, partitions=a.partitions
+            ),
+            default=str,
+        ))
+    elif a.cmd == "status":
+        from . import status as status_mod
+
+        print(json.dumps(
+            status_mod.root_status(a.index, latest_snapshot=a.latest_snapshot),
+            default=str,
+        ))
     elif a.cmd == "merge":
         from . import merge
 
@@ -236,11 +288,25 @@ def main(argv: list[str] | None = None) -> int:
                 if not w:
                     p.error(f"--boosts entries are FIELD=WEIGHT, got {spec!r}")
                 boosts[name] = float(w)
-            if not a.terms:
-                p.error("--index-root search takes --terms")
-            df = query.search_multifield(
-                spark, a.index_root, a.terms, a.k, boosts=boosts or None
-            )
+            if a.prefix:
+                df = query.search_multifield_prefix(
+                    spark, a.index_root, a.prefix, a.k, boosts=boosts or None,
+                    max_expansions=a.max_expansions,
+                )
+            elif a.wildcard:
+                df = query.search_multifield_wildcard(
+                    spark, a.index_root, a.wildcard, a.k, boosts=boosts or None,
+                    max_expansions=a.max_expansions,
+                )
+            elif a.phrase:
+                df = query.search_multifield_phrase(
+                    spark, a.index_root, a.phrase, a.k, boosts=boosts or None,
+                    slop=a.slop,
+                )
+            else:
+                df = query.search_multifield(
+                    spark, a.index_root, a.terms, a.k, boosts=boosts or None
+                )
             for r in df.collect():
                 print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
             return 0
@@ -258,6 +324,12 @@ def main(argv: list[str] | None = None) -> int:
         elif a.wildcard:
             df = query.search_wildcard(
                 spark, idx, a.wildcard, a.k, max_expansions=a.max_expansions
+            )
+        elif a.phrase:
+            df = (
+                query.search_phrase(spark, idx, a.phrase, a.k)
+                if a.slop == 0
+                else query.search_proximity(spark, idx, a.phrase, a.slop, a.k)
             )
         elif a.ranges > 0:
             df = query.search_ranged(spark, idx, a.terms, a.k, ranges=a.ranges)

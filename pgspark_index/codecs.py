@@ -388,6 +388,55 @@ def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
     return (c - np.repeat(base, tfs)).astype(np.int64)
 
 
+def read_first_varints(
+    data: np.ndarray, starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the FIRST varint of many posting blobs in one vectorized pass.
+
+    ``data``: flat uint8 buffer; ``starts``: int64 byte offset of each
+    blob. -> (values uint64[n], byte lengths int64[n]). Used by the fold
+    path (build.make_rebase_fn) to read each list's absolute first doc
+    ordinal without decoding the list."""
+    n = int(starts.size)
+    vals = np.zeros(n, dtype=np.uint64)
+    lens = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return vals, lens
+    alive = np.arange(n, dtype=np.int64)
+    pos = starts.astype(np.int64).copy()
+    shift = np.uint64(0)
+    while alive.size:
+        b = data[pos[alive]].astype(np.uint64)
+        vals[alive] |= (b & np.uint64(0x7F)) << shift
+        lens[alive] += 1
+        cont = b >= np.uint64(128)
+        alive = alive[cont]
+        pos[alive] += 1
+        shift += np.uint64(7)
+    return vals, lens
+
+
+def ragged_copy(
+    dst: np.ndarray,
+    dst_starts: np.ndarray,
+    src: np.ndarray,
+    src_starts: np.ndarray,
+    lens: np.ndarray,
+) -> None:
+    """Vectorized many-slice memcpy: for each k,
+    dst[dst_starts[k] : +lens[k]] = src[src_starts[k] : +lens[k]]."""
+    lens = lens.astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return
+    cum = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=cum[1:])
+    rel = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
+    dst[np.repeat(dst_starts.astype(np.int64), lens) + rel] = src[
+        np.repeat(src_starts.astype(np.int64), lens) + rel
+    ]
+
+
 def varint_one(value: int) -> bytes:
     """LEB128-encode ONE unsigned value (splice patching of a partial's
     first gap — O(1) per partial row, never per posting)."""

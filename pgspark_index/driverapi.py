@@ -100,10 +100,38 @@ def multifield_indexes(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     fdirs = build.build_index_multifield(
         spark, docs, root,
         fields={"body": F.col("text"), "title": title},
-        num_units=2, partitions=8,
+        num_units=2, partitions=8, with_positions=True,
     )
     _MF_INDEX_CACHE[key] = fdirs
     return fdirs
+
+
+_FOLD_INDEX_CACHE: dict[str, str] = {}
+
+
+def folded_index(spark: SparkSession, sf_dir: str) -> str:
+    """Three-unit build over documents FOLDED into one unit by
+    incremental.merge_units (the tiered unit merge) — exercises the whole
+    fold path (closed-form ordinal re-basing + splice + alias-style
+    cutover) inside the correctness gate: queries over the folded index
+    must match the DuckDB oracle exactly as the unfolded one does."""
+    import tempfile as _tf
+
+    from . import incremental
+
+    key = os.path.abspath(sf_dir)
+    idx = _FOLD_INDEX_CACHE.get(key)
+    if idx and os.path.exists(merge.stats_path(idx)):
+        return idx
+    idx = _tf.mkdtemp(prefix="pgspark_fold_index_")
+    docs = _documents(spark, sf_dir)
+    build.build_index(spark, build.docs_unit_provider(docs), idx,
+                      num_units=3, partitions=8)
+    merge.merge_index(spark, idx)
+    res = incremental.merge_units(spark, idx, partitions=8)
+    assert len(res["folded_units"]) == 3 and res["new_unit"] is not None
+    _FOLD_INDEX_CACHE[key] = idx
+    return idx
 
 
 def _events(spark, sf_dir) -> DataFrame:
@@ -365,6 +393,124 @@ SELECT doc_id, round(score, 4) AS score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
     )
+
+    # multi-field PHRASE (multi_match type=phrase, best_fields fusion):
+    # a doc matches if the phrase occurs in ANY field; fused score =
+    # max_f boost_f * phrase-terms-BM25_f (per-field idf/dl/avgdl)
+    MF_PHRASE = ["table", "hash"]
+
+    def bm25_multifield_phrase(spark, sf_dir):
+        fields = multifield_indexes(spark, sf_dir)
+        res = query.search_multifield_phrase(
+            spark, fields, MF_PHRASE, 10, boosts=MF_BOOSTS
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    _mfp_tlist = ", ".join(f"'{t}'" for t in sorted(set(MF_PHRASE)))
+    _mfp_bigram = " ".join(MF_PHRASE)
+    R["bm25_multifield_phrase"] = (
+        bm25_multifield_phrase,
+        f"""
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+body_tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+title_tok AS (SELECT doc_id, unnest((regexp_extract_all(lower(text), '[a-z0-9]+'))[1:8]) AS term FROM documents),
+b_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM body_tok GROUP BY 1, 2),
+b_dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM body_tok GROUP BY 1),
+b_st AS (SELECT (SELECT sum(dl) FROM b_dl)::DOUBLE / (SELECT n FROM n) AS avgdl),
+b_df AS (SELECT term, count(*)::BIGINT AS df FROM b_tf GROUP BY 1),
+t_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM title_tok GROUP BY 1, 2),
+t_dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM title_tok GROUP BY 1),
+t_st AS (SELECT (SELECT sum(dl) FROM t_dl)::DOUBLE / (SELECT n FROM n) AS avgdl),
+t_df AS (SELECT term, count(*)::BIGINT AS df FROM t_tf GROUP BY 1),
+b_match AS (
+  SELECT doc_id FROM
+  (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+  WHERE len(toks) >= 2 AND list_contains(
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
+    '{_mfp_bigram}')
+),
+t_match AS (
+  SELECT doc_id FROM
+  (SELECT doc_id, (regexp_extract_all(lower(text), '[a-z0-9]+'))[1:8] AS toks FROM documents)
+  WHERE len(toks) >= 2 AND list_contains(
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
+    '{_mfp_bigram}')
+),
+b_scored AS (
+  SELECT tf.doc_id, {MF_BOOSTS['body']} * sum({_mf_idf} * {_mf_w}) AS score
+  FROM b_tf tf JOIN b_df df USING (term) JOIN b_dl dl USING (doc_id)
+       JOIN b_match USING (doc_id) CROSS JOIN b_st st
+  WHERE tf.term IN ({_mfp_tlist}) GROUP BY tf.doc_id
+),
+t_scored AS (
+  SELECT tf.doc_id, {MF_BOOSTS['title']} * sum({_mf_idf} * {_mf_w}) AS score
+  FROM t_tf tf JOIN t_df df USING (term) JOIN t_dl dl USING (doc_id)
+       JOIN t_match USING (doc_id) CROSS JOIN t_st st
+  WHERE tf.term IN ({_mfp_tlist}) GROUP BY tf.doc_id
+),
+fused AS (
+  SELECT doc_id, max(score) AS score
+  FROM (SELECT * FROM b_scored UNION ALL SELECT * FROM t_scored)
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM fused ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    )
+
+    # multi-field PREFIX: per-field lexicon expansion (capped 128 each),
+    # union, sum-fused multifield scoring (most_fields shape)
+    MF_PREFIX = "qu"
+
+    def bm25_multifield_prefix(spark, sf_dir):
+        fields = multifield_indexes(spark, sf_dir)
+        res = query.search_multifield_prefix(
+            spark, fields, MF_PREFIX, 10, boosts=MF_BOOSTS, max_expansions=128
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_multifield_prefix"] = (
+        bm25_multifield_prefix,
+        f"""
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+body_tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+title_tok AS (SELECT doc_id, unnest((regexp_extract_all(lower(text), '[a-z0-9]+'))[1:8]) AS term FROM documents),
+exp AS (
+  SELECT term FROM (SELECT DISTINCT term FROM body_tok WHERE term LIKE '{MF_PREFIX}%' ORDER BY term LIMIT 128)
+  UNION
+  SELECT term FROM (SELECT DISTINCT term FROM title_tok WHERE term LIKE '{MF_PREFIX}%' ORDER BY term LIMIT 128)
+),
+b_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM body_tok GROUP BY 1, 2),
+b_dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM body_tok GROUP BY 1),
+b_st AS (SELECT (SELECT sum(dl) FROM b_dl)::DOUBLE / (SELECT n FROM n) AS avgdl),
+b_df AS (SELECT term, count(*)::BIGINT AS df FROM b_tf GROUP BY 1),
+t_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM title_tok GROUP BY 1, 2),
+t_dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM title_tok GROUP BY 1),
+t_st AS (SELECT (SELECT sum(dl) FROM t_dl)::DOUBLE / (SELECT n FROM n) AS avgdl),
+t_df AS (SELECT term, count(*)::BIGINT AS df FROM t_tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, {MF_BOOSTS['body']} * {_mf_idf} * {_mf_w} AS c
+  FROM b_tf tf JOIN exp USING (term) JOIN b_df df USING (term)
+       JOIN b_dl dl USING (doc_id) CROSS JOIN b_st st
+  UNION ALL
+  SELECT tf.doc_id, {MF_BOOSTS['title']} * {_mf_idf} * {_mf_w} AS c
+  FROM t_tf tf JOIN exp USING (term) JOIN t_df df USING (term)
+       JOIN t_dl dl USING (doc_id) CROSS JOIN t_st st
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    )
+
+    # BM25 over a FOLDED index (tiered unit merge): 3 units -> one via
+    # merge_units; results must still match the from-corpus oracle exactly
+    def bm25_after_fold(spark, sf_dir):
+        idx = folded_index(spark, sf_dir)
+        res = query.search(spark, idx, BM25_HEAD_TERMS, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_after_fold"] = (bm25_after_fold, bm25_sql(BM25_HEAD_TERMS))
 
     # exact phrase over the positional index (match_phrase analog)
     PHRASE = ["table", "hash"]

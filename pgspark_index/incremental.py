@@ -40,9 +40,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import manifest, merge
 from .build import (
+    ORD_SHIFT,
+    PARTIAL_FULL_SCHEMA,
     SEG_SCHEMA,
+    _splice_merge_fn,
     build_unit,
     docs_path,
+    make_rebase_fn,
     plan_salts_source,
     quarantine_path,
     segments_path,
@@ -197,7 +201,22 @@ def build_delta(
     # immediately visible (they'd otherwise be absent until the caller's
     # next merge_index)
     merge.merge_index(spark, index_dir)
-    return {"built_units": [r["unit"] for r in built], "tombstones": n_tomb}
+    res = {"built_units": [r["unit"] for r in built], "tombstones": n_tomb}
+    from .metrics import write_metrics
+
+    write_metrics(
+        index_dir, "delta",
+        {
+            **res,
+            "input_snapshot_id": input_snapshot_id,
+            "rows_indexed": sum(int(r["row_count"]) for r in built),
+            "quarantined_docs": sum(
+                int(r.get("quarantined_docs", 0)) for r in built
+            ),
+            "phase_secs": [r.get("phase_secs") for r in built],
+        },
+    )
+    return res
 
 
 def retry_quarantined(
@@ -231,6 +250,19 @@ def retry_quarantined(
     import shutil
 
     qpath = quarantine_path(index_dir)
+    # crash recovery for the sidecar swap at the end of this function
+    # (two renames are not atomic together): a leftover staging dir with
+    # qpath missing means the crash hit between the renames — finish the
+    # swap; a leftover old dir alone means the post-swap (or clear-path)
+    # cleanup didn't run — qpath state is already correct, drop it. This
+    # runs BEFORE the isdir check so a stranded attempt log is never read
+    # as "no quarantine".
+    staging = os.path.join(index_dir, ".quarantine-staging")
+    old = os.path.join(index_dir, ".quarantine-old")
+    if not os.path.isdir(qpath) and os.path.isdir(staging):
+        os.replace(staging, qpath)
+    shutil.rmtree(staging, ignore_errors=True)  # stale pre-swap staging
+    shutil.rmtree(old, ignore_errors=True)
     if not os.path.isdir(qpath):
         return {"retried": 0, "still_quarantined": 0, "built_units": []}
     # freeze the retryable id set BEFORE the delta build: the sidecar is
@@ -291,12 +323,16 @@ def retry_quarantined(
         else:
             os.replace(qpath, old)
             shutil.rmtree(old, ignore_errors=True)
-        return {
+        out = {
             "retried": int(n_retried),
             "still_quarantined": int(n_remaining),
             "built_units": res["built_units"],
             "tombstones": res.get("tombstones", 0),
         }
+        from .metrics import write_metrics
+
+        write_metrics(index_dir, "retry-quarantined", out)
+        return out
     finally:
         shutil.rmtree(ids_tmp, ignore_errors=True)
 
@@ -430,7 +466,262 @@ def drop_docs(
     os.replace(tmp, final)  # atomic publish (commit-after-write)
     # refresh stats so n_docs/avgdl reflect the drop immediately
     merge.merge_index(spark, index_dir)
-    return {"tombstoned": int(n_tomb), "snapshot_id": int(snapshot_id)}
+    from .metrics import write_metrics
+
+    res = {"tombstoned": int(n_tomb), "snapshot_id": int(snapshot_id)}
+    write_metrics(index_dir, "drop-docs", res)
+    return res
+
+
+def recover_folds(spark: SparkSession, index_dir: str) -> dict:
+    """Finish or roll back interrupted unit folds (crash recovery).
+
+    A fold journal whose folded unit's manifest row COMMITTED means the
+    fold is logically complete (read_manifest already hides the source
+    rows) — finish the physical retirement and republish. A journal whose
+    new row never committed is rolled back: staged/orphan data dirs and
+    the journal are removed; the source units were never touched.
+    Idempotent; called on entry by merge_units and usable standalone."""
+    import shutil
+
+    finished, rolled_back = [], []
+    for _path, j in manifest.fold_journals(index_dir):
+        new = int(j["new"])
+        committed = new in manifest.completed_units(index_dir)
+        seg_new = os.path.join(segments_path(index_dir), f"unit={new}")
+        doc_new = os.path.join(docs_path(index_dir), f"unit={new}")
+        if committed:
+            for u in j["old"]:
+                manifest.delete_unit_row(index_dir, int(u))
+                shutil.rmtree(
+                    os.path.join(segments_path(index_dir), f"unit={int(u)}"),
+                    ignore_errors=True,
+                )
+                shutil.rmtree(
+                    os.path.join(docs_path(index_dir), f"unit={int(u)}"),
+                    ignore_errors=True,
+                )
+            manifest.clear_fold_journal(index_dir, new)
+            merge.merge_index(spark, index_dir)
+            finished.append(new)
+        else:
+            for d in (
+                seg_new,
+                doc_new,
+                os.path.join(segments_path(index_dir), f".fold-unit={new}"),
+                os.path.join(docs_path(index_dir), f".fold-unit={new}"),
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+            manifest.clear_fold_journal(index_dir, new)
+            rolled_back.append(new)
+    return {"finished": finished, "rolled_back": rolled_back}
+
+
+def merge_units(
+    spark: SparkSession,
+    index_dir: str,
+    units: list[int] | None = None,
+    partitions: int | None = None,
+) -> dict:
+    """TIERED UNIT MERGE: fold N committed units into ONE — the Lucene
+    background-segment-merge analog that keeps query fan-out, sidecar
+    cache pressure, and lexicon size bounded under continuous ingestion
+    (every delta otherwise appends a unit forever; reference precedent:
+    the search store delegates exactly this to Lucene segment merging,
+    and pgstream's recorder folds completed snapshot work units,
+    snapshot_generator_recorder.go:241-379).
+
+    Mechanism — splice, never decode: each source unit's ordinal space
+    (``pid << ORD_SHIFT | rank``, pid < ord_partitions) is shifted by a
+    closed-form per-unit constant ``offset_j << ORD_SHIFT`` (offset_j =
+    sum of earlier units' ord_partitions), which re-labels its partition
+    grid into one combined grid. That makes every (term, salt) list of
+    unit j ordinal-disjoint from (and ordered against) every other
+    unit's, so the standard splice merge concatenates compressed blobs
+    with one varint patch per source list (build.make_rebase_fn +
+    _splice_merge_fn): O(segment rows + bytes), no posting is ever
+    decoded. Docs sidecars get the same constant shift JVM-side. The
+    folded unit is EQUIVALENT to the sources (identical doc_ids, doclens,
+    per-term df/cf/postings, global stats — asserted in tests via
+    bit-identical query results); its physical layout keeps the
+    per-source partition grids, exactly as a Lucene merged segment keeps
+    renumbered-but-not-rehashed docIDs.
+
+    Commit protocol (alias-style cutover, crash-safe at every step):
+    stage data under dot-dirs (invisible to discovery) -> write the fold
+    journal -> rename in -> commit the folded manifest row (from this
+    instant read_manifest hides the source rows — the journal makes the
+    multi-file retirement atomic) -> merge_index republishes lexicon +
+    stats.json (queries cut over here: they scan only stats.json's unit
+    list) -> physically retire source rows/dirs -> clear the journal.
+    ``recover_folds`` finishes or rolls back any interrupted fold.
+
+    Pending tombstones are compacted first (the fold then never carries
+    superseded doc versions forward — Lucene's expunge-deletes-on-merge).
+    """
+    import shutil
+    import time as _time
+
+    recover_folds(spark, index_dir)
+    if _tombstone_files(index_dir):
+        compact(spark, index_dir, partitions=partitions)
+    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    m = manifest.read_manifest(index_dir)
+    m = m[m["status"] == manifest.STATUS_COMPLETED]
+    completed = sorted(int(u) for u in m["unit"])
+    units = completed if units is None else sorted(int(u) for u in units)
+    missing = [u for u in units if u not in completed]
+    if missing:
+        raise ValueError(f"units not committed: {missing}")
+    if len(units) < 2:
+        return {"folded_units": [], "new_unit": None}
+    rows = {int(r["unit"]): r for _, r in m.iterrows()}
+    # per-unit ordinal base: offset_j = sum of earlier units' partition
+    # counts, shifted into ordinal space (closed-form re-basing)
+    bases: dict[int, int] = {}
+    offset = 0
+    for u in units:
+        bases[u] = offset << ORD_SHIFT
+        offset += int(rows[u]["ord_partitions"])
+    # folded units live at 1_000_000 * snapshot + 500_000 + seq: above any
+    # delta's unit ids for the snapshot (deltas number from +0; >500k units
+    # per delta snapshot is out of contract), below the next snapshot's —
+    # so future deltas can never collide with a fold's unit id
+    max_snap = max(int(rows[u]["input_snapshot_id"]) for u in units)
+    new_unit = max(max(completed) + 1, 1_000_000 * max_snap + 500_000)
+
+    seg_base, doc_base = segments_path(index_dir), docs_path(index_dir)
+    seg_stage = os.path.join(seg_base, f".fold-unit={new_unit}")
+    doc_stage = os.path.join(doc_base, f".fold-unit={new_unit}")
+    seg_final = os.path.join(seg_base, f"unit={new_unit}")
+    doc_final = os.path.join(doc_base, f"unit={new_unit}")
+
+    phases: dict[str, float] = {}
+    _t0 = _time.time()
+    seg = spark.read.option("basePath", seg_base).parquet(
+        *[os.path.join(seg_base, f"unit={u}") for u in units]
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    folded = (
+        seg.mapInArrow(make_rebase_fn(bases), schema=PARTIAL_FULL_SCHEMA)
+        .repartition(partitions, "term", "salt")
+        .sortWithinPartitions("term", "salt", "first_doc")
+        .mapInArrow(_splice_merge_fn, schema=SEG_SCHEMA)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("terms"),
+            F.sum(F.length("postings")).alias("bytes"),
+        )
+    )
+    folded.write.mode("overwrite").parquet(seg_stage)
+    phases["fold_segments"] = round(_time.time() - _t0, 2)
+
+    _t0 = _time.time()
+    base_df = F.broadcast(
+        spark.createDataFrame(
+            [(u, bases[u]) for u in units], "unit int, __base bigint"
+        )
+    )
+    docs = spark.read.option("basePath", doc_base).parquet(
+        *[os.path.join(doc_base, f"unit={u}") for u in units]
+    )
+    (
+        docs.join(base_df, "unit")
+        .select(
+            (F.col("ord") + F.col("__base")).alias("ord"),
+            "doc_id", "url", "doclen",
+        )
+        .write.mode("overwrite")
+        .parquet(doc_stage)
+    )
+    phases["fold_docs"] = round(_time.time() - _t0, 2)
+
+    # ---- cutover ----
+    manifest.write_fold_journal(index_dir, new_unit, units)
+    shutil.rmtree(seg_final, ignore_errors=True)
+    shutil.rmtree(doc_final, ignore_errors=True)
+    os.replace(seg_stage, seg_final)
+    os.replace(doc_stage, doc_final)
+    manifest.commit_unit(
+        index_dir,
+        {
+            "segment_id": f"u{new_unit}",
+            "unit": new_unit,
+            "ord_partitions": offset,
+            "input_snapshot_id": max(int(rows[u]["input_snapshot_id"]) for u in units),
+            "row_count": sum(int(rows[u]["row_count"]) for u in units),
+            "sum_doclen": sum(int(rows[u]["sum_doclen"]) for u in units),
+            "term_count": int(obs.get["terms"] or 0),
+            "bytes": int(obs.get["bytes"] or 0),
+            "dropped_terms": sum(
+                int(rows[u]["dropped_terms"] or 0) for u in units
+            ),
+            "quarantined_docs": sum(
+                int(rows[u]["quarantined_docs"] or 0) for u in units
+            ),
+            "status": manifest.STATUS_COMPLETED,
+        },
+    )
+    # queries cut over when merge_index publishes the new stats/lexicon;
+    # until then they keep scanning the (still intact) source unit dirs
+    merge.merge_index(spark, index_dir)
+    for u in units:
+        manifest.delete_unit_row(index_dir, u)
+        shutil.rmtree(os.path.join(seg_base, f"unit={u}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(doc_base, f"unit={u}"), ignore_errors=True)
+    manifest.clear_fold_journal(index_dir, new_unit)
+    res = {
+        "folded_units": units,
+        "new_unit": new_unit,
+        "ord_partitions": offset,
+        "phase_secs": phases,
+    }
+    from .metrics import write_metrics
+
+    write_metrics(
+        index_dir, "merge-units",
+        {**res, "term_rows": int(obs.get["terms"] or 0),
+         "postings_bytes": int(obs.get["bytes"] or 0)},
+    )
+    return res
+
+
+class _OrdSetFile:
+    """Broadcast-equivalent handle to a unit's tombstoned-ordinal set.
+
+    compact() writes the set DISTRIBUTEDLY to a small parquet under the
+    index dir (shared storage by contract — the same place segments live)
+    and ships only this path in task closures; each task reads + sorts the
+    set on first use. A bulk delete covering half a unit therefore never
+    stages millions of ordinals through the driver (the old collect() +
+    broadcast ceiling)."""
+
+    __slots__ = ("path", "_arr")
+
+    def __init__(self, path: str):
+        self.path = path
+        self._arr = None
+
+    def __getstate__(self):
+        return self.path
+
+    def __setstate__(self, path):
+        self.path = path
+        self._arr = None
+
+    @property
+    def value(self):
+        if self._arr is None:
+            import numpy as np
+            import pyarrow.dataset as ds
+
+            t = ds.dataset(self.path, format="parquet").to_table(columns=["ord"])
+            self._arr = np.sort(
+                t["ord"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        return self._arr
 
 
 def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) -> dict:
@@ -555,15 +846,18 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
 
         # posting-level filter: translate the unit's tombstoned doc_ids to
         # ORDINALS (distributed semi-join against the docs sidecar — the
-        # translation set is tombstone-sized, never unit-sized), then ride
-        # a broadcast into the Arrow-grouped rewrite (np.isin, vectorized)
-        import numpy as _np
-
-        ord_rows = (
-            docs.join(unit_tomb_df, "doc_id", "left_semi").select("ord").collect()
+        # translation set is tombstone-sized, never unit-sized) and WRITE
+        # the set to shared storage; tasks read it directly (_OrdSetFile),
+        # so even a bulk delete of half a unit never stages its ordinals
+        # through the driver
+        ords_dir = os.path.join(index_dir, f".compact-ords-unit={u}")
+        (
+            docs.join(unit_tomb_df, "doc_id", "left_semi")
+            .select("ord")
+            .write.mode("overwrite")
+            .parquet(ords_dir)
         )
-        tomb_ords = _np.array(sorted(r["ord"] for r in ord_rows), dtype=_np.int64)
-        tomb_bc = spark.sparkContext.broadcast(tomb_ords)
+        tomb_bc = _OrdSetFile(ords_dir)
         seg = spark.read.parquet(seg_dir)
         new_seg = seg.mapInPandas(make_rewrite(tomb_bc, u), schema=SEG_SCHEMA)
         tmp_seg, tmp_doc = seg_dir + ".compact", doc_dir + ".compact"
@@ -604,6 +898,7 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
         os.rename(tmp_seg, seg_dir)
         shutil.rmtree(doc_dir)
         os.rename(tmp_doc, doc_dir)
+        shutil.rmtree(ords_dir, ignore_errors=True)
 
         old = m[m["unit"] == u].iloc[0]
         manifest.commit_unit(
@@ -634,4 +929,8 @@ def compact(spark: SparkSession, index_dir: str, partitions: int | None = None) 
     ):
         shutil.rmtree(sub, ignore_errors=True)
     merge.merge_index(spark, index_dir)
-    return {"compacted_units": units, "removed_docs": removed_total}
+    from .metrics import write_metrics
+
+    res = {"compacted_units": units, "removed_docs": removed_total}
+    write_metrics(index_dir, "compact", res)
+    return res

@@ -35,6 +35,10 @@ STATUS_COMPLETED = "completed"  # statuses from /root/reference/pkg/snapshot/sna
 # recorder's re-add-failed-tables semantics
 # (/root/reference/pkg/snapshot/generator/snapshot_generator_recorder.go:241-379).
 STATUS_FAILED = "failed"
+# a unit whose postings/docs were folded into a merged unit by
+# incremental.merge_units — hidden from every reader via the fold journal
+# (see read_manifest); physically removed by fold cleanup/recovery.
+STATUS_FOLDED = "folded"
 
 FORMAT_VERSION = 3  # v3: dense doc ordinals + doclen sidecar (no per-posting dl)
 
@@ -84,14 +88,81 @@ def commit_unit(index_dir: str, row: dict) -> None:
 
 
 def read_manifest(index_dir: str) -> pd.DataFrame:
-    """All manifest rows as pandas (empty frame with schema if none)."""
+    """All manifest rows as pandas (empty frame with schema if none).
+
+    Fold journals are applied AT READ TIME: a journal written by
+    ``incremental.merge_units`` whose folded unit's row is COMPLETED hides
+    the source units' rows, so the many-files manifest retirement is
+    atomic to every reader the instant the single folded row commits —
+    the alias-style cutover of the tiered unit merge. A journal whose new
+    unit never committed (crash mid-fold) is inert: the source rows stand
+    and fold recovery rolls the staged data back."""
     files = sorted(glob.glob(os.path.join(_dir(index_dir), "unit-*.parquet")))
     if not files:
         return SCHEMA.empty_table().to_pandas()
     # promote unifies manifests written by older format versions
-    return pa.concat_tables(
+    m = pa.concat_tables(
         [pq.read_table(f) for f in files], promote_options="default"
     ).to_pandas()
+    hidden: set[int] = set()
+    for _, j in fold_journals(index_dir):
+        new_rows = m[(m["unit"] == j["new"]) & (m["status"] == STATUS_COMPLETED)]
+        if len(new_rows):
+            hidden.update(int(u) for u in j["old"])
+    if hidden:
+        m = m[~m["unit"].isin(hidden)].reset_index(drop=True)
+    return m
+
+
+# ---- fold journals (tiered unit merge, incremental.merge_units) ----------
+
+
+def _fold_journal_path(index_dir: str, new_unit: int) -> str:
+    return os.path.join(_dir(index_dir), f"fold-{int(new_unit)}.json")
+
+
+def write_fold_journal(index_dir: str, new_unit: int, old_units: list[int]) -> None:
+    """Commit intent of a unit fold (atomic tmp+rename). Written BEFORE the
+    folded unit's manifest row: once that row lands, read_manifest hides
+    the old rows in the same read — no multi-file-delete race."""
+    import json
+
+    d = _dir(index_dir)
+    os.makedirs(d, exist_ok=True)
+    final = _fold_journal_path(index_dir, new_unit)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"new": int(new_unit), "old": [int(u) for u in old_units]}, f)
+    os.replace(tmp, final)
+
+
+def fold_journals(index_dir: str) -> list[tuple[str, dict]]:
+    """[(path, {"new": unit, "old": [units]})] of pending fold journals."""
+    import json
+
+    out = []
+    for p in sorted(glob.glob(os.path.join(_dir(index_dir), "fold-*.json"))):
+        try:
+            with open(p) as f:
+                out.append((p, json.load(f)))
+        except (OSError, ValueError):  # torn tmp never renamed in — skip
+            continue
+    return out
+
+
+def clear_fold_journal(index_dir: str, new_unit: int) -> None:
+    try:
+        os.remove(_fold_journal_path(index_dir, new_unit))
+    except FileNotFoundError:
+        pass
+
+
+def delete_unit_row(index_dir: str, unit: int) -> None:
+    """Physically retire one unit's manifest file (fold cleanup)."""
+    try:
+        os.remove(os.path.join(_dir(index_dir), f"unit-{int(unit)}.parquet"))
+    except FileNotFoundError:
+        pass
 
 
 def completed_units(index_dir: str, input_snapshot_id: int | None = None) -> set[int]:

@@ -35,12 +35,26 @@ def stats_path(index_dir: str) -> str:
     return os.path.join(index_dir, "stats.json")
 
 
+def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Segment rows of COMMITTED units only (manifest-driven, fold-journal
+    aware). A wholesale ``read.parquet(segments/)`` would also pick up
+    orphan unit dirs — staged-but-uncommitted fold output, or retired
+    source units whose physical cleanup hasn't run yet — so every reader
+    goes through the manifest's view of which unit dirs are live."""
+    import os as _os
+
+    units = sorted(manifest.completed_units(index_dir))
+    base = segments_path(index_dir)
+    dirs = [_os.path.join(base, f"unit={u}") for u in units]
+    return spark.read.option("basePath", base).parquet(*dirs)
+
+
 def merge_index(spark: SparkSession, index_dir: str, lexicon_partitions: int | None = None) -> dict:
     """Build lexicon parquet + stats.json from committed segments.
 
     One shuffle on term; output range-partitioned and sorted by term so
     query-time term lookups hit few row groups (parquet min/max pruning)."""
-    seg = spark.read.parquet(segments_path(index_dir)).select(
+    seg = read_segments(spark, index_dir).select(
         "term", "unit", "salt", "part_id", "df", "cf"
     )
     parts = lexicon_partitions or max(
@@ -67,8 +81,13 @@ def merge_index(spark: SparkSession, index_dir: str, lexicon_partitions: int | N
             stats["sum_doclen"] / stats["n_docs"] if stats["n_docs"] else 0.0
         )
         stats["tombstoned_docs"] = adj["n"]
-    with open(stats_path(index_dir), "w") as f:
+    # atomic publish: stats.json carries the committed-units view queries
+    # filter their segment scans by, so it must never be torn mid-write
+    # (it is the fold cutover point — see incremental.merge_units)
+    tmp = stats_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(stats, f)
+    os.replace(tmp, stats_path(index_dir))
     return stats
 
 

@@ -56,22 +56,44 @@ def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     byte-stream statistics (pure numpy over the payload buffer). All eight
     features are exact integers so the value is bit-identical across
     engines — no float summation-order hazards in the correctness gate."""
-    if payload is None or len(payload) == 0:
-        return np.zeros(dim, dtype=np.int64)
-    b = np.frombuffer(bytes(payload), dtype=np.uint8)
-    s = int(b.sum(dtype=np.int64))
-    n = len(b)
-    feats = [
-        s % 65521,           # byte-sum fingerprint (largest prime < 2^16)
-        n % 251,             # length residue
-        int(b[0]),
-        int(b[-1]),
-        int(b.min()),
-        int(b.max()),
-        int((b > 96).sum()), # high-byte population
-        s // n,              # integer mean byte value
-    ]
-    return np.asarray(feats[:dim], dtype=np.int64)
+    return _fake_features_batch([payload], dim)[0]
+
+
+def _fake_features_batch(payloads, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Vectorized fake kernel over a WHOLE Arrow batch -> (n, dim) int64.
+
+    One concatenated byte buffer + ``np.*.reduceat`` over per-row
+    segments: no per-row Python in the batch hot path (bytes join and
+    len() are C-level), identical outputs to the per-row form."""
+    n_rows = len(payloads)
+    if n_rows == 0:
+        return np.zeros((0, dim), dtype=np.int64)
+    raw = [bytes(p) if p is not None else b"" for p in payloads]
+    lens = np.fromiter((len(p) for p in raw), dtype=np.int64, count=n_rows)
+    buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
+    feats = np.zeros((n_rows, dim), dtype=np.int64)
+    nz = lens > 0
+    if not nz.any():
+        return feats
+    starts = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    st, ln = starts[nz], lens[nz]
+    b64 = buf.astype(np.int64)
+    sums = np.add.reduceat(b64, st)
+    # reduceat folds an empty trailing segment into the previous one only
+    # when starts repeat — impossible here (every selected segment is
+    # non-empty), so each reduceat slice is exactly one row's bytes
+    out = np.empty((int(nz.sum()), dim), dtype=np.int64)
+    out[:, 0] = sums % 65521            # byte-sum fingerprint
+    out[:, 1] = ln % 251                # length residue
+    out[:, 2] = buf[st]                 # first byte
+    out[:, 3] = buf[st + ln - 1]        # last byte
+    out[:, 4] = np.minimum.reduceat(b64, st)
+    out[:, 5] = np.maximum.reduceat(b64, st)
+    out[:, 6] = np.add.reduceat((buf > 96).astype(np.int64), st)
+    out[:, 7] = sums // ln              # integer mean byte value
+    feats[nz] = out[:, :dim]
+    return feats
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -84,7 +106,11 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if fake:
-                feats = [_fake_feature(p).astype(float).tolist() for p in pdf["payload"]]
+                feats = (
+                    _fake_features_batch(list(pdf["payload"]))
+                    .astype(float)
+                    .tolist()
+                )
             else:
                 feats = [decode_image(p).tolist() for p in pdf["payload"]]
             yield pd.DataFrame(
@@ -108,9 +134,7 @@ def extract_feature_columns(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = np.stack(
-                [_fake_feature(p) for p in pdf["payload"]]
-            ) if len(pdf) else np.zeros((0, FEATURE_DIM), dtype=np.int64)
+            feats = _fake_features_batch(list(pdf["payload"]))
             out = {"doc_id": pdf["doc_id"], "media_type": pdf["media_type"]}
             for i, c in enumerate(FEATURE_COLS):
                 out[c] = feats[:, i]

@@ -197,6 +197,32 @@ RESULT_SCHEMA = "doc_id bigint, score double"
 BATCH_RESULT_SCHEMA = "query_id int, doc_id bigint, score double"
 
 
+def _seg_scan(spark: SparkSession, index_dir: str, units: list[int]) -> DataFrame:
+    """Segment scan over the COMMITTED units listed in stats.json (the
+    merge-time manifest view). Reading explicit ``unit=<u>`` dirs (with
+    basePath so the unit partition column survives) rather than the whole
+    segments/ tree means a query can never observe an orphan unit dir —
+    staged fold output, or a fold's retired source units awaiting physical
+    cleanup (incremental.merge_units publishes its cutover by rewriting
+    stats.json/lexicon, exactly like an alias flip)."""
+    import os as _os
+
+    base = segments_path(index_dir)
+    return spark.read.option("basePath", base).parquet(
+        *[_os.path.join(base, f"unit={int(u)}") for u in units]
+    )
+
+
+def _docs_scan(spark: SparkSession, index_dir: str, units: list[int]) -> DataFrame:
+    """Docs-sidecar scan with the same committed-units discipline."""
+    import os as _os
+
+    base = docs_path(index_dir)
+    return spark.read.option("basePath", base).parquet(
+        *[_os.path.join(base, f"unit={int(u)}") for u in units]
+    )
+
+
 def _term_idfs(spark: SparkSession, index_dir: str, terms: list[str], n_docs: int) -> dict[str, float]:
     """Lexicon lookup: term -> idf (global df). Missing terms are simply
     absent (score 0 everywhere), like any search engine.
@@ -343,7 +369,7 @@ def search(
     n_docs = int(stats["n_docs"])
 
     seg = (
-        spark.read.parquet(segments_path(index_dir))
+        _seg_scan(spark, index_dir, stats["units"])
         .filter(F.col("term").isin(present + neg_present))
         .select(
             "unit", "term", "df", "postings",
@@ -431,7 +457,9 @@ def _search_filtered(
 
     # filter too big to broadcast — is its COMPLEMENT (within the indexed
     # docs) small? A keep-almost-everything filter excludes few docs.
-    docs_all = spark.read.parquet(docs_path(index_dir)).select("doc_id")
+    docs_all = _docs_scan(
+        spark, index_dir, merge.load_stats(index_dir)["units"]
+    ).select("doc_id")
     comp_pdf = (
         docs_all.join(fl, "doc_id", "left_anti").limit(broadcast_limit + 1).toPandas()
     )
@@ -613,7 +641,7 @@ def search_ranged(
     )
 
     seg = (
-        spark.read.parquet(segments_path(index_dir))
+        _seg_scan(spark, index_dir, stats["units"])
         .filter(F.col("term").isin(present))
         .select("unit", "term", "postings", "block_last_doc", "block_offset")
         .join(F.broadcast(bounds_df), "unit")
@@ -737,7 +765,7 @@ def search_multifield(
         if not present:
             continue
         segs.append(
-            spark.read.parquet(segments_path(field_indexes[f]))
+            _seg_scan(spark, field_indexes[f], stats[f]["units"])
             .filter(F.col("term").isin(present))
             .select(
                 F.lit(f).alias("field"), "unit", "term", "df", "postings",
@@ -775,6 +803,105 @@ def search_multifield(
 
     per_unit = seg.groupBy("unit").applyInPandas(score_unit, schema=RESULT_SCHEMA)
     return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_multifield_prefix(
+    spark: SparkSession,
+    field_indexes: dict[str, str] | str,
+    prefix: str,
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """Prefix query over a multi-field index (OpenSearch multi_match
+    phrase_prefix/bool_prefix family): the prefix expands against EVERY
+    field's lexicon (each a driver-side range scan), the expansions union,
+    and the union scores through the standard sum-fused multifield BM25 —
+    a term contributes in each field where it exists (per-field idf/df
+    handle absence naturally)."""
+    if isinstance(field_indexes, str):
+        field_indexes = discover_fields(field_indexes)
+    terms = sorted(
+        {
+            t
+            for d in field_indexes.values()
+            for t in expand_prefix(d, prefix, max_expansions)
+        }
+    )
+    if not terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    return search_multifield(spark, field_indexes, terms, k, boosts=boosts)
+
+
+def search_multifield_wildcard(
+    spark: SparkSession,
+    field_indexes: dict[str, str] | str,
+    pattern: str,
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """Wildcard query over a multi-field index: per-field lexicon
+    expansion (streamed regex verify), union, sum-fused multifield BM25."""
+    if isinstance(field_indexes, str):
+        field_indexes = discover_fields(field_indexes)
+    terms = sorted(
+        {
+            t
+            for d in field_indexes.values()
+            for t in expand_wildcard(d, pattern, max_expansions)
+        }
+    )
+    if not terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    return search_multifield(spark, field_indexes, terms, k, boosts=boosts)
+
+
+def search_multifield_phrase(
+    spark: SparkSession,
+    field_indexes: dict[str, str] | str,
+    phrase: list[str],
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    slop: int = 0,
+) -> DataFrame:
+    """Phrase query over a multi-field index — the OpenSearch multi_match
+    ``type: phrase`` shape (default best_fields fusion): a doc matches if
+    the phrase occurs in ANY field; its score is
+    ``max_f boost_f * phrase_BM25_f`` (requires each field built
+    ``with_positions=True``; ``slop`` > 0 uses the ordered-window
+    proximity semantics per field).
+
+    Exact despite per-field top-k truncation: under max-fusion, if doc d
+    belongs to the true fused top-k then in its argmax field fewer than k
+    docs score above it — so d IS in that field's exact top-k (any doc
+    above it there also out-ranks it globally). Fusing the per-field
+    global top-k's therefore loses nothing."""
+    if isinstance(field_indexes, str):
+        field_indexes = discover_fields(field_indexes)
+    boosts = {f: 1.0 for f in field_indexes} | (boosts or {})
+    parts = []
+    for f in sorted(field_indexes):
+        res = (
+            search_phrase(spark, field_indexes[f], phrase, k)
+            if slop == 0
+            else search_proximity(spark, field_indexes[f], phrase, slop, k)
+        )
+        parts.append(
+            res.select(
+                "doc_id",
+                (F.col("score") * F.lit(float(boosts[f]))).alias("score"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("doc_id")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def expand_prefix(
@@ -816,36 +943,61 @@ def expand_wildcard(
     """Wildcard pattern (``*`` = any run, ``?`` = one char) -> matching
     lexicon terms. The leading literal segment prunes via the same range
     predicate as ``expand_prefix``; the full pattern is verified with an
-    anchored regex over the (already pruned) candidate terms."""
+    anchored regex STREAMED over the dataset scanner batch-by-batch
+    (pyarrow C++ ``match_substring_regex``) with early exit once
+    ``max_expansions`` matches are found — no uncapped driver-side
+    ``to_pylist`` materialization, and no pre-verification candidate cap
+    that could silently miss matches behind a hot leading literal. When
+    the cap truncates the (deterministic, lexicographically first) match
+    set, a warning surfaces it."""
     import re as _re
+    import warnings
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
 
     lead = _re.split(r"[*?]", pattern, maxsplit=1)[0]
-    rx = _re.compile(
-        "^" + "".join(
-            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
-            for c in pattern
-        ) + "$"
+    rx = "^" + "".join(
+        ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+        for c in pattern
+    ) + "$"
+    import glob as _glob
+    import os as _os
+
+    files = sorted(
+        _glob.glob(_os.path.join(merge.lexicon_path(index_dir), "*.parquet"))
     )
+    filt = None
     if lead:
-        cands = expand_prefix(index_dir, lead, max_expansions=1 << 20)
-    else:  # leading wildcard: full lexicon scan (documented-expensive,
-        # exactly as in OpenSearch)
-        import glob as _glob
-        import os as _os
-
-        import pyarrow.dataset as ds
-
-        files = sorted(
-            _glob.glob(_os.path.join(merge.lexicon_path(index_dir), "*.parquet"))
+        upper = lead[:-1] + chr(ord(lead[-1]) + 1)
+        filt = (ds.field("term") >= lead) & (ds.field("term") < upper)
+    # the lexicon is range-partitioned + term-sorted and files sort by
+    # partition id, so an in-order scan yields terms in lexicographic
+    # order — the first max_expansions matches are the deterministic set
+    scanner = ds.dataset(files, format="parquet").scanner(
+        columns=["term"], filter=filt, batch_size=64 * 1024
+    )
+    out: list[str] = []
+    truncated = False
+    for batch in scanner.to_batches():
+        if batch.num_rows == 0:
+            continue
+        hits = pc.filter(
+            batch.column("term"), pc.match_substring_regex(batch.column("term"), rx)
         )
-        cands = sorted(
-            set(
-                ds.dataset(files, format="parquet")
-                .to_table(columns=["term"])["term"]
-                .to_pylist()
-            )
+        if len(hits):
+            out.extend(hits.to_pylist())
+        if len(out) > max_expansions:
+            truncated = True
+            break
+    out = sorted(set(out))
+    if truncated or len(out) > max_expansions:
+        warnings.warn(
+            f"wildcard {pattern!r} expansion truncated to the first "
+            f"{max_expansions} lexicon matches",
+            stacklevel=2,
         )
-    return [t for t in cands if rx.match(t)][:max_expansions]
+    return out[:max_expansions]
 
 
 def search_prefix(
@@ -900,7 +1052,7 @@ def search_phrase(
     phrase_order = list(phrase)
 
     seg = (
-        spark.read.parquet(segments_path(index_dir))
+        _seg_scan(spark, index_dir, stats["units"])
         .filter(F.col("term").isin(uniq_terms))
         .select(
             "unit", "term", "df", "postings", "positions",
@@ -949,7 +1101,7 @@ def search_min_should_match(
     excluder = _tombstone_excluder(index_dir)
 
     seg = (
-        spark.read.parquet(segments_path(index_dir))
+        _seg_scan(spark, index_dir, stats["units"])
         .filter(F.col("term").isin(present))
         .select(
             "unit", "term", "df", "postings",
@@ -992,7 +1144,7 @@ def search_proximity(
     phrase_order = list(phrase)
 
     seg = (
-        spark.read.parquet(segments_path(index_dir))
+        _seg_scan(spark, index_dir, stats["units"])
         .filter(F.col("term").isin(uniq_terms))
         .select(
             "unit", "term", "df", "postings", "positions",
@@ -1038,7 +1190,7 @@ def match_docs(
     need = len(terms) if mode == "and" else max(1, int(min_should_match))
     excluder = _tombstone_excluder(index_dir)
     seg = (
-        spark.read.parquet(segments_path(index_dir))
+        _seg_scan(spark, index_dir, merge.load_stats(index_dir)["units"])
         .filter(F.col("term").isin(terms))
         .select("unit", "term", "df", "postings")
     )
@@ -1117,7 +1269,7 @@ def search_batch(
     excluder = _tombstone_excluder(index_dir)
 
     seg = (
-        spark.read.parquet(segments_path(index_dir))
+        _seg_scan(spark, index_dir, stats["units"])
         .filter(F.col("term").isin(present))
         .select(
             "unit", "term", "df", "postings",

@@ -104,3 +104,31 @@ def test_block_meta_and_block_decode():
         )
         assert bd.tolist() == doc_ids[lo:hi].tolist()
         assert bt.tolist() == tfs[lo:hi].tolist()
+
+
+def test_read_first_varints_and_ragged_copy():
+    import numpy as np
+
+    from pgspark_index import codecs
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 1 << 45, size=200).astype(np.uint64)
+    blob, nbytes = codecs.varbyte_encode(vals)
+    data = np.frombuffer(blob, dtype=np.uint8)
+    starts = np.zeros(200, dtype=np.int64)
+    np.cumsum(nbytes[:-1].astype(np.int64), out=starts[1:])
+    got_v, got_l = codecs.read_first_varints(data, starts)
+    assert (got_v == vals).all()
+    assert (got_l == nbytes.astype(np.int64)).all()
+
+    # ragged_copy: scatter three slices into a gap-free destination
+    src = np.arange(100, dtype=np.uint8)
+    dst = np.zeros(9, dtype=np.uint8)
+    codecs.ragged_copy(
+        dst,
+        np.array([0, 4, 6]),
+        src,
+        np.array([10, 50, 90]),
+        np.array([4, 2, 3]),
+    )
+    assert dst.tolist() == [10, 11, 12, 13, 50, 51, 90, 91, 92]

@@ -188,6 +188,44 @@ def main():
          mf_plan)
     )
 
+    # 9. tiered unit merge (merge_units): splice-fold plan — ONE exchange,
+    # postings never decoded (two mapInArrow stages around a single hash
+    # repartition on (term, salt))
+    idx2 = tempfile.mkdtemp(prefix="pgspark_plans_fold_")
+    build.build_index(spark, df, idx2, num_units=2, partitions=4,
+                      sample_fraction=1.0)
+    merge.merge_index(spark, idx2)
+    from pgspark_index.build import (
+        ORD_SHIFT, PARTIAL_FULL_SCHEMA, SEG_SCHEMA, _splice_merge_fn,
+        make_rebase_fn,
+    )
+
+    seg_base = build.segments_path(idx2)
+    fold_src = spark.read.option("basePath", seg_base).parquet(
+        os.path.join(seg_base, "unit=0"), os.path.join(seg_base, "unit=1")
+    )
+    folded = (
+        fold_src.mapInArrow(
+            make_rebase_fn({0: 0, 1: 4 << ORD_SHIFT}), schema=PARTIAL_FULL_SCHEMA
+        )
+        .repartition(4, "term", "salt")
+        .sortWithinPartitions("term", "salt", "first_doc")
+        .mapInArrow(_splice_merge_fn, schema=SEG_SCHEMA)
+    )
+    fold_plan = formatted(folded)
+    n_exch = len(re.findall(r"^\(\d+\) Exchange", fold_plan, re.M))
+    assert n_exch == 1, f"fold must shuffle once, saw {n_exch}"
+    sections.append(
+        ("Tiered unit merge (merge_units): splice-fold, ONE exchange",
+         "Folding N units into one MUST be two Arrow stages around exactly "
+         "one `Exchange hashpartitioning(term, salt)`: the rebase stage "
+         "patches each list's first varint (closed-form ordinal shift), the "
+         "splice stage byte-concatenates the compressed blobs — postings are "
+         "never decoded, so fold cost is O(segment rows + bytes), not "
+         "O(postings). (Asserted by this generator: exactly 1 Exchange.)",
+         fold_plan)
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     for title, requirement, plan in sections:
         out.append(f"## {title}\n\n{requirement}\n\n```\n{plan}```\n")
