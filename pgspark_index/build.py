@@ -994,14 +994,71 @@ def _splice_merge_fn(batches):
     cf_g = np.add.reduceat(cfs, grp)
     out_schema = _arrow_seg_mf_schema() if has_field else _arrow_seg_schema()
 
+    # ---- vectorized splice planning (NO per-row Python loop) ------------
+    # Total partial rows in a build are ~vocab x tokenize-partitions, i.e.
+    # they GROW with cluster size — a per-row Python loop here is per-core
+    # CONSTANT work at every executor count (the profiled ~3-4 s flat
+    # component that capped the segments phase at ~0.58 scaling
+    # efficiency). All per-row arithmetic (first-varint lengths, gap
+    # varints, byte shifts, block-offset patches) is numpy below; the only
+    # Python-level iteration left is one buffer-slice append per PATCH
+    # (b"".join of verbatim spans + patched gap varints), which is
+    # memcpy-bound, not interpreter-bound.
     mv_post = memoryview(post_d)
-    out_ba = bytearray()
-    out_post_off = [0]
-    out_boff_parts: list = []
-    flush_a = 0  # first group index of the batch being accumulated
+    is_first = np.zeros(n, dtype=bool)
+    is_first[grp] = True
+    nf_idx = np.flatnonzero(~is_first)  # rows whose first varint is patched
+    blocks_per_row = blk_o[1:] - blk_o[:-1]
+    if nf_idx.size:
+        prev_last = bld_np[blk_o[nf_idx] - 1].astype(np.int64)
+        gaps = first[nf_idx] - prev_last
+        if (gaps <= 0).any():
+            bad = int(nf_idx[int(np.argmax(gaps <= 0))])
+            s = int(grp[np.searchsorted(grp, bad, "right") - 1])
+            raise ValueError(
+                "splice-merge invariant violated: overlapping doc ranges "
+                f"for term={term[s].as_py()!r} salt={int(salts[s])} "
+                f"(first_doc {int(first[bad])} <= prev last "
+                f"{int(bld_np[blk_o[bad] - 1])}); build_unit "
+                "must range-partition the corpus by doc_id"
+            )
+        # old first-varint byte lengths (vectorized LEB128 scan) and the
+        # new gap varints for every patched row, in one encode pass
+        _, fl_nf = codecs.read_first_varints(post_d, post_o[nf_idx])
+        vb_bytes, vb_len = codecs.varbyte_encode(gaps.astype(np.uint64))
+        vb_off = np.zeros(nf_idx.size + 1, dtype=np.int64)
+        np.cumsum(vb_len, dtype=np.int64, out=vb_off[1:])
+        delta_nf = vb_len.astype(np.int64) - fl_nf
+    else:
+        vb_bytes = b""
+        vb_off = np.zeros(1, dtype=np.int64)
+        fl_nf = delta_nf = np.zeros(0, dtype=np.int64)
+    mv_vb = memoryview(vb_bytes)
+    # per-row output byte counts and in-group byte bases
+    contrib = (post_o[1:] - post_o[:-1]).copy()
+    if nf_idx.size:
+        contrib[nf_idx] += delta_nf
+    cum_row = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(contrib, dtype=np.int64, out=cum_row[1:])
+    group_len = cum_row[ge] - cum_row[grp]
+    base_row = cum_row[:n] - np.repeat(cum_row[grp], ge - grp)
+    # block offsets: shift every patched row's blocks by (base + delta),
+    # then reset each patched row's FIRST block offset to base (block 0
+    # starts at the patched varint, whose length change is what delta
+    # accounts for in blocks 1+)
+    shift = base_row.copy()
+    if nf_idx.size:
+        shift[nf_idx] += delta_nf
+    out_boff = boff_np + np.repeat(shift, blocks_per_row)
+    if nf_idx.size:
+        nfb = nf_idx[blocks_per_row[nf_idx] > 0]
+        out_boff[blk_o[nfb]] = base_row[nfb]
+    cum_group = np.zeros(ng + 1, dtype=np.int64)
+    np.cumsum(group_len, dtype=np.int64, out=cum_group[1:])
+    pos_end_g = pos_o[ge]  # positions byte end per group
 
     def emit(a, b):
-        if len(out_ba) >= (1 << 31):
+        if cum_group[b] - cum_group[a] >= (1 << 31):
             raise ValueError(
                 "spliced postings batch exceeds 2 GiB (first term="
                 f"{term[int(grp[a])].as_py()!r}); a single (term, salt) group "
@@ -1011,17 +1068,33 @@ def _splice_merge_fn(batches):
         gsl = grp[a:b]
         take = pa.array(gsl)
         nrows = b - a
-        v0, v1 = int(blk_o[gsl[0]]), int(blk_o[ge[b - 1]])
+        r0, r1 = int(grp[a]), int(ge[b - 1])
+        v0, v1 = int(blk_o[r0]), int(blk_o[r1])
         row_off = np.concatenate((blk_o[gsl], [v1])) - v0
-        p0, p1 = int(pos_o[gsl[0]]), int(pos_o[ge[b - 1]])
+        p0, p1 = int(pos_o[r0]), int(pos_o[r1])
         if p1 - p0 >= (1 << 31):
             raise ValueError("positions bytes of one group batch exceed 2 GiB")
-        boff_out = (
-            out_boff_parts[0] if len(out_boff_parts) == 1
-            else np.concatenate(out_boff_parts)
-            if out_boff_parts
-            else np.zeros(0, dtype=np.int64)
-        )
+        # assemble the batch's postings bytes: verbatim spans of the input
+        # flat buffer interleaved with the patched gap varints
+        lo = int(np.searchsorted(nf_idx, r0, "left"))
+        hi = int(np.searchsorted(nf_idx, r1, "left"))
+        if lo == hi:
+            blob = mv_post[int(post_o[r0]) : int(post_o[r1])]
+        else:
+            cuts = post_o[nf_idx[lo:hi]]
+            resumes = (cuts + fl_nf[lo:hi]).tolist()
+            parts = []
+            ap = parts.append
+            prev = int(post_o[r0])
+            for c, rs, va, vz in zip(
+                cuts.tolist(), resumes, vb_off[lo:hi].tolist(),
+                vb_off[lo + 1 : hi + 1].tolist(),
+            ):
+                ap(mv_post[prev:c])
+                ap(mv_vb[va:vz])
+                prev = rs
+            ap(mv_post[prev : int(post_o[r1])])
+            blob = b"".join(parts)
         arrays = [
             term.take(take),
             pa.array(salts[gsl]),
@@ -1031,10 +1104,8 @@ def _splice_merge_fn(batches):
             _list_from_flat(row_off, pa.array(bld_np[v0:v1], type=pa.int64()), None),
             _list_from_flat(row_off, pa.array(bmt_np[v0:v1], type=pa.int32()), None),
             _list_from_flat(row_off, pa.array(bmd_np[v0:v1], type=pa.int32()), None),
-            _list_from_flat(row_off, pa.array(boff_out, type=pa.int64()), None),
-            _binary_from_flat(
-                bytes(out_ba), np.asarray(out_post_off, dtype=np.int64)
-            ),
+            _list_from_flat(row_off, pa.array(out_boff[v0:v1], type=pa.int64()), None),
+            _binary_from_flat(blob, cum_group[a : b + 1] - cum_group[a]),
             # positions are doc-local gaps — group concat is the identity
             # on the flat buffer: a contiguous slice with rebased offsets
             _binary_from_flat(
@@ -1046,51 +1117,24 @@ def _splice_merge_fn(batches):
             arrays.append(field.take(take))
         return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
-    for k in range(ng):
-        s, e = int(grp[k]), int(ge[k])
-        # first partial verbatim (singleton groups stop here)
-        out_ba += mv_post[post_o[s] : post_o[s + 1]]
-        if e - s == 1:
-            out_boff_parts.append(boff_np[blk_o[s] : blk_o[s + 1]])
-        else:
-            parts = [boff_np[blk_o[s] : blk_o[s + 1]]]
-            base = int(post_o[s + 1] - post_o[s])
-            last_prev = int(bld_np[blk_o[s + 1] - 1])
-            for j in range(s + 1, e):
-                o0, o1 = int(post_o[j]), int(post_o[j + 1])
-                fd = int(first[j])
-                if fd <= last_prev:
-                    raise ValueError(
-                        "splice-merge invariant violated: overlapping doc ranges "
-                        f"for term={term[s].as_py()!r} salt={int(salts[s])} "
-                        f"(first_doc {fd} <= prev last {last_prev}); build_unit "
-                        "must range-partition the corpus by doc_id"
-                    )
-                # patch partial j's first varint: absolute doc -> gap
-                fl = 1
-                while post_d[o0 + fl - 1] >= 128:
-                    fl += 1
-                new_first = codecs.varint_one(fd - last_prev)
-                out_ba += new_first
-                out_ba += mv_post[o0 + fl : o1]
-                delta = len(new_first) - fl
-                q = boff_np[blk_o[j] : blk_o[j + 1]] + (delta + base)
-                if q.size:
-                    q[0] = base
-                parts.append(q)
-                base += (o1 - o0) + delta
-                last_prev = int(bld_np[blk_o[j + 1] - 1])
-            out_boff_parts.append(np.concatenate(parts))
-        out_post_off.append(len(out_ba))
-        pos_span = int(pos_o[ge[k]] - pos_o[grp[flush_a]])
-        if len(out_ba) >= _SPLICE_FLUSH_BYTES or pos_span >= _SPLICE_FLUSH_BYTES:
-            yield emit(flush_a, k + 1)
-            flush_a = k + 1
-            out_ba = bytearray()
-            out_post_off = [0]
-            out_boff_parts = []
-    if flush_a < ng:
-        yield emit(flush_a, ng)
+    # flush boundaries: emit whole groups, INCLUDING the group that crosses
+    # _SPLICE_FLUSH_BYTES (postings out-bytes or positions span, whichever
+    # trips first) — identical batching to the per-group accumulate loop
+    a = 0
+    while a < ng:
+        k1 = int(
+            np.searchsorted(
+                cum_group[a + 1 :], cum_group[a] + _SPLICE_FLUSH_BYTES, "left"
+            )
+        ) + a
+        k2 = int(
+            np.searchsorted(
+                pos_end_g[a:], pos_o[grp[a]] + _SPLICE_FLUSH_BYTES, "left"
+            )
+        ) + a
+        b = min(min(k1, k2) + 1, ng)
+        yield emit(a, b)
+        a = b
 
 
 # committed segment rows recast as splice-ready partials (the fold path):
