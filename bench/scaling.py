@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -516,6 +517,24 @@ def main():
                 )
                 effs[f"pair_{n}->{n4}"] = med
                 effs[f"pair_{n}->{n4}_all_healthy"] = hp_effs
+                if len(hp_effs) >= 4:
+                    qs = statistics.quantiles(hp_effs, n=4, method="inclusive")
+                    lines.append(
+                        f"  - IQR [{qs[0]:.3f}, {qs[2]:.3f}] "
+                        f"(n={len(hp_effs)})"
+                    )
+                    effs[f"pair_{n}->{n4}_iqr"] = [round(qs[0], 3), round(qs[2], 3)]
+                tight = sorted(
+                    p["eff"] for p in hp if p.get("bracket_spread", 1.0) <= 0.10
+                )
+                if tight:
+                    tmed = round(statistics.median(tight), 3)
+                    lines.append(
+                        f"  - tight-bracket subset (spread <= 10%): median of "
+                        f"{len(tight)} = **{tmed:.3f}** (all: {tight})"
+                    )
+                    effs[f"pair_{n}->{n4}_tight"] = tmed
+                    effs[f"pair_{n}->{n4}_tight_all"] = tight
                 lines += [
                     "",
                     "  How to read the samples against the >= 0.8 acceptance: a",
@@ -549,6 +568,79 @@ def main():
                         f"cluster does not degrade as executors are added"
                     )
                     effs["pair_2->8_silicon_normalized"] = round(norm, 3)
+
+            # per-phase attribution: the build's phases scale differently
+            # (tokenize is embarrassingly parallel; segments carries the
+            # splice merge; merge_index is a small constant driver-side
+            # lexicon job) — the phase table attributes the end-to-end
+            # ratio to its components
+            def _phase_mean(rs, key):
+                vals = []
+                for r in rs:
+                    if key == "merge":
+                        if r.get("merge_sec") is not None:
+                            vals.append(float(r["merge_sec"]))
+                        continue
+                    for e in r.get("phase_log") or []:
+                        for ph in e.get("phases") or []:
+                            if key in ph:
+                                vals.append(float(ph[key]))
+                return sum(vals) / len(vals) if vals else None
+
+            def _pair_legs(pr):
+                r = pr["runs"]
+                kn, kn4 = str(pr["n"]), str(pr["n4"])
+                if "2a" in r:
+                    return [r["2a"], r["2b"]], [r[kn4]]
+                if "8a" in r:
+                    return [r[kn]], [r["8a"], r["8b"]]
+                return [r[kn]], [r[kn4]]
+
+            phase_rows = []
+            for pr in healthy_pairs:
+                ln, l4 = _pair_legs(pr)
+                row = {"pair": f"{pr['n']}->{pr['n4']}"}
+                for key, col in (
+                    ("tokenize_docs", "tokenize"),
+                    ("segments", "segments"),
+                    ("merge", "merge"),
+                ):
+                    tn = _phase_mean(ln, key)
+                    t4 = _phase_mean(l4, key)
+                    row[col] = round(tn / (4 * t4), 3) if tn and t4 else None
+                phase_rows.append(row)
+            if phase_rows:
+                lines += [
+                    "",
+                    "### Per-phase scaling efficiency (healthy pairs)",
+                    "",
+                    "eff = T_N / (4 x T_4N) per phase (bracket legs averaged).",
+                    "Tokenize dominates wall time. Segments carries the splice",
+                    "merge (vectorized in r5: numpy splice planning, no",
+                    "per-row Python). merge_index is a ~2-3 s constant",
+                    "driver-side lexicon job that does not grow with input at",
+                    "this SF, so its ratio is job-overhead noise, not a",
+                    "scaling signal.",
+                    "",
+                    "| pair | tokenize eff | segments eff | merge eff |",
+                    "|---|---|---|---|",
+                ]
+                for row in phase_rows:
+                    lines.append(
+                        f"| {row['pair']} | {row['tokenize']} | "
+                        f"{row['segments']} | {row['merge']} |"
+                    )
+                seg_effs = sorted(
+                    r["segments"] for r in phase_rows if r["segments"]
+                )
+                if seg_effs:
+                    smed = round(statistics.median(seg_effs), 3)
+                    lines.append("")
+                    lines.append(
+                        "Segments-phase median across healthy pairs: "
+                        f"**{smed:.3f}**"
+                    )
+                    effs["segments_phase_median"] = smed
         else:
             lines.append(
                 "(no healthy pair landed yet — every window collapsed mid-pair)"
