@@ -162,10 +162,17 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--terms", nargs="+")
     g.add_argument("--prefix", help="prefix query (lexicon range expansion)")
     g.add_argument("--wildcard", help="wildcard query, * and ? (e.g. 'f?st')")
+    g.add_argument("--fuzzy", help="fuzzy term query (edit-distance expansion)")
     g.add_argument("--phrase", nargs="+",
                    help="exact-phrase query (index built with --positions)")
     s.add_argument("--slop", type=int, default=0,
                    help="with --phrase: ordered-window proximity slop")
+    s.add_argument("--max-edits", type=int, default=1,
+                   help="with --fuzzy: 0, 1, or 2 edits")
+    s.add_argument("--prefix-length", type=int, default=0,
+                   help="with --fuzzy: leading chars that must match exactly")
+    s.add_argument("--transpositions", action="store_true",
+                   help="with --fuzzy: count a transposition as one edit")
     s.add_argument("--max-expansions", type=int, default=128)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--mode", choices=["or", "and"], default="or")
@@ -298,6 +305,13 @@ def main(argv: list[str] | None = None) -> int:
                     spark, a.index_root, a.wildcard, a.k, boosts=boosts or None,
                     max_expansions=a.max_expansions,
                 )
+            elif a.fuzzy:
+                df = query.search_multifield_fuzzy(
+                    spark, a.index_root, a.fuzzy, a.k, boosts=boosts or None,
+                    max_edits=a.max_edits, max_expansions=a.max_expansions,
+                    prefix_length=a.prefix_length,
+                    transpositions=a.transpositions,
+                )
             elif a.phrase:
                 df = query.search_multifield_phrase(
                     spark, a.index_root, a.phrase, a.k, boosts=boosts or None,
@@ -324,6 +338,13 @@ def main(argv: list[str] | None = None) -> int:
         elif a.wildcard:
             df = query.search_wildcard(
                 spark, idx, a.wildcard, a.k, max_expansions=a.max_expansions
+            )
+        elif a.fuzzy:
+            df = query.search_fuzzy(
+                spark, idx, a.fuzzy, a.k, max_edits=a.max_edits,
+                max_expansions=a.max_expansions,
+                prefix_length=a.prefix_length,
+                transpositions=a.transpositions,
             )
         elif a.phrase:
             df = (

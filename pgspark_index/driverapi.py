@@ -581,6 +581,30 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
         ),
     )
 
+    # fuzzy term query: edit-distance lexicon expansion (vectorized batch
+    # Levenshtein over the term-sorted lexicon scan) feeding the standard
+    # scorer — the Lucene FuzzyQuery / OpenSearch ``fuzziness`` rewrite
+    # over the keyword subfield (opensearch_mapper.go:17,44-53)
+    FUZZY = "lin"  # misspelling; distance <= 2 -> {big, join, line}
+
+    def bm25_fuzzy(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.search_fuzzy(
+            spark, idx, FUZZY, k=10, max_edits=2, max_expansions=128
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_fuzzy"] = (
+        bm25_fuzzy,
+        _expand_sql.format(
+            tok=TOK_CTE,
+            exp=(
+                "SELECT DISTINCT term FROM tok WHERE "
+                f"levenshtein(term, '{FUZZY}') <= 2 ORDER BY term LIMIT 128"
+            ),
+        ),
+    )
+
     # bool/should with minimum_should_match (between OR and AND)
     MSM_TERMS = ["data", "query", "fast", "vector"]
 

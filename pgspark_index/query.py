@@ -1029,6 +1029,177 @@ def search_wildcard(
     return search(spark, index_dir, terms, k, **kwargs)
 
 
+def _levenshtein_batch(cand, lens, qb, transpositions=False):
+    """Edit distances from query bytes ``qb`` to every row of ``cand`` —
+    an (N, Lmax) zero-padded uint8 matrix of candidate terms with true
+    lengths ``lens`` — as one numpy DP over the whole batch: O(len(q) x
+    Lmax) COLUMN operations, no per-term Python. ``transpositions=True``
+    adds the optimal-string-alignment transposition move (Lucene's
+    fuzziness default); False is classic Levenshtein (what SQL
+    ``levenshtein()`` computes)."""
+    import numpy as np
+
+    n, lmax = cand.shape
+    m = len(qb)
+    prev = np.tile(np.arange(lmax + 1, dtype=np.int32), (n, 1))
+    prevprev = None
+    for i in range(1, m + 1):
+        qc = qb[i - 1]
+        # column j+1 candidates: substitution / deletion-from-candidate
+        cost = prev[:, :-1] + (cand != qc)
+        np.minimum(cost, prev[:, 1:] + 1, out=cost)
+        if transpositions and i >= 2 and lmax >= 2:
+            t = (cand[:, 1:] == qb[i - 2]) & (cand[:, :-1] == qc)
+            cost[:, 1:] = np.where(
+                t, np.minimum(cost[:, 1:], prevprev[:, :-2] + 1), cost[:, 1:]
+            )
+        cur = np.empty((n, lmax + 1), dtype=np.int32)
+        cur[:, 0] = i
+        for j in range(lmax):  # insertion relax: left-to-right prefix scan
+            np.minimum(cost[:, j], cur[:, j] + 1, out=cur[:, j + 1])
+        prevprev, prev = prev, cur
+    return prev[np.arange(n), lens]
+
+
+def expand_fuzzy(
+    index_dir: str,
+    term: str,
+    max_edits: int = 1,
+    max_expansions: int = 128,
+    prefix_length: int = 0,
+    transpositions: bool = False,
+) -> list[str]:
+    """Fuzzy term -> lexicon terms within ``max_edits`` edit distance —
+    the Lucene FuzzyQuery / OpenSearch ``fuzziness`` rewrite over the
+    keyword subfield the reference's mapper emits
+    (opensearch_mapper.go:17,44-53). Same access path as
+    ``expand_wildcard``: a driver-side pyarrow scan of the term-sorted
+    lexicon, streamed batch-by-batch with no Spark job. ``prefix_length``
+    (the ES parameter: first chars that must match exactly) turns the
+    scan into the ``expand_prefix`` RANGE predicate so parquet row-group
+    min/max statistics prune it. Per batch, candidates prune to the
+    ``|len - len(q)| <= max_edits`` window, then one vectorized DP
+    (``_levenshtein_batch``) scores the whole batch. Deterministic cap:
+    the lexicographically first ``max_expansions`` matches (the scan is
+    in term order), same convention as prefix/wildcard."""
+    import glob as _glob
+    import os as _os
+    import warnings
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    if not term:
+        raise ValueError("empty fuzzy term")
+    if max_edits < 0 or max_edits > 2:
+        raise ValueError("max_edits must be 0, 1, or 2 (the Lucene bound)")
+    qb = np.frombuffer(term.encode("utf-8"), dtype=np.uint8)
+    m = len(qb)
+    files = sorted(
+        _glob.glob(_os.path.join(merge.lexicon_path(index_dir), "*.parquet"))
+    )
+    filt = None
+    if prefix_length > 0:
+        lead = term[: min(prefix_length, len(term))]
+        upper = lead[:-1] + chr(ord(lead[-1]) + 1)
+        filt = (ds.field("term") >= lead) & (ds.field("term") < upper)
+    scanner = ds.dataset(files, format="parquet").scanner(
+        columns=["term"], filter=filt, batch_size=64 * 1024
+    )
+    out: list[str] = []
+    truncated = False
+    for batch in scanner.to_batches():
+        if batch.num_rows == 0:
+            continue
+        arr = batch.column("term")
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        buf = arr.buffers()[2]
+        data = (
+            np.frombuffer(buf, dtype=np.uint8)
+            if buf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        lens = offs[1:] - offs[:-1]
+        sel = np.flatnonzero(np.abs(lens - m) <= max_edits)
+        if not sel.size or not data.size:
+            continue
+        lens_s = lens[sel]
+        lmax = int(lens_s.max())
+        idx = offs[sel][:, None] + np.arange(lmax)
+        mask = np.arange(lmax) < lens_s[:, None]
+        cand = np.zeros((sel.size, lmax), dtype=np.uint8)
+        np.copyto(cand, data[np.minimum(idx, data.size - 1)], where=mask)
+        dists = _levenshtein_batch(cand, lens_s, qb, transpositions)
+        hits = sel[dists <= max_edits]
+        if hits.size:
+            out.extend(arr.take(pa.array(hits)).to_pylist())
+        if len(out) > max_expansions:
+            truncated = True
+            break
+    out = sorted(set(out))
+    if truncated or len(out) > max_expansions:
+        warnings.warn(
+            f"fuzzy {term!r} (max_edits={max_edits}) expansion truncated to "
+            f"the first {max_expansions} lexicon matches",
+            stacklevel=2,
+        )
+    return out[:max_expansions]
+
+
+def search_fuzzy(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    k: int = 10,
+    max_edits: int = 1,
+    max_expansions: int = 128,
+    prefix_length: int = 0,
+    transpositions: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """Fuzzy query via expand-then-score (scoring_boolean rewrite — each
+    expanded term keeps its own idf, like prefix/wildcard)."""
+    terms = expand_fuzzy(
+        index_dir, term, max_edits, max_expansions, prefix_length,
+        transpositions,
+    )
+    return search(spark, index_dir, terms, k, **kwargs)
+
+
+def search_multifield_fuzzy(
+    spark: SparkSession,
+    field_indexes: dict[str, str] | str,
+    term: str,
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    max_edits: int = 1,
+    max_expansions: int = 128,
+    prefix_length: int = 0,
+    transpositions: bool = False,
+) -> DataFrame:
+    """Fuzzy query over a multi-field index: per-field lexicon expansion,
+    union, sum-fused multifield BM25 (the multi_match + fuzziness
+    shape)."""
+    if isinstance(field_indexes, str):
+        field_indexes = discover_fields(field_indexes)
+    terms = sorted(
+        {
+            t
+            for d in field_indexes.values()
+            for t in expand_fuzzy(
+                d, term, max_edits, max_expansions, prefix_length,
+                transpositions,
+            )
+        }
+    )
+    if not terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    return search_multifield(spark, field_indexes, terms, k, boosts=boosts)
+
+
 def search_phrase(
     spark: SparkSession,
     index_dir: str,
