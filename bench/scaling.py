@@ -337,6 +337,14 @@ def main():
         # and eff = 4N-throughput / (4 x mean of the two N runs).
         want = rounds
         spread_gate = float(os.environ.get("BRACKET_SPREAD", "0.2"))
+        # MID_REPS: run the un-bracketed middle leg K times and score the
+        # pair on the MEDIAN middle throughput. The bracket certifies the
+        # window held across the pair, but a single middle leg still
+        # samples one window — the r4 healthy-pair effs straddled the
+        # fixed-window ratio (0.605..1.485) exactly because of that one
+        # free variable. Median-of-K shrinks it without changing what the
+        # bracket certifies.
+        mid_reps = max(1, int(os.environ.get("MID_REPS", "1")))
 
         def _healthy_count(n, n4):
             return len(
@@ -361,35 +369,47 @@ def main():
             # the A-B-A exposure window shrinks accordingly); BRACKET_LEVEL=n
             # brackets the N level instead
             bracket_n = os.environ.get("BRACKET_LEVEL", "4n") == "n"
+            mid_level = n4 if bracket_n else n
             try:
                 if bracket_n:
                     ra = run(n, n_docs, input_dir)
-                    rmid = run(n4, n_docs, input_dir)
+                    rmids = [run(mid_level, n_docs, input_dir)
+                             for _ in range(mid_reps)]
                     rb = run(n, n_docs, input_dir)
                 else:
                     ra = run(n4, n_docs, input_dir)
-                    rmid = run(n, n_docs, input_dir)
+                    rmids = [run(mid_level, n_docs, input_dir)
+                             for _ in range(mid_reps)]
                     rb = run(n4, n_docs, input_dir)
             except Exception as exc:  # noqa: BLE001
                 print(f"FAILED pair: {str(exc)[:500]}")
                 continue
             da, db = ra["docs_per_sec"], rb["docs_per_sec"]
             spread = abs(da - db) / min(da, db)
+            # median middle run (for even K: the run closest to the median)
+            mid_dps = sorted(r["docs_per_sec"] for r in rmids)
+            mid_med = statistics.median(mid_dps)
+            rmid = min(rmids, key=lambda r: abs(r["docs_per_sec"] - mid_med))
+            extras = [r for r in rmids if r is not rmid]
             if bracket_n:
-                eff = rmid["docs_per_sec"] / (4 * (da + db) / 2)
+                eff = mid_med / (4 * (da + db) / 2)
                 pair_runs = {"2a": ra, str(n4): rmid, "2b": rb}
             else:
-                eff = ((da + db) / 2) / (4 * rmid["docs_per_sec"])
+                eff = ((da + db) / 2) / (4 * mid_med)
                 pair_runs = {"8a": ra, str(n): rmid, "8b": rb}
+            for i, r in enumerate(extras):
+                pair_runs[f"{mid_level}x{i + 1}"] = r
             healthy = spread <= spread_gate
             pair = {
                 "n": n, "n4": n4, "eff": round(eff, 3), "healthy": healthy,
                 "bracket_spread": round(spread, 3),
                 "n_docs": n_docs, "start_probe": round(p, 1),
+                "mid_reps": mid_reps,
+                "mid_dps": [round(x, 1) for x in mid_dps],
                 "runs": pair_runs,
             }
             pair_results.append(pair)
-            for r in (ra, rmid, rb):
+            for r in (ra, *rmids, rb):
                 _accept(r, p)
             print("PAIR " + json.dumps(pair), flush=True)
             with open(pairs_path, "a") as f:
@@ -466,6 +486,11 @@ def main():
             "working set (pure spin processes at 10-14 busy cores do NOT",
             "dent it) — an artifact separate executor NODES would not have.",
             "Probe series are still recorded per run as secondary evidence.",
+            "Where a pair record carries mid_reps > 1, the un-bracketed",
+            "middle leg was run that many times back-to-back and the pair is",
+            "scored on the MEDIAN middle throughput (the 4N column lists the",
+            "median leg first, then the extras) — this shrinks the one",
+            "window-sampling free variable the bracket cannot certify.",
             "",
             "| pair | N build s (a/b) | 4N build s | bracket spread | efficiency | in-run probe min (a/mid/b) | in-run bw min GB/s (a/mid/b) | healthy |",
             "|---|---|---|---|---|---|---|---|",
@@ -479,8 +504,11 @@ def main():
             if "2a" in r:  # bracketed on N
                 rna, rnb, rn4 = r["2a"], r["2b"], r[str(pr["n4"])]
                 abc = (rna, rn4, rnb)
-                cells = (f"{rna['build_sec']} / {rnb['build_sec']}",
-                         f"{rn4['build_sec']}")
+                # median mid first, then any MID_REPS extras
+                mid_extra = [str(r[k]["build_sec"]) for k in sorted(r)
+                             if k.startswith(f"{pr['n4']}x")]
+                midcell = " / ".join([str(rn4["build_sec"])] + mid_extra)
+                cells = (f"{rna['build_sec']} / {rnb['build_sec']}", midcell)
             elif "8a" in r:  # bracketed on 4N
                 rma, rmb, rn = r["8a"], r["8b"], r[str(pr["n"])]
                 abc = (rma, rn, rmb)
