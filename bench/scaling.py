@@ -352,19 +352,25 @@ def main():
                  if p["healthy"] and p["n"] == n and p["n4"] == n4]
             )
 
-        while attempts < max_attempts and any(
+        # SCALING_WALL_SECS bounds the campaign by wall clock; probe SKIPs
+        # do not consume attempts (a degraded hour would otherwise burn the
+        # whole attempt budget in 20 s skips) — the wall clock is the
+        # backstop against a host that never recovers.
+        wall = float(os.environ.get("SCALING_WALL_SECS", "inf"))
+        t_start = time.time()
+        while attempts < max_attempts and time.time() - t_start < wall and any(
             _healthy_count(n, n4) < want for (n, n4) in pairs
         ):
-            attempts += 1
             # round-robin over EVERY configured pair (not just pairs[0]),
             # skipping pairs that already have enough healthy evidence
             todo = [pr for pr in pairs if _healthy_count(*pr) < want]
-            n, n4 = todo[(attempts - 1) % len(todo)]
+            n, n4 = todo[attempts % len(todo)]
             p = probe_per_core()
             if p < SPIN_GATE:
                 print(f"SKIP pair: host degraded (probe {p:.1f} < {SPIN_GATE})")
                 time.sleep(20)
                 continue
+            attempts += 1
             # bracket the 4N level by default (its runs are ~4x shorter, so
             # the A-B-A exposure window shrinks accordingly); BRACKET_LEVEL=n
             # brackets the N level instead
