@@ -163,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--prefix", help="prefix query (lexicon range expansion)")
     g.add_argument("--wildcard", help="wildcard query, * and ? (e.g. 'f?st')")
     g.add_argument("--fuzzy", help="fuzzy term query (edit-distance expansion)")
+    g.add_argument("--regexp", help="regexp term query (anchored over the term)")
     g.add_argument("--phrase", nargs="+",
                    help="exact-phrase query (index built with --positions)")
     s.add_argument("--slop", type=int, default=0,
@@ -182,6 +183,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="bool.must_not terms")
     s.add_argument("--ranges", type=int, default=0,
                    help=">0: doc-range-parallel scoring with this many ranges")
+    s.add_argument("--after", nargs=2, metavar=("SCORE", "DOC_ID"), default=None,
+                   help="search_after cursor: page strictly after this "
+                        "(score, doc_id) in the global order")
 
     h = sub.add_parser("hybrid", help="fused BM25 + vector top-k (RRF/linear)")
     h.add_argument("--index", required=True, help="text index dir")
@@ -317,6 +321,8 @@ def main(argv: list[str] | None = None) -> int:
                     spark, a.index_root, a.phrase, a.k, boosts=boosts or None,
                     slop=a.slop,
                 )
+            elif a.regexp:
+                p.error("--regexp is not supported with --index-root")
             else:
                 df = query.search_multifield(
                     spark, a.index_root, a.terms, a.k, boosts=boosts or None
@@ -334,6 +340,10 @@ def main(argv: list[str] | None = None) -> int:
         if a.prefix:
             df = query.search_prefix(
                 spark, idx, a.prefix, a.k, max_expansions=a.max_expansions
+            )
+        elif a.regexp:
+            df = query.search_regexp(
+                spark, idx, a.regexp, a.k, max_expansions=a.max_expansions
             )
         elif a.wildcard:
             df = query.search_wildcard(
@@ -354,6 +364,12 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif a.ranges > 0:
             df = query.search_ranged(spark, idx, a.terms, a.k, ranges=a.ranges)
+        elif a.after is not None:
+            df = query.search_after(
+                spark, idx, a.terms, a.k,
+                after=(float(a.after[0]), int(a.after[1])),
+                exclude_terms=a.exclude_terms,
+            )
         else:
             df = query.search(
                 spark, idx, a.terms, a.k, strategy=a.strategy, mode=a.mode,

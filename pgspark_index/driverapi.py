@@ -162,11 +162,13 @@ def bm25_sql(
     require_all: bool = False,
     doc_filter_cte: str | None = None,
     min_match: int | None = None,
+    offset: int = 0,
 ) -> str:
     """BM25 top-k oracle. ``require_all`` = conjunctive (every term);
     ``min_match`` = minimum distinct matching terms (bool/should shape);
     ``doc_filter_cte`` = SQL for a `match(doc_id)` CTE restricting the
-    scored docs (metadata filters, phrase matches)."""
+    scored docs (metadata filters, phrase matches); ``offset`` = skip the
+    first N of the global order (search_after page equivalence)."""
     uniq = sorted(set(terms))
     tlist = ", ".join(f"'{t}'" for t in uniq)
     match_cte = f",\nmatch AS ({doc_filter_cte})" if doc_filter_cte else ""
@@ -190,7 +192,8 @@ contrib AS (
 ),
 scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id {having})
 SELECT doc_id, round(score, 4) AS score
-FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}{
+    f" OFFSET {offset}" if offset else ""}
 """
 
 
@@ -631,6 +634,73 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
         ),
     )
 
+    # regexp term query: anchored-regex lexicon expansion (streamed scan,
+    # lead-literal range pruning), scoring_boolean rewrite
+    REGEXP = "qu[ae]ry"
+
+    def bm25_regexp(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.search_regexp(spark, idx, REGEXP, k=10, max_expansions=128)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    _rx_exp = (
+        f"SELECT DISTINCT term FROM tok WHERE "
+        f"regexp_full_match(term, '{REGEXP}') ORDER BY term LIMIT 128"
+    )
+    R["bm25_regexp"] = (
+        bm25_regexp, _expand_sql.format(tok=TOK_CTE, exp=_rx_exp)
+    )
+
+    # search_after deep pagination: page 2 via the page-1 tail cursor must
+    # equal the oracle's OFFSET 10 window of the same global order
+    def bm25_search_after(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        tail = query.search(spark, idx, BM25_HEAD_TERMS, 10).collect()[-1]
+        res = query.search_after(
+            spark, idx, BM25_HEAD_TERMS, 10,
+            after=(float(tail["score"]), int(tail["doc_id"])),
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_search_after"] = (
+        bm25_search_after, bm25_sql(BM25_HEAD_TERMS, offset=10)
+    )
+
+    # highlighting: top-k plus matched terms and a token-window snippet
+    # from the same normalized token stream the index scored
+    def bm25_highlight(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        docs = _documents(spark, sf_dir).select("doc_id", "text")
+        res = query.search_highlight(
+            spark, idx, BM25_HEAD_TERMS, 10, docs, text_col="text", window=3
+        )
+        return res.select(
+            "doc_id", F.round("score", 4).alias("score"),
+            "matched_terms", "snippet",
+        )
+
+    _hl_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_HEAD_TERMS)))
+    R["bm25_highlight"] = (
+        bm25_highlight,
+        f"""
+WITH top AS ({bm25_sql(BM25_HEAD_TERMS)}),
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       FROM documents JOIN top USING (doc_id)),
+hl AS (SELECT doc_id,
+       list_position(list_transform(toks,
+           t -> CASE WHEN list_contains([{_hl_terms}], t) THEN 1 ELSE 0 END), 1)
+         AS fp,
+       toks FROM tl)
+SELECT top.doc_id, top.score,
+       array_to_string(list_filter([{_hl_terms}],
+           t -> list_contains(toks, t)), ',') AS matched_terms,
+       array_to_string(toks[greatest(1, fp - 3):greatest(1, fp - 3) + 6], ' ')
+         AS snippet
+FROM hl JOIN top USING (doc_id)
+ORDER BY top.score DESC, top.doc_id ASC
+""",
+    )
+
     # fuzzy term query: edit-distance lexicon expansion (vectorized batch
     # Levenshtein over the term-sorted lexicon scan) feeding the standard
     # scorer — the Lucene FuzzyQuery / OpenSearch ``fuzziness`` rewrite
@@ -704,6 +774,97 @@ m AS (SELECT doc_id FROM (SELECT DISTINCT doc_id, term FROM tok
 SELECT lang AS facet, count(*)::BIGINT AS doc_count
 FROM documents JOIN m USING (doc_id)
 GROUP BY 1 ORDER BY doc_count DESC, facet ASC
+""",
+    )
+
+    # ---- OpenSearch aggregation parity over the same match set ----
+    _m_cte = (
+        "m AS (SELECT doc_id FROM (SELECT DISTINCT doc_id, term FROM tok "
+        "WHERE term IN ('data', 'query')) GROUP BY doc_id)"
+    )
+
+    def agg_histogram(spark, sf_dir):
+        """Numeric histogram aggregation (fixed-interval buckets of
+        documents.n_chars over the boolean match set)."""
+        idx = docs_index(spark, sf_dir)
+        meta = _documents(spark, sf_dir).select("doc_id", "n_chars")
+        res = query.search_histogram(
+            spark, idx, FACET_TERMS, meta, "n_chars", 200.0
+        )
+        return res.select(
+            F.col("bucket").cast("double").alias("bucket"), "doc_count"
+        )
+
+    R["search_agg_histogram"] = (
+        agg_histogram,
+        f"""
+WITH {TOK_CTE},
+{_m_cte}
+SELECT floor(n_chars / 200.0) * 200.0 AS bucket, count(*)::BIGINT AS doc_count
+FROM documents JOIN m USING (doc_id)
+GROUP BY 1 ORDER BY bucket ASC
+""",
+    )
+
+    def agg_stats(spark, sf_dir):
+        """Stats aggregation (count/min/max/sum/avg of n_chars over the
+        match set) — one row."""
+        idx = docs_index(spark, sf_dir)
+        meta = _documents(spark, sf_dir).select("doc_id", "n_chars")
+        res = query.search_stats(spark, idx, FACET_TERMS, meta, "n_chars")
+        return res.select(
+            "value_count",
+            F.col("min_value").cast("bigint").alias("min_value"),
+            F.col("max_value").cast("bigint").alias("max_value"),
+            F.col("sum_value").cast("bigint").alias("sum_value"),
+            F.round("avg_value", 4).alias("avg_value"),
+        )
+
+    R["search_agg_stats"] = (
+        agg_stats,
+        f"""
+WITH {TOK_CTE},
+{_m_cte}
+SELECT count(n_chars)::BIGINT AS value_count,
+       min(n_chars)::BIGINT AS min_value,
+       max(n_chars)::BIGINT AS max_value,
+       sum(n_chars)::BIGINT AS sum_value,
+       round(avg(n_chars), 4) AS avg_value
+FROM documents JOIN m USING (doc_id)
+""",
+    )
+
+    def agg_date_histogram(spark, sf_dir):
+        """date_histogram aggregation: documents carry no timestamp, so a
+        deterministic derived one (epoch + (doc_id % 200) hours) exercises
+        the real path — match-set semi-join, date_trunc('day') buckets."""
+        idx = docs_index(spark, sf_dir)
+        meta = _documents(spark, sf_dir).select(
+            "doc_id",
+            F.expr(
+                "timestamp'2025-01-01 00:00:00' + "
+                "make_interval(0, 0, 0, 0, CAST(doc_id % 200 AS INT), 0, 0)"
+            ).alias("ts"),
+        )
+        res = query.search_date_histogram(
+            spark, idx, FACET_TERMS, meta, "ts", "day"
+        )
+        return res.select(
+            F.date_format("bucket", "yyyy-MM-dd").alias("bucket"), "doc_count"
+        )
+
+    R["search_agg_date_histogram"] = (
+        agg_date_histogram,
+        f"""
+WITH {TOK_CTE},
+{_m_cte},
+ts AS (SELECT doc_id,
+       TIMESTAMP '2025-01-01 00:00:00' + (doc_id % 200) * INTERVAL 1 HOUR AS ts
+       FROM documents)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM ts JOIN m USING (doc_id)
+GROUP BY 1 ORDER BY bucket ASC
 """,
     )
 

@@ -411,6 +411,66 @@ def search(
     return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_after(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = 10,
+    after: tuple[float, int] = (float("inf"), -1),
+    exclude_terms: list[str] | None = None,
+) -> DataFrame:
+    """Deep pagination (the OpenSearch ``search_after`` cursor): the next
+    k results STRICTLY after ``after`` = (score, doc_id) in the global
+    (score DESC, doc_id ASC) order -> DataFrame(doc_id, score).
+
+    Stateless and exact at any page depth: each unit computes its local
+    top-k among after-cursor docs (``wand.score_exhaustive_after`` — the
+    cursor mask is applied to FINAL scores, which is why this path is
+    exhaustive rather than MaxScore: no partial-score threshold is sound
+    when eligibility depends on the final score vs the cursor), per-unit
+    emission stays <= k, and the global merge is a TakeOrderedAndProject.
+    Unlike from+size pagination, memory is O(k) per unit regardless of
+    depth. Cursor equality is reliable because page N's scores were
+    computed by this same accumulation order (bit-identical floats)."""
+    stats = merge.load_stats(index_dir)
+    terms = sorted(set(terms))
+    neg_terms = sorted(set(exclude_terms or []))
+    all_idfs = _term_idfs(
+        spark, index_dir, sorted(set(terms + neg_terms)), stats["n_docs"]
+    )
+    idfs = {t: v for t, v in all_idfs.items() if t in terms}
+    neg_present = [t for t in neg_terms if t in all_idfs]
+    present = sorted(idfs)
+    if not present:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    avgdl = float(stats["avgdl"])
+    excluder = _tombstone_excluder(index_dir)
+    cursor = (float(after[0]), int(after[1]))
+
+    seg = (
+        _seg_scan(spark, index_dir, stats["units"])
+        .filter(F.col("term").isin(present + neg_present))
+        .select(
+            "unit", "term", "df", "postings",
+            "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+        )
+    )
+
+    def score_unit(key, pdf):
+        import pandas as pd
+
+        sc = _sidecar(index_dir, key[0])
+        pdf, neg_ords = _split_must_not(pdf, neg_present)
+        docs, scores = wand.score_exhaustive_after(
+            _rows_to_lists(pdf, idfs), avgdl, k, sc, cursor,
+            exclude=_merge_excludes(sc.ords_of_docs(excluder(key[0])), neg_ords),
+        )
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    per_unit = seg.groupBy("unit").applyInPandas(score_unit, schema=RESULT_SCHEMA)
+    return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 UNIT_RESULT_SCHEMA = "unit int, doc_id bigint, score double"
 
 
@@ -937,30 +997,23 @@ def expand_prefix(
     return terms[:max_expansions]
 
 
-def expand_wildcard(
-    index_dir: str, pattern: str, max_expansions: int = 128
+def _expand_lexicon_regex(
+    index_dir: str, rx: str, lead: str, max_expansions: int, what: str
 ) -> list[str]:
-    """Wildcard pattern (``*`` = any run, ``?`` = one char) -> matching
-    lexicon terms. The leading literal segment prunes via the same range
-    predicate as ``expand_prefix``; the full pattern is verified with an
-    anchored regex STREAMED over the dataset scanner batch-by-batch
-    (pyarrow C++ ``match_substring_regex``) with early exit once
-    ``max_expansions`` matches are found — no uncapped driver-side
+    """Anchored-regex lexicon expansion, STREAMED over the dataset scanner
+    batch-by-batch (pyarrow C++ ``match_substring_regex``) with early exit
+    once ``max_expansions`` matches are found — no uncapped driver-side
     ``to_pylist`` materialization, and no pre-verification candidate cap
-    that could silently miss matches behind a hot leading literal. When
-    the cap truncates the (deterministic, lexicographically first) match
-    set, a warning surfaces it."""
-    import re as _re
+    that could silently miss matches behind a hot leading literal.
+    ``lead`` (a REQUIRED literal prefix of every match, possibly empty)
+    prunes via the same range predicate as ``expand_prefix``. When the cap
+    truncates the (deterministic, lexicographically first) match set, a
+    warning surfaces it."""
     import warnings
 
     import pyarrow.compute as pc
     import pyarrow.dataset as ds
 
-    lead = _re.split(r"[*?]", pattern, maxsplit=1)[0]
-    rx = "^" + "".join(
-        ".*" if c == "*" else "." if c == "?" else _re.escape(c)
-        for c in pattern
-    ) + "$"
     import glob as _glob
     import os as _os
 
@@ -993,11 +1046,56 @@ def expand_wildcard(
     out = sorted(set(out))
     if truncated or len(out) > max_expansions:
         warnings.warn(
-            f"wildcard {pattern!r} expansion truncated to the first "
+            f"{what} expansion truncated to the first "
             f"{max_expansions} lexicon matches",
-            stacklevel=2,
+            stacklevel=3,
         )
     return out[:max_expansions]
+
+
+def expand_wildcard(
+    index_dir: str, pattern: str, max_expansions: int = 128
+) -> list[str]:
+    """Wildcard pattern (``*`` = any run, ``?`` = one char) -> matching
+    lexicon terms, via the streamed anchored-regex scan
+    (``_expand_lexicon_regex``); the leading literal segment prunes via
+    the range predicate."""
+    import re as _re
+
+    lead = _re.split(r"[*?]", pattern, maxsplit=1)[0]
+    rx = "^" + "".join(
+        ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+        for c in pattern
+    ) + "$"
+    return _expand_lexicon_regex(
+        index_dir, rx, lead, max_expansions, f"wildcard {pattern!r}"
+    )
+
+
+def expand_regexp(
+    index_dir: str, pattern: str, max_expansions: int = 128
+) -> list[str]:
+    """Regexp term query (the OpenSearch ``regexp`` DSL shape): the
+    pattern is anchored over the WHOLE term and expanded against the
+    lexicon with the same streamed scan as wildcard. A literal prefix is
+    extracted for range pruning only when it is provably REQUIRED of
+    every match: no top-level alternation in the pattern, and the
+    character after the literal run not a quantifier that could make its
+    last char optional (ES builds the equivalent from the automaton;
+    a conservative syntactic check suffices here)."""
+    import re as _re
+
+    lead = ""
+    if "|" not in pattern:
+        m = _re.match(r"[a-z0-9]+", pattern)
+        if m:
+            lead = m.group(0)
+            if pattern[m.end():m.end() + 1] in ("?", "*", "{"):
+                lead = lead[:-1]  # last literal char is quantified
+    return _expand_lexicon_regex(
+        index_dir, f"^(?:{pattern})$", lead, max_expansions,
+        f"regexp {pattern!r}",
+    )
 
 
 def search_prefix(
@@ -1026,6 +1124,21 @@ def search_wildcard(
 ) -> DataFrame:
     """Wildcard query via expand-then-score (scoring_boolean rewrite)."""
     terms = expand_wildcard(index_dir, pattern, max_expansions)
+    return search(spark, index_dir, terms, k, **kwargs)
+
+
+def search_regexp(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 128,
+    **kwargs,
+) -> DataFrame:
+    """Regexp term query via expand-then-score (scoring_boolean rewrite,
+    each expanded term keeping its own idf) — the OpenSearch ``regexp``
+    query the reference's search path exposes through the query DSL."""
+    terms = expand_regexp(index_dir, pattern, max_expansions)
     return search(spark, index_dir, terms, k, **kwargs)
 
 
@@ -1408,6 +1521,131 @@ def search_facets(
         .agg(F.count(F.lit(1)).alias("doc_count"))
         .orderBy(F.desc("doc_count"), F.asc("facet"))
     )
+
+
+def search_date_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    meta_df: DataFrame,
+    ts_col: str,
+    interval: str = "day",
+    mode: str = "or",
+) -> DataFrame:
+    """OpenSearch date_histogram aggregation over the boolean match set:
+    -> DataFrame(bucket timestamp, doc_count), bucket ASC. Same
+    distributed semi-join-then-aggregate shape as ``search_facets`` with
+    a ``date_trunc`` bucket key — JVM-only expressions end to end.
+    ``interval``: any date_trunc unit (hour/day/week/month/...)."""
+    matched = match_docs(spark, index_dir, terms, mode=mode)
+    return (
+        meta_df.join(matched.select("doc_id"), "doc_id")
+        .groupBy(F.date_trunc(interval, F.col(ts_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.asc("bucket"))
+    )
+
+
+def search_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    meta_df: DataFrame,
+    value_col: str,
+    interval: float,
+    mode: str = "or",
+) -> DataFrame:
+    """OpenSearch numeric histogram aggregation over the boolean match
+    set: buckets of fixed ``interval`` width keyed by
+    floor(value / interval) * interval -> DataFrame(bucket, doc_count),
+    bucket ASC. JVM-only, same shape as ``search_facets``."""
+    matched = match_docs(spark, index_dir, terms, mode=mode)
+    bucket = (
+        F.floor(F.col(value_col) / F.lit(interval)) * F.lit(interval)
+    ).alias("bucket")
+    return (
+        meta_df.join(matched.select("doc_id"), "doc_id")
+        .groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.asc("bucket"))
+    )
+
+
+def search_stats(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    meta_df: DataFrame,
+    value_col: str,
+    mode: str = "or",
+) -> DataFrame:
+    """OpenSearch stats aggregation over the boolean match set: ONE row
+    (value_count, min_value, max_value, sum_value, avg_value) of
+    ``meta_df.<value_col>`` across matching docs. Fully distributed
+    partial+final aggregate; nothing per-doc reaches the driver."""
+    matched = match_docs(spark, index_dir, terms, mode=mode)
+    c = F.col(value_col)
+    return (
+        meta_df.join(matched.select("doc_id"), "doc_id")
+        .agg(
+            F.count(c).alias("value_count"),
+            F.min(c).alias("min_value"),
+            F.max(c).alias("max_value"),
+            F.sum(c).alias("sum_value"),
+            F.avg(c).alias("avg_value"),
+        )
+    )
+
+
+def search_highlight(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int,
+    docs_df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    **kwargs,
+) -> DataFrame:
+    """Highlighting (the OpenSearch ``highlight`` DSL shape): top-k BM25,
+    then for each hit a snippet around the FIRST occurrence of any query
+    term in the SAME normalized token stream the index was built from —
+    tokens [p-window, p+window] space-joined — plus the sorted list of
+    query terms the doc contains. -> DataFrame(doc_id, score,
+    matched_terms, snippet), (score DESC, doc_id ASC).
+
+    The snippet computation is pure JVM Column expressions over the <= k
+    joined rows (regexp_extract_all + array ops; no Python UDF); the join
+    against ``docs_df`` is a broadcast of the k-row result side."""
+    qterms = sorted(set(terms))
+    hits = search(spark, index_dir, qterms, k, **kwargs)
+    qarr = F.array(*[F.lit(t) for t in qterms])
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    joined = docs_df.join(F.broadcast(hits), "doc_id").withColumn("_toks", toks)
+    first_pos = F.array_position(
+        F.transform(F.col("_toks"), lambda t: _qterm_flag(qarr, t)), 1
+    )
+    start = F.greatest(F.lit(1), first_pos - window)
+    return (
+        joined.withColumn(
+            "matched_terms",
+            F.array_join(
+                F.filter(qarr, lambda t: F.array_contains(F.col("_toks"), t)),
+                ",",
+            ),
+        )
+        .withColumn(
+            "snippet",
+            F.array_join(F.slice(F.col("_toks"), start, 2 * window + 1), " "),
+        )
+        .select("doc_id", "score", "matched_terms", "snippet")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _qterm_flag(qarr, t):
+    """1 when token t is a query term else 0 (array_position probe key)."""
+    return F.when(F.array_contains(qarr, t), F.lit(1)).otherwise(F.lit(0))
 
 
 def search_batch(

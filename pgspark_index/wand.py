@@ -85,11 +85,16 @@ def _term_ranks(lists: list[dict]) -> dict[str, int]:
     return {t: i for i, t in enumerate(sorted({l["term"] for l in lists}))}
 
 
-def _exact_topk(all_docs, all_contribs, all_tranks, k: int, doc_of=None):
+def _exact_topk(all_docs, all_contribs, all_tranks, k: int, doc_of=None,
+                after=None):
     """Sum contributions per doc key strictly in term order; top-k by
     (score DESC, doc_id ASC) — on the MAPPED doc_id when ``doc_of`` is
     given (ordinal-keyed lists), so the tie-break matches the oracle's
     regardless of ordinal order.
+
+    ``after``: optional (score, doc_id) cursor — keep only docs ranking
+    STRICTLY after it in (score DESC, doc_id ASC) order (search_after
+    pagination). Applied to final scores, before top-k selection.
 
     Accumulates term-at-a-time with `+=` into a per-doc accumulator —
     bit-identical to the oracle's sequential loop. (np.add.reduceat is NOT
@@ -106,6 +111,10 @@ def _exact_topk(all_docs, all_contribs, all_tranks, k: int, doc_of=None):
         idx = np.searchsorted(uniq_docs, doc)
         acc[idx] += all_contribs[i]  # unique idx per call (one list, unique docs)
     mapped = doc_of(uniq_docs) if doc_of is not None else uniq_docs
+    if after is not None:
+        s_a, d_a = float(after[0]), int(after[1])
+        elig = (acc < s_a) | ((acc == s_a) & (mapped > d_a))
+        mapped, acc = mapped[elig], acc[elig]
     # tie-safe top-k: lexsort by (score DESC, doc_id ASC). argpartition would
     # break ties at the k boundary arbitrarily.
     sel = np.lexsort((mapped, -acc))[:k]
@@ -131,6 +140,33 @@ def score_exhaustive(
         all_contribs.append(contrib)
         all_tranks.append(np.full(doc.size, ranks[lst["term"]], dtype=np.int32))
     return _exact_topk(all_docs, all_contribs, all_tranks, k, sc.doc_of)
+
+
+def score_exhaustive_after(
+    lists: list[dict], avgdl: float, k: int, sc, after,
+    exclude: np.ndarray | None = None, include: np.ndarray | None = None,
+):
+    """search_after pagination scorer: top-k among docs ranking STRICTLY
+    after the (score, doc_id) cursor in (score DESC, doc_id ASC) order.
+
+    Rides the exhaustive TAAT path on purpose: no pruning threshold is
+    sound when eligibility depends on the FINAL score vs the cursor — a
+    doc whose partial score exceeds the cursor can still tie it finally,
+    and MaxScore/BMW's unfiltered kth-partial threshold would prune
+    after-cursor docs that rank below the unit's unfiltered top-k. Every
+    matching doc's final score is computed (vectorized numpy), the cursor
+    mask is applied, then top-k — exact at any page depth; the per-unit
+    emission stays <= k."""
+    ranks = _term_ranks(lists)
+    all_docs, all_contribs, all_tranks = [], [], []
+    for lst in lists:
+        doc, contrib = _decoded_contribs(lst, avgdl, sc, exclude, include)
+        all_docs.append(doc)
+        all_contribs.append(contrib)
+        all_tranks.append(np.full(doc.size, ranks[lst["term"]], dtype=np.int32))
+    return _exact_topk(
+        all_docs, all_contribs, all_tranks, k, sc.doc_of, after=after
+    )
 
 
 def _list_upper_bound(lst: dict, avgdl: float) -> float:
