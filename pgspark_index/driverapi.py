@@ -701,6 +701,94 @@ ORDER BY top.score DESC, top.doc_id ASC
 """,
     )
 
+    # more_like_this: seed doc's top tf*idf terms (against the index's own
+    # dfs) -> standard BM25 top-k, seed excluded
+    MLT_SEED = 42
+
+    def bm25_more_like_this(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        seed = (
+            _documents(spark, sf_dir)
+            .filter(F.col("doc_id") == MLT_SEED).collect()[0]["text"]
+        )
+        res = query.more_like_this(
+            spark, idx, seed, k=10, max_query_terms=10,
+            exclude_doc_id=MLT_SEED,
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_more_like_this"] = (
+        bm25_more_like_this,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+seedtf AS (SELECT term, count(*)::BIGINT AS stf FROM tok
+           WHERE doc_id = {MLT_SEED} GROUP BY 1),
+qt AS (SELECT term FROM seedtf JOIN df USING (term) CROSS JOIN st
+       ORDER BY stf * ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) DESC,
+                term ASC LIMIT 10),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN qt USING (term) JOIN df USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib
+           WHERE doc_id <> {MLT_SEED} GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    )
+
+    # boolean match set shared by facet/aggregation entries
+    FACET_TERMS = ["data", "query"]
+    _m_cte = (
+        "m AS (SELECT doc_id FROM (SELECT DISTINCT doc_id, term FROM tok "
+        "WHERE term IN ('data', 'query')) GROUP BY doc_id)"
+    )
+
+    # significant_terms aggregation: JLH-scored overrepresentation of the
+    # match set's vocabulary vs the index-wide background
+    def search_significant_terms(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        docs = _documents(spark, sf_dir).select("doc_id", "text")
+        res = query.significant_terms(
+            spark, idx, FACET_TERMS, docs, n=10, min_doc_count=3
+        )
+        return res.select(
+            "term", "fg_count", F.round("score", 6).alias("score")
+        )
+
+    R["search_significant_terms"] = (
+        search_significant_terms,
+        f"""
+WITH {TOK_CTE},
+{_m_cte},
+nm AS (SELECT count(*)::BIGINT AS nm FROM m),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_count
+       FROM tok JOIN m USING (doc_id)
+       WHERE term NOT IN ('data', 'query')
+       GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_count
+       FROM tok GROUP BY 1)
+SELECT term, fg_count,
+       round((fg_count / CAST(nm AS DOUBLE) - bg_count / CAST(n AS DOUBLE))
+             * ((fg_count / CAST(nm AS DOUBLE)) / (bg_count / CAST(n AS DOUBLE))),
+             6) AS score
+FROM fg JOIN bg USING (term) CROSS JOIN nm CROSS JOIN nn
+ORDER BY (fg_count / CAST(nm AS DOUBLE) - bg_count / CAST(n AS DOUBLE))
+         * ((fg_count / CAST(nm AS DOUBLE)) / (bg_count / CAST(n AS DOUBLE))) DESC,
+         term ASC
+LIMIT 10
+""",
+    )
+
     # fuzzy term query: edit-distance lexicon expansion (vectorized batch
     # Levenshtein over the term-sorted lexicon scan) feeding the standard
     # scorer — the Lucene FuzzyQuery / OpenSearch ``fuzziness`` rewrite
@@ -757,8 +845,6 @@ ORDER BY top.score DESC, top.doc_id ASC
     )
     R["bm25_proximity"] = (bm25_proximity, bm25_sql(PROX, doc_filter_cte=_prox_cte))
 
-    # facet counts over the boolean match set (terms-aggregation analog)
-    FACET_TERMS = ["data", "query"]
 
     def search_facets_lang(spark, sf_dir):
         idx = docs_index(spark, sf_dir)
@@ -778,10 +864,6 @@ GROUP BY 1 ORDER BY doc_count DESC, facet ASC
     )
 
     # ---- OpenSearch aggregation parity over the same match set ----
-    _m_cte = (
-        "m AS (SELECT doc_id FROM (SELECT DISTINCT doc_id, term FROM tok "
-        "WHERE term IN ('data', 'query')) GROUP BY doc_id)"
-    )
 
     def agg_histogram(spark, sf_dir):
         """Numeric histogram aggregation (fixed-interval buckets of

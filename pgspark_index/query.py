@@ -1648,6 +1648,137 @@ def _qterm_flag(qarr, t):
     return F.when(F.array_contains(qarr, t), F.lit(1)).otherwise(F.lit(0))
 
 
+def select_mlt_terms(
+    index_dir: str,
+    like: str,
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+) -> list[str]:
+    """more_like_this term selection (the OpenSearch MLT query's first
+    phase): tokenize ``like`` with the index's own normalizer, rank its
+    terms by tf x idf against the INDEX's document frequencies (driver-
+    side pyarrow lexicon lookup — one bounded scan, no Spark job), and
+    keep the top ``max_query_terms`` (ties broken by term ASC). Terms
+    under ``min_term_freq`` occurrences in ``like`` or ``min_doc_freq``
+    index df are dropped, mirroring the MLT knobs."""
+    from collections import Counter
+
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.dataset as ds
+
+    from . import textnorm
+
+    tf = Counter(textnorm.tokenize(textnorm.normalize(like)))
+    cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+    if not cand:
+        return []
+    stats = merge.load_stats(index_dir)
+    n_docs = int(stats["n_docs"])
+    files = sorted(
+        _glob.glob(_os.path.join(merge.lexicon_path(index_dir), "*.parquet"))
+    )
+    table = ds.dataset(files, format="parquet").to_table(
+        columns=["term", "df_total"], filter=ds.field("term").isin(cand)
+    )
+    scored = []
+    for term, df_total in zip(
+        table["term"].to_pylist(), table["df_total"].to_pylist()
+    ):
+        if int(df_total) < min_doc_freq:
+            continue
+        scored.append(
+            (-(tf[term] * float(bm25.idf(n_docs, int(df_total)))), term)
+        )
+    scored.sort()
+    return sorted(t for _, t in scored[:max_query_terms])
+
+
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    like: str,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+    exclude_doc_id: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """more_like_this query (OpenSearch MLT DSL): select the seed text's
+    most characteristic terms (``select_mlt_terms``), then run the
+    standard distributed BM25 top-k over them. When ``exclude_doc_id`` is
+    given (MLT-by-document: the seed must not match itself), the engine
+    fetches top-(k+1) and drops the seed after the global order — exact,
+    one extra row per unit."""
+    terms = select_mlt_terms(
+        index_dir, like, max_query_terms, min_term_freq, min_doc_freq
+    )
+    if not terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    if exclude_doc_id is None:
+        return search(spark, index_dir, terms, k, **kwargs)
+    res = search(spark, index_dir, terms, k + 1, **kwargs)
+    return (
+        res.filter(F.col("doc_id") != int(exclude_doc_id))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def significant_terms(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    docs_df: DataFrame,
+    text_col: str = "text",
+    n: int = 10,
+    min_doc_count: int = 3,
+    mode: str = "or",
+) -> DataFrame:
+    """significant_terms aggregation (OpenSearch JLH heuristic): terms
+    overrepresented in the match set vs the whole index ->
+    DataFrame(term, fg_count, score), score DESC, term ASC, top n.
+
+    Foreground df comes from re-tokenizing the MATCHED docs only (a
+    distributed semi-join against ``docs_df`` then explode — cost
+    O(matched docs), the same shape OpenSearch prices by sampling top
+    docs); background df comes from the index lexicon. JLH score =
+    (fg_rate - bg_rate) * (fg_rate / bg_rate); query terms themselves are
+    excluded (they are trivially significant)."""
+    stats = merge.load_stats(index_dir)
+    n_docs = int(stats["n_docs"])
+    matched = match_docs(spark, index_dir, terms, mode=mode).select("doc_id")
+    n_matched = matched.count()  # one scalar; reused in the score expression
+    if n_matched == 0:
+        return spark.createDataFrame(
+            [], "term string, fg_count bigint, score double"
+        )
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    fg = (
+        docs_df.join(matched, "doc_id")
+        .select("doc_id", F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+        .filter(~F.col("term").isin(sorted(set(terms))))
+        .filter(F.col("fg_count") >= int(min_doc_count))
+    )
+    bg = merge.read_lexicon(spark, index_dir).select(
+        "term", F.col("df_total").alias("bg_count")
+    )
+    fg_rate = F.col("fg_count") / F.lit(float(n_matched))
+    bg_rate = F.col("bg_count") / F.lit(float(n_docs))
+    return (
+        fg.join(bg, "term")
+        .withColumn("score", (fg_rate - bg_rate) * (fg_rate / bg_rate))
+        .select("term", "fg_count", "score")
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(n)
+    )
+
+
 def search_batch(
     spark: SparkSession,
     index_dir: str,

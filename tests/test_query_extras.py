@@ -264,3 +264,95 @@ def test_highlight_ordering_matches_search(spark, hl_built):
     hl = query.search_highlight(spark, idx, ["query", "fast"], 10, docs).collect()
     plain = query.search(spark, idx, ["fast", "query"], 10).collect()
     assert [r["doc_id"] for r in hl] == [r["doc_id"] for r in plain]
+
+
+# ---- more_like_this ---------------------------------------------------------
+
+
+def test_select_mlt_terms_ranks_by_tf_idf(spark, built, corpus_pdf):
+    import math
+
+    seed = str(corpus_pdf["text"].iloc[0])
+    n_docs = len(corpus_pdf)
+    tf = {}
+    for t in seed.split():
+        tf[t] = tf.get(t, 0) + 1
+    dfs = {}
+    for text in corpus_pdf["text"]:
+        for t in set(text.split()):
+            dfs[t] = dfs.get(t, 0) + 1
+    want = sorted(
+        tf,
+        key=lambda t: (-(tf[t] * math.log(
+            1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))), t),
+    )[:5]
+    assert query.select_mlt_terms(built, seed, max_query_terms=5) == sorted(want)
+
+
+def test_select_mlt_terms_min_freq_knobs(built):
+    # a term appearing once in the seed is dropped at min_term_freq=2
+    got = query.select_mlt_terms(
+        built, "query query fast", max_query_terms=10, min_term_freq=2
+    )
+    assert got == ["query"]
+    # absent-from-index terms never survive (no df row)
+    assert query.select_mlt_terms(built, "zzzz xxxx") == []
+
+
+def test_more_like_this_excludes_seed_and_matches_search(spark, built, corpus_pdf):
+    seed_id = 0
+    seed = str(corpus_pdf["text"].iloc[seed_id])
+    res = query.more_like_this(
+        spark, built, seed, k=10, max_query_terms=5, exclude_doc_id=seed_id
+    ).collect()
+    assert seed_id not in [r["doc_id"] for r in res]
+    terms = query.select_mlt_terms(built, seed, max_query_terms=5)
+    manual = [
+        (r["doc_id"], r["score"])
+        for r in query.search(spark, built, terms, 11).collect()
+        if r["doc_id"] != seed_id
+    ][:10]
+    assert [(r["doc_id"], r["score"]) for r in res] == manual
+
+
+# ---- significant_terms ------------------------------------------------------
+
+
+def test_significant_terms_jlh(spark, built, corpus_pdf):
+    docs = spark.createDataFrame(corpus_pdf, "doc_id long, text string")
+    got = [
+        (r["term"], r["fg_count"], r["score"])
+        for r in query.significant_terms(
+            spark, built, TERMS, docs, n=5, min_doc_count=2
+        ).collect()
+    ]
+    ids = _matched_ids(corpus_pdf, TERMS)
+    n_docs = len(corpus_pdf)
+    fg, bg = {}, {}
+    for did, text in zip(corpus_pdf["doc_id"], corpus_pdf["text"]):
+        for t in set(text.split()):
+            bg[t] = bg.get(t, 0) + 1
+            if int(did) in ids:
+                fg[t] = fg.get(t, 0) + 1
+    rows = []
+    for t, f in fg.items():
+        if f < 2 or t in TERMS:
+            continue
+        fr, br = f / len(ids), bg[t] / n_docs
+        rows.append((t, f, (fr - br) * (fr / br)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    want = [(t, f, s) for t, f, s in rows[:5]]
+    assert [(t, f) for t, f, _ in got] == [(t, f) for t, f, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        assert abs(a - b) < 1e-12
+
+
+def test_significant_terms_excludes_query_terms(spark, built, corpus_pdf):
+    docs = spark.createDataFrame(corpus_pdf, "doc_id long, text string")
+    got = [
+        r["term"]
+        for r in query.significant_terms(
+            spark, built, TERMS, docs, n=50, min_doc_count=1
+        ).collect()
+    ]
+    assert not set(got) & set(TERMS)
