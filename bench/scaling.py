@@ -569,6 +569,18 @@ def main():
                     )
                     effs[f"pair_{n}->{n4}_tight"] = tmed
                     effs[f"pair_{n}->{n4}_tight_all"] = tight
+                midrep = sorted(
+                    p["eff"] for p in hp if p.get("mid_reps", 1) >= 3
+                )
+                if midrep:
+                    mmed = round(statistics.median(midrep), 3)
+                    lines.append(
+                        f"  - median-of-K-mid subset (mid_reps >= 3, the "
+                        f"refined estimator): median of {len(midrep)} = "
+                        f"**{mmed:.3f}** (all: {midrep})"
+                    )
+                    effs[f"pair_{n}->{n4}_midrep"] = mmed
+                    effs[f"pair_{n}->{n4}_midrep_all"] = midrep
                 lines += [
                     "",
                     "  How to read the samples against the >= 0.8 acceptance: a",
