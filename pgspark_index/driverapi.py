@@ -745,6 +745,34 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
     )
 
+    # _explain API analog: per-term contribution breakdown for one doc
+    EXPLAIN_DOC = 42
+
+    def bm25_explain(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.explain_score(spark, idx, BM25_HEAD_TERMS, EXPLAIN_DOC)
+        return res.select("term", F.round("score", 4).alias("score"))
+
+    _ex_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_HEAD_TERMS)))
+    R["bm25_explain"] = (
+        bm25_explain,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT tf.term,
+       round(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)),
+             4) AS score
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+WHERE tf.doc_id = {EXPLAIN_DOC} AND tf.term IN ({_ex_terms})
+ORDER BY term ASC
+""",
+    )
+
     # boolean match set shared by facet/aggregation entries
     FACET_TERMS = ["data", "query"]
     _m_cte = (

@@ -1728,6 +1728,71 @@ def more_like_this(
     )
 
 
+def explain_score(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    doc_id: int,
+) -> DataFrame:
+    """Score explanation (the OpenSearch/ES ``_explain`` API shape): the
+    per-term BM25 contribution of ``doc_id`` for this query ->
+    DataFrame(term, score), term ASC; the sum equals the doc's ``search``
+    score bit-exactly (same decode + weight path, ``_decoded_contribs``
+    with an include mask of just this doc). Distributed the same way as
+    search — every unit probes its sidecar for the doc (tombstone-aware),
+    emission <= |terms| rows total."""
+    import numpy as np
+
+    stats = merge.load_stats(index_dir)
+    idfs = _term_idfs(spark, index_dir, sorted(set(terms)), stats["n_docs"])
+    present = sorted(idfs)
+    if not present:
+        return spark.createDataFrame([], EXPLAIN_SCHEMA)
+    avgdl = float(stats["avgdl"])
+    excluder = _tombstone_excluder(index_dir)
+    target = int(doc_id)
+
+    seg = (
+        _seg_scan(spark, index_dir, stats["units"])
+        .filter(F.col("term").isin(present))
+        .select(
+            "unit", "term", "df", "postings",
+            "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+        )
+    )
+
+    def explain_unit(key, pdf):
+        import pandas as pd
+
+        sc = _sidecar(index_dir, key[0])
+        # None = doc not in this unit (ords_of_docs drops absent ids)
+        ords = sc.ords_of_docs(np.array([target], dtype=np.int64))
+        out_t, out_s = [], []
+        if ords is not None and ords.size:
+            tomb = sc.ords_of_docs(excluder(key[0]))
+            for lst in _rows_to_lists(pdf, idfs):
+                doc, contrib = wand._decoded_contribs(
+                    lst, avgdl, sc, exclude=tomb, include=ords
+                )
+                if doc.size:
+                    out_t.append(lst["term"])
+                    out_s.append(float(contrib[0]))
+        return pd.DataFrame({"term": pd.array(out_t, dtype="string"),
+                             "score": pd.array(out_s, dtype="float64")})
+
+    per_unit = seg.groupBy("unit").applyInPandas(explain_unit, schema=EXPLAIN_SCHEMA)
+    # salted head terms hold one row per salt; a superseded doc version in
+    # an older unit is tombstone-excluded above — the per-term sum is the
+    # doc's live contribution
+    return (
+        per_unit.groupBy("term").agg(F.sum("score").alias("score"))
+        .orderBy(F.asc("term"))
+    )
+
+
+EXPLAIN_SCHEMA = "term string, score double"
+
+
 def significant_terms(
     spark: SparkSession,
     index_dir: str,

@@ -347,6 +347,19 @@ def test_significant_terms_jlh(spark, built, corpus_pdf):
         assert abs(a - b) < 1e-12
 
 
+def test_explain_sums_to_search_score(spark, built):
+    top = query.search(spark, built, TERMS, 3).collect()
+    for r in top:
+        ex = query.explain_score(spark, built, TERMS, r["doc_id"]).collect()
+        assert sum(e["score"] for e in ex) == pytest.approx(r["score"], abs=1e-12)
+        assert [e["term"] for e in ex] == sorted(e["term"] for e in ex)
+        assert set(e["term"] for e in ex) <= set(TERMS)
+
+
+def test_explain_unknown_doc_is_empty(spark, built):
+    assert query.explain_score(spark, built, TERMS, 10**12).count() == 0
+
+
 def test_significant_terms_excludes_query_terms(spark, built, corpus_pdf):
     docs = spark.createDataFrame(corpus_pdf, "doc_id long, text string")
     got = [
