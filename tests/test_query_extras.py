@@ -217,6 +217,46 @@ def test_date_histogram_buckets(spark, built, corpus_pdf):
     assert got == want
 
 
+# ---- tombstone interaction --------------------------------------------------
+
+
+def test_search_after_and_explain_respect_tombstones(spark, tmp_path_factory,
+                                                     corpus_pdf):
+    from pgspark_index import incremental
+
+    idx = str(tmp_path_factory.mktemp("extras_tomb") / "idx")
+    df = spark.createDataFrame(corpus_pdf, "doc_id long, text string")
+    build.build_index(spark, build.docs_unit_provider(df), idx,
+                      num_units=2, partitions=4, sample_fraction=1.0)
+    merge.merge_index(spark, idx)
+    dropped = {
+        r["doc_id"] for r in query.search(spark, idx, TERMS, 3).collect()
+    }  # kill the top 3 docs
+    incremental.drop_docs(
+        spark, idx,
+        spark.createDataFrame([(int(d),) for d in dropped], "doc_id long"),
+    )
+    # merge re-derives tombstone-corrected n_docs/avgdl; survivor scores
+    # legitimately change, so all assertions are post-drop self-consistent
+    merge.merge_index(spark, idx)
+    post = [
+        (r["doc_id"], r["score"])
+        for r in query.search(spark, idx, TERMS, 10).collect()
+    ]
+    assert not dropped & {d for d, _ in post}
+    page2 = [
+        (r["doc_id"], r["score"])
+        for r in query.search_after(
+            spark, idx, TERMS, 5, after=(post[4][1], post[4][0])
+        ).collect()
+    ]
+    assert page2 == post[5:10]
+    # explain on a tombstoned doc is empty; on a survivor it sums to its score
+    assert query.explain_score(spark, idx, TERMS, next(iter(dropped))).count() == 0
+    ex = query.explain_score(spark, idx, TERMS, post[0][0]).collect()
+    assert sum(e["score"] for e in ex) == pytest.approx(post[0][1], abs=1e-9)
+
+
 # ---- highlighting -----------------------------------------------------------
 
 
