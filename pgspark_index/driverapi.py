@@ -745,6 +745,48 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
     )
 
+    # suggesters: completion (prefix -> popular terms) and term
+    # (did-you-mean: edit distance, then popularity)
+    def suggest_completion_qu(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        return query.suggest_completion(spark, idx, "qu", n=10)
+
+    R["suggest_completion"] = (
+        suggest_completion_qu,
+        f"""
+WITH {TOK_CTE},
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq
+       FROM tok GROUP BY 1)
+SELECT term, doc_freq FROM df WHERE term >= 'qu' AND term < 'qv'
+ORDER BY doc_freq DESC, term ASC LIMIT 10
+""",
+    )
+
+    SUGGEST_Q = "quer"  # misspelling; 'query' at distance 1
+
+    def suggest_term_q(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.suggest_term(spark, idx, SUGGEST_Q, n=5, max_edits=2)
+        return res.select(
+            "term", "doc_freq", F.col("distance").cast("bigint").alias("distance")
+        )
+
+    R["suggest_term"] = (
+        suggest_term_q,
+        f"""
+WITH {TOK_CTE},
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq
+       FROM tok GROUP BY 1)
+SELECT term, doc_freq, levenshtein(term, '{SUGGEST_Q}')::BIGINT AS distance
+FROM df
+WHERE term >= 'q' AND term < 'r'
+  AND length(term) BETWEEN {len(SUGGEST_Q) - 2} AND {len(SUGGEST_Q) + 2}
+  AND term <> '{SUGGEST_Q}'
+  AND levenshtein(term, '{SUGGEST_Q}') <= 2
+ORDER BY distance ASC, doc_freq DESC, term ASC LIMIT 5
+""",
+    )
+
     # _explain API analog: per-term contribution breakdown for one doc
     EXPLAIN_DOC = 42
 

@@ -1728,6 +1728,72 @@ def more_like_this(
     )
 
 
+def suggest_completion(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    n: int = 10,
+) -> DataFrame:
+    """Completion suggester (OpenSearch completion/prefix suggest shape):
+    lexicon terms with this prefix ranked by document frequency ->
+    DataFrame(term, doc_freq), doc_freq DESC then term ASC, top n.
+
+    Distributed: the lexicon is range-partitioned and term-sorted, so the
+    prefix predicate prunes to a handful of parquet row groups and the
+    top-n is a TakeOrderedAndProject."""
+    upper = prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix else None
+    lex = merge.read_lexicon(spark, index_dir)
+    if prefix:
+        lex = lex.filter(
+            (F.col("term") >= prefix) & (F.col("term") < upper)
+        )
+    return (
+        lex.select("term", F.col("df_total").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def suggest_term(
+    spark: SparkSession,
+    index_dir: str,
+    text: str,
+    n: int = 5,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+) -> DataFrame:
+    """Term suggester / did-you-mean (OpenSearch term suggest shape):
+    lexicon terms within ``max_edits`` Levenshtein distance of ``text``
+    (the input term itself excluded), ranked like the reference engine —
+    distance ASC, then document frequency DESC, then term ASC; top n ->
+    DataFrame(term, doc_freq, distance).
+
+    The edit-distance scan stays JVM-side (built-in ``levenshtein``) and
+    is pruned the way Lucene's suggester automaton is in spirit: a
+    ``prefix_length`` range predicate (suggestions share the first chars,
+    the default 1 as in ES) plus a term-LENGTH window pushed to the
+    parquet scan — both prune row groups before any distance is computed."""
+    if prefix_length > 0:
+        lead = text[:prefix_length]
+        upper = lead[:-1] + chr(ord(lead[-1]) + 1)
+    lex = merge.read_lexicon(spark, index_dir)
+    if prefix_length > 0:
+        lex = lex.filter((F.col("term") >= lead) & (F.col("term") < upper))
+    lex = lex.filter(
+        (F.length("term") >= len(text) - max_edits)
+        & (F.length("term") <= len(text) + max_edits)
+        & (F.col("term") != text)
+    )
+    dist = F.levenshtein(F.col("term"), F.lit(text))
+    return (
+        lex.select("term", F.col("df_total").alias("doc_freq"),
+                   dist.alias("distance"))
+        .filter(F.col("distance") <= max_edits)
+        .orderBy(F.asc("distance"), F.desc("doc_freq"), F.asc("term"))
+        .limit(n)
+    )
+
+
 def explain_score(
     spark: SparkSession,
     index_dir: str,

@@ -217,6 +217,57 @@ def test_date_histogram_buckets(spark, built, corpus_pdf):
     assert got == want
 
 
+# ---- suggesters -------------------------------------------------------------
+
+
+def test_suggest_completion_ranks_by_df(spark, built, corpus_pdf):
+    dfs = {}
+    for text in corpus_pdf["text"]:
+        for t in set(text.split()):
+            dfs[t] = dfs.get(t, 0) + 1
+    want = sorted(
+        ((t, c) for t, c in dfs.items() if t.startswith("qu")),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = [
+        (r["term"], r["doc_freq"])
+        for r in query.suggest_completion(spark, built, "qu", n=10).collect()
+    ]
+    assert got == want
+
+
+def test_suggest_term_did_you_mean(spark, built, corpus_pdf):
+    got = [
+        (r["term"], r["distance"])
+        for r in query.suggest_term(spark, built, "quer", n=5).collect()
+    ]
+    # distance-1 neighbours first; the input term itself never suggested
+    assert got and got[0][1] == 1
+    assert "quer" not in [t for t, _ in got]
+    import math
+    dfs = {}
+    for text in corpus_pdf["text"]:
+        for t in set(text.split()):
+            dfs[t] = dfs.get(t, 0) + 1
+
+    def _lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[len(b)]
+
+    want = sorted(
+        ((t, _lev(t, "quer")) for t in dfs
+         if t.startswith("q") and t != "quer"
+         and abs(len(t) - 4) <= 2 and _lev(t, "quer") <= 2),
+        key=lambda x: (x[1], -dfs[x[0]], x[0]),
+    )[:5]
+    assert got == want
+
+
 # ---- tombstone interaction --------------------------------------------------
 
 
