@@ -322,7 +322,10 @@ def main(argv: list[str] | None = None) -> int:
                     slop=a.slop,
                 )
             elif a.regexp:
-                p.error("--regexp is not supported with --index-root")
+                df = query.search_multifield_regexp(
+                    spark, a.index_root, a.regexp, a.k, boosts=boosts or None,
+                    max_expansions=a.max_expansions,
+                )
             else:
                 df = query.search_multifield(
                     spark, a.index_root, a.terms, a.k, boosts=boosts or None

@@ -506,6 +506,55 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
     )
 
+    # multi-field REGEXP: per-field anchored-regex lexicon expansion,
+    # union, sum-fused multifield scoring
+    MF_REGEXP = "qu[ae]ry"
+
+    def bm25_multifield_regexp(spark, sf_dir):
+        fields = multifield_indexes(spark, sf_dir)
+        res = query.search_multifield_regexp(
+            spark, fields, MF_REGEXP, 10, boosts=MF_BOOSTS, max_expansions=128
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    _mfrx_exp = (
+        "SELECT DISTINCT term FROM {tok} WHERE "
+        f"regexp_full_match(term, '{MF_REGEXP}') ORDER BY term LIMIT 128"
+    )
+    R["bm25_multifield_regexp"] = (
+        bm25_multifield_regexp,
+        f"""
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+body_tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+title_tok AS (SELECT doc_id, unnest((regexp_extract_all(lower(text), '[a-z0-9]+'))[1:8]) AS term FROM documents),
+exp AS (
+  SELECT term FROM ({_mfrx_exp.format(tok='body_tok')})
+  UNION
+  SELECT term FROM ({_mfrx_exp.format(tok='title_tok')})
+),
+b_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM body_tok GROUP BY 1, 2),
+b_dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM body_tok GROUP BY 1),
+b_st AS (SELECT (SELECT sum(dl) FROM b_dl)::DOUBLE / (SELECT n FROM n) AS avgdl),
+b_df AS (SELECT term, count(*)::BIGINT AS df FROM b_tf GROUP BY 1),
+t_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM title_tok GROUP BY 1, 2),
+t_dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM title_tok GROUP BY 1),
+t_st AS (SELECT (SELECT sum(dl) FROM t_dl)::DOUBLE / (SELECT n FROM n) AS avgdl),
+t_df AS (SELECT term, count(*)::BIGINT AS df FROM t_tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, {MF_BOOSTS['body']} * {_mf_idf} * {_mf_w} AS c
+  FROM b_tf tf JOIN exp USING (term) JOIN b_df df USING (term)
+       JOIN b_dl dl USING (doc_id) CROSS JOIN b_st st
+  UNION ALL
+  SELECT tf.doc_id, {MF_BOOSTS['title']} * {_mf_idf} * {_mf_w} AS c
+  FROM t_tf tf JOIN exp USING (term) JOIN t_df df USING (term)
+       JOIN t_dl dl USING (doc_id) CROSS JOIN t_st st
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    )
+
     # multi-field FUZZY (multi_match + fuzziness): per-field edit-distance
     # lexicon expansion, union, sum-fused multifield scoring
     MF_FUZZY = "lin"  # misspelling; distance <= 2 -> {big, join, line}

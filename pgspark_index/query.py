@@ -917,6 +917,31 @@ def search_multifield_wildcard(
     return search_multifield(spark, field_indexes, terms, k, boosts=boosts)
 
 
+def search_multifield_regexp(
+    spark: SparkSession,
+    field_indexes: dict[str, str] | str,
+    pattern: str,
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """Regexp query over a multi-field index: per-field anchored-regex
+    lexicon expansion, union, sum-fused multifield BM25 (same shape as
+    the multifield wildcard path)."""
+    if isinstance(field_indexes, str):
+        field_indexes = discover_fields(field_indexes)
+    terms = sorted(
+        {
+            t
+            for d in field_indexes.values()
+            for t in expand_regexp(d, pattern, max_expansions)
+        }
+    )
+    if not terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    return search_multifield(spark, field_indexes, terms, k, boosts=boosts)
+
+
 def search_multifield_phrase(
     spark: SparkSession,
     field_indexes: dict[str, str] | str,

@@ -90,6 +90,13 @@ def test_multifield_wildcard(spark, mf_root):
     assert got == _expected_expansion(["quick", "quack"])
 
 
+def test_multifield_regexp(spark, mf_root):
+    got = _got(
+        query.search_multifield_regexp(spark, mf_root, "qu[ai]ck", boosts=BOOSTS)
+    )
+    assert got == _expected_expansion(["quick", "quack"])
+
+
 def test_multifield_phrase_best_fields(spark, mf_root):
     got = _got(
         query.search_multifield_phrase(
