@@ -1974,6 +1974,206 @@ FROM c LEFT JOIN agg USING (doc_id)
 """,
     )
 
+    # ---- field collapse (the ES `collapse` parameter: one best doc per
+    # group, groups ranked by their best doc's score) — collapse key is
+    # the documents `source` column (site-feed analog) ----
+    def bm25_collapse(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        key_df = _documents(spark, sf_dir).select(
+            "doc_id", F.col("source").alias("key")
+        )
+        res = query.search_collapse(spark, idx, BM25_HEAD_TERMS, key_df, 10)
+        return res.select(
+            "doc_id", "key", F.round("score", 4).alias("score")
+        )
+
+    _collapse_tlist = ", ".join(f"'{t}'" for t in sorted(set(BM25_HEAD_TERMS)))
+    R["bm25_collapse"] = (
+        bm25_collapse,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_collapse_tlist})
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+best AS (
+  SELECT s.doc_id, d.source AS key, s.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, key, round(score, 4) AS score
+FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    )
+
+    # ---- function_score field_value_factor (boost_mode: multiply):
+    # final = bm25 * ln(1 + n_chars/100) — a per-doc factor reorders, so
+    # the engine scores ALL matches before the global top-k ----
+    def bm25_function_score(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        factor_df = _documents(spark, sf_dir).select(
+            "doc_id",
+            F.log1p(F.col("n_chars").cast("double") / 100.0).alias("factor"),
+        )
+        res = query.search_function_score(
+            spark, idx, BM25_HEAD_TERMS, factor_df, 10
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_function_score"] = (
+        bm25_function_score,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_collapse_tlist})
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT s.doc_id,
+       round(s.score * ln(1.0 + d.n_chars::DOUBLE / 100.0), 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score * ln(1.0 + d.n_chars::DOUBLE / 100.0) DESC, s.doc_id ASC
+LIMIT 10
+""",
+    )
+
+    # ---- two-stage rescore (ES rescore API): BM25 top-50 window, then
+    # + 2.0 x phrase score for window docs containing the exact phrase ----
+    RESCORE_W, RESCORE_WEIGHT = 50, 2.0
+
+    def bm25_rescore(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.search_rescore(
+            spark, idx, BM25_HEAD_TERMS, PHRASE, 10,
+            window=RESCORE_W, weight=RESCORE_WEIGHT,
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    _ph_tlist = ", ".join(f"'{t}'" for t in sorted(set(PHRASE)))
+    R["bm25_rescore"] = (
+        bm25_rescore,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+w AS (SELECT ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5)) AS idf,
+             df.term, st.avgdl
+      FROM df CROSS JOIN st),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         w.idf * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / w.avgdl)) AS c
+  FROM tf JOIN w USING (term) JOIN dl USING (doc_id)
+),
+base AS (
+  SELECT doc_id, sum(c) AS score FROM contrib
+  WHERE term IN ({_collapse_tlist}) GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT {RESCORE_W}
+),
+phmatch AS (
+  SELECT doc_id FROM
+  (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+   FROM documents)
+  WHERE len(toks) >= 2 AND list_contains(
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
+    '{' '.join(PHRASE)}')
+),
+ph AS (
+  SELECT c.doc_id, sum(c.c) AS pscore FROM contrib c
+  JOIN phmatch USING (doc_id)
+  WHERE c.term IN ({_ph_tlist}) GROUP BY c.doc_id
+)
+SELECT b.doc_id,
+       round(b.score + {RESCORE_WEIGHT} * coalesce(ph.pscore, 0.0), 4) AS score
+FROM base b LEFT JOIN ph USING (doc_id)
+ORDER BY b.score + {RESCORE_WEIGHT} * coalesce(ph.pscore, 0.0) DESC,
+         b.doc_id ASC
+LIMIT 10
+""",
+    )
+
+    # ---- _count API (hit count, no scoring) ----
+    def bm25_match_count(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        return query.search_count(spark, idx, BM25_HEAD_TERMS)
+
+    R["bm25_match_count"] = (
+        bm25_match_count,
+        f"SELECT count(DISTINCT doc_id)::BIGINT AS n_hits FROM ("
+        f"SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+        f"FROM documents) WHERE term IN ({_collapse_tlist})",
+    )
+
+    # ---- _termvectors API (on-the-fly: re-analyze + lexicon df) ----
+    def bm25_term_vectors(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        docs = _documents(spark, sf_dir)
+        target = docs.agg(F.min("doc_id")).collect()[0][0]
+        return query.term_vectors(spark, idx, docs, int(target))
+
+    R["bm25_term_vectors"] = (
+        bm25_term_vectors,
+        f"""
+WITH {TOK_CTE},
+target AS (SELECT min(doc_id) AS d FROM documents),
+tv AS (SELECT term, count(*)::BIGINT AS tf FROM tok, target
+       WHERE doc_id = target.d GROUP BY 1),
+dfx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1)
+SELECT term, tf, df FROM tv JOIN dfx USING (term) ORDER BY term ASC
+""",
+    )
+
+    # ---- percolate (reverse search: stored conjunctive queries matched
+    # against the document stream) ----
+    PERC_QUERIES = [(1, "data"), (1, "fast"), (2, "query"),
+                    (3, "vector"), (3, "stream")]
+
+    def percolate_entry(spark, sf_dir):
+        docs = _documents(spark, sf_dir)
+        qdf = spark.createDataFrame(
+            PERC_QUERIES, "query_id int, term string"
+        )
+        return query.percolate(spark, docs, qdf).orderBy(
+            "doc_id", "query_id"
+        )
+
+    _perc_values = ", ".join(f"({q}, '{t}')" for q, t in PERC_QUERIES)
+    R["percolate_match"] = (
+        percolate_entry,
+        f"""
+WITH {TOK_CTE},
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_perc_values}),
+need AS (SELECT query_id, count(*)::BIGINT AS n FROM q GROUP BY 1),
+got AS (SELECT doc_id, query_id, count(*)::BIGINT AS g
+        FROM dt JOIN q USING (term) GROUP BY 1, 2)
+SELECT doc_id, query_id FROM got JOIN need USING (query_id)
+WHERE g = n ORDER BY doc_id ASC, query_id ASC
+""",
+    )
+
     return R
 
 

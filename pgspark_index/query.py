@@ -1385,6 +1385,11 @@ def search_phrase(
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     per_unit = seg.groupBy("unit").applyInPandas(score_unit, schema=RESULT_SCHEMA)
+    if k is None:
+        # every phrase match, un-ordered and un-limited (a live doc exists
+        # in exactly one unit, so the union needs no dedup) — the rescore
+        # building block
+        return per_unit
     return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -2004,4 +2009,300 @@ def search_batch(
         .join(F.broadcast(kdf), "query_id")
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+# --------------------------------------------------------------------------
+# all-matches scoring and the query shapes built on it: field collapse,
+# function_score, rescore, count, term vectors
+# --------------------------------------------------------------------------
+
+
+def score_all_matches(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    tombstone_closure_limit: int = TOMBSTONE_CLOSURE_LIMIT,
+) -> DataFrame:
+    """EVERY live matching doc with its full BM25 score ->
+    DataFrame(doc_id, score), unordered.
+
+    The building block for query shapes whose final order is NOT the BM25
+    order (field collapse, per-doc multiplicative function_score): top-k
+    pruning is unsound there, so each unit emits all of its matches. The
+    emission is O(sum df(term)) rows — the same order of work as decoding
+    the query terms' posting lists, which any scorer does anyway; no
+    driver collect, no closure-borne doc sets. Tombstone sets beyond
+    ``tombstone_closure_limit`` are removed by a DISTRIBUTED unit-scoped
+    anti-join on the emitted rows (LSN-as-version semantics, same
+    predicate as ``_search_escalating``)."""
+    import numpy as np
+
+    stats = merge.load_stats(index_dir)
+    terms = sorted(set(terms))
+    idfs = _term_idfs(spark, index_dir, terms, stats["n_docs"])
+    present = sorted(idfs)
+    if not present:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    avgdl = float(stats["avgdl"])
+    excluder, tomb_big = _tombstone_excluder_bounded(
+        index_dir, tombstone_closure_limit
+    )
+
+    seg = (
+        _seg_scan(spark, index_dir, stats["units"])
+        .filter(F.col("term").isin(present))
+        .select(
+            "unit", "term", "df", "postings",
+            "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+        )
+    )
+
+    def score_unit(key, pdf):
+        import pandas as pd
+
+        sc = _sidecar(index_dir, key[0])
+        ex = None if tomb_big else sc.ords_of_docs(excluder(key[0]))
+        docs, scores = wand.score_exhaustive(
+            _rows_to_lists(pdf, idfs), avgdl, None, sc, exclude=ex
+        )
+        return pd.DataFrame(
+            {"unit": np.full(docs.size, key[0], dtype="int32"),
+             "doc_id": docs, "score": scores}
+        )
+
+    per_unit = seg.groupBy("unit").applyInPandas(
+        score_unit, schema=UNIT_RESULT_SCHEMA
+    )
+    if tomb_big:
+        from .incremental import read_tombstones, unit_snapshots
+
+        tomb_max = (
+            read_tombstones(spark, index_dir)
+            .groupBy("doc_id").agg(F.max("snapshot").alias("__ts"))
+        )
+        usnap_df = spark.createDataFrame(
+            [(int(u), int(s)) for u, s in unit_snapshots(index_dir).items()],
+            "unit int, __us bigint",
+        )
+        per_unit = (
+            per_unit.join(F.broadcast(usnap_df), "unit", "left")
+            .join(tomb_max, "doc_id", "left")
+            .filter(
+                F.col("__ts").isNull()
+                | (F.col("__ts") <= F.coalesce(F.col("__us"), F.lit(0)))
+            )
+            .drop("__ts", "__us")
+        )
+    return per_unit.select("doc_id", "score")
+
+
+def search_collapse(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    key_df: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Field collapse (the ES ``collapse`` parameter): top-k GROUPS, each
+    represented by its best-scoring doc -> DataFrame(doc_id, key, score),
+    (score DESC, doc_id ASC) over the representatives.
+
+    ``key_df``: DataFrame(doc_id, key) — the collapse field (e.g. site
+    host, source feed). Docs without a key row are dropped (ES collapses
+    on a doc value; our metadata join is the analog). Plan shape: the
+    all-matches emission joins the key table (Catalyst broadcasts a small
+    dim or shuffles on doc_id), one window per key picks the group best
+    (row_number over score DESC, doc_id ASC — deterministic), then a
+    global TakeOrderedAndProject. One shuffle on key, one on the final
+    top-k; no driver staging."""
+    from pyspark.sql.window import Window
+
+    scored = score_all_matches(spark, index_dir, terms)
+    joined = scored.join(key_df, "doc_id")
+    w = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("doc_id"))
+    best = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        best.select("doc_id", "key", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def search_function_score(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    factor_df: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """function_score with a per-doc multiplicative factor (the ES
+    ``field_value_factor`` / ``boost_mode: multiply`` shape): final =
+    BM25 * factor(doc) -> top-k DataFrame(doc_id, score).
+
+    A per-doc factor reorders arbitrarily (a low-BM25 doc with a huge
+    factor can win), so pruned top-k over the raw BM25 order is unsound:
+    every match is scored (``score_all_matches``), the factor joins on
+    doc_id (left — docs missing from ``factor_df`` keep factor 1.0, the
+    ES missing-value default), then TakeOrderedAndProject."""
+    scored = score_all_matches(spark, index_dir, terms)
+    return (
+        scored.join(factor_df, "doc_id", "left")
+        .withColumn(
+            "score", F.col("score") * F.coalesce(F.col("factor"), F.lit(1.0))
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def search_rescore(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    phrase: list[str],
+    k: int = 10,
+    window: int = 50,
+    weight: float = 2.0,
+) -> DataFrame:
+    """Two-stage ranking (the ES ``rescore`` API with query_weight=1,
+    rescore_query_weight=``weight``): stage 1 takes the BM25 top-``window``
+    docs; stage 2 adds ``weight`` x the phrase BM25 score for window docs
+    that contain the exact phrase; the re-sorted top-k is returned.
+
+    Scale shape: stage 1 is the normal pruned top-k (window rows on the
+    driver-free path); the phrase match set is computed distributed
+    (``search_phrase(k=None)``) and immediately left-semi-joined against
+    the BROADCAST window doc set, so the join carries <= window rows no
+    matter how common the phrase is."""
+    base = search(spark, index_dir, terms, k=window)
+    ph = search_phrase(spark, index_dir, phrase, k=None)
+    ph_w = (
+        ph.join(F.broadcast(base.select("doc_id")), "doc_id", "left_semi")
+        .withColumnRenamed("score", "__ps")
+    )
+    return (
+        base.join(ph_w, "doc_id", "left")
+        .withColumn(
+            "score",
+            F.col("score")
+            + F.lit(float(weight)) * F.coalesce(F.col("__ps"), F.lit(0.0)),
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def search_count(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    mode: str = "or",
+) -> DataFrame:
+    """The ES ``_count`` API: how many live docs match (OR: any term /
+    AND: every term) -> one row DataFrame(n_hits). Rides ``match_docs``
+    (doc-id-only postings decode, tombstone-aware, no scoring): each unit
+    emits its match count's worth of ids and one distributed count folds
+    them — a live doc exists in exactly one unit, so no dedup shuffle is
+    needed."""
+    return match_docs(spark, index_dir, terms, mode=mode).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+
+
+def percolate(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    queries_df: DataFrame,
+) -> DataFrame:
+    """Reverse search (the ES percolate query: stored queries matched
+    against an incoming document stream) -> DataFrame(doc_id, query_id),
+    one row per (doc, stored query it satisfies).
+
+    ``queries_df``: (query_id int, term string) — one row per REQUIRED
+    term of a stored conjunctive query (the bool/must shape the
+    reference's search traffic uses). Doc side tokenizes DISTINCT terms
+    JVM-side (same pinned lower+regexp tokenizer spelling the index
+    uses), the stored-query table rides a broadcast into an equi-join on
+    term, and a query matches when every one of its terms hit
+    (count == n_terms). Scale shape: queries are small-by-construction
+    (a registry, not data) -> broadcast; the only shuffle is the
+    (doc_id, query_id) partial-count aggregation, map-side combined."""
+    n_terms = queries_df.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__need")
+    )
+    doc_terms = docs_df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            )
+        ).alias("term"),
+    )
+    return (
+        doc_terms.join(F.broadcast(queries_df), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.count(F.lit(1)).alias("__got"))
+        .join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("__got") == F.col("__need"))
+        .select("doc_id", "query_id")
+    )
+
+
+def term_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    docs_df: DataFrame,
+    doc_id: int,
+) -> DataFrame:
+    """On-the-fly term vectors for ONE document (the ES ``_termvectors``
+    API without stored vectors — ES likewise re-analyzes the source when
+    vectors aren't stored): -> DataFrame(term, tf, df), term ASC.
+
+    tf comes from re-tokenizing the doc's text with the SAME pinned
+    tokenizer the index was built with (JVM-side lower + regexp, the
+    textnorm-equivalent spelling); df comes from the index lexicon
+    (driver-side pyarrow range lookup, no Spark job — same path as
+    ``_term_idfs``). A single-doc API is driver-bounded by nature: the
+    Spark work is one pushed-down point filter on doc_id."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.dataset as ds
+
+    tf_df = (
+        docs_df.filter(F.col("doc_id") == int(doc_id))
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    terms = [r["term"] for r in tf_df.collect()]
+    files = sorted(
+        _glob.glob(_os.path.join(merge.lexicon_path(index_dir), "*.parquet"))
+    )
+    dfs: dict[str, int] = {}
+    if files and terms:
+        table = ds.dataset(files, format="parquet").to_table(
+            columns=["term", "df_total"], filter=ds.field("term").isin(terms)
+        )
+        dfs = dict(
+            zip(table["term"].to_pylist(),
+                (int(x) for x in table["df_total"].to_pylist()))
+        )
+    rows = [(t, 0, int(dfs.get(t, 0))) for t in terms]
+    df_df = spark.createDataFrame(rows, "term string, _z int, df bigint")
+    return (
+        tf_df.join(df_df.select("term", "df"), "term")
+        .select("term", "tf", "df")
+        .orderBy(F.asc("term"))
     )
