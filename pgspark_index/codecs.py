@@ -381,6 +381,12 @@ def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
     if total == 0:
         return np.zeros(0, dtype=np.int64)
     gaps = varbyte_decode(blob, count=total)
+    if gaps.size < total:
+        raise ValueError(
+            f"positions blob holds {gaps.size} values but postings imply "
+            f"{total} — index built without with_positions=True? Positional "
+            "queries (phrase/proximity) need a positional index."
+        )
     val_starts = np.zeros(tfs.size, dtype=np.int64)
     np.cumsum(tfs[:-1], out=val_starts[1:])
     c = np.cumsum(gaps, dtype=np.uint64)

@@ -2174,6 +2174,164 @@ WHERE g = n ORDER BY doc_id ASC, query_id ASC
 """,
     )
 
+    # ---- bool query DSL compiler (the OpenSearch JSON DSL shape the
+    # reference's search store forwards, compiled onto engine
+    # primitives): must + should (term & phrase clauses) + must_not +
+    # filter in one tree ----
+    BOOL_DSL = {"bool": {
+        "must": [{"match": {"terms": ["data", "query"]}}],
+        "should": [{"term": "fast"}, {"phrase": {"terms": PHRASE}}],
+        "must_not": [{"term": "slow"}],
+        "filter": [{"match": {"terms": ["merge", "stream"]}}],
+    }}
+
+    def bm25_bool_dsl(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.execute_dsl(spark, idx, BOOL_DSL, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    _dsl_all = ", ".join(
+        f"'{t}'" for t in sorted({"data", "query", "fast", *PHRASE})
+    )
+    R["bm25_bool_dsl"] = (
+        bm25_bool_dsl,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_dsl_all})
+),
+must1 AS (SELECT doc_id, sum(c) AS s FROM contrib
+          WHERE term IN ('data', 'query') GROUP BY 1),
+sh1 AS (SELECT doc_id, 0 AS cl, sum(c) AS s FROM contrib
+        WHERE term = 'fast' GROUP BY 1),
+phmatch AS (
+  SELECT doc_id FROM
+  (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+   FROM documents)
+  WHERE len(toks) >= 2 AND list_contains(
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
+    '{' '.join(PHRASE)}')
+),
+sh2 AS (SELECT c.doc_id, 1 AS cl, sum(c.c) AS s FROM contrib c
+        JOIN phmatch USING (doc_id)
+        WHERE c.term IN ({', '.join(f"'{t}'" for t in sorted(set(PHRASE)))})
+        GROUP BY 1),
+shagg AS (SELECT doc_id, sum(s) AS s
+          FROM (SELECT * FROM sh1 UNION ALL SELECT * FROM sh2) GROUP BY 1),
+flt AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'stream')),
+ex AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'slow')
+SELECT m.doc_id, round(m.s + coalesce(sh.s, 0.0), 4) AS score
+FROM must1 m
+LEFT JOIN shagg sh USING (doc_id)
+JOIN flt USING (doc_id)
+WHERE m.doc_id NOT IN (SELECT doc_id FROM ex)
+ORDER BY m.s + coalesce(sh.s, 0.0) DESC, m.doc_id ASC
+LIMIT 10
+""",
+    )
+
+    # ---- nested bool: a bool(must) clause INSIDE a should list with
+    # minimum_should_match — exercises the compiler's recursion and the
+    # msm-as-constraint path ----
+    NESTED_DSL = {"bool": {
+        "should": [
+            {"term": "fast"},
+            {"bool": {"must": [{"term": "table"}, {"term": "hash"}]}},
+        ],
+        "minimum_should_match": 1,
+    }}
+
+    def bm25_dsl_nested(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.execute_dsl(spark, idx, NESTED_DSL, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_dsl_nested"] = (
+        bm25_dsl_nested,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('fast', 'hash', 'table')
+),
+sh1 AS (SELECT doc_id, 0 AS cl, sum(c) AS s FROM contrib
+        WHERE term = 'fast' GROUP BY 1),
+sh2 AS (
+  SELECT doc_id, 1 AS cl, sum(c) AS s FROM contrib
+  WHERE term IN ('table', 'hash') GROUP BY 1
+  HAVING count(DISTINCT term) = 2
+),
+shagg AS (SELECT doc_id, sum(s) AS s, count(DISTINCT cl) AS nm
+          FROM (SELECT * FROM sh1 UNION ALL SELECT * FROM sh2) GROUP BY 1)
+SELECT doc_id, round(s, 4) AS score FROM shagg
+WHERE nm >= 1
+ORDER BY s DESC, doc_id ASC LIMIT 10
+""",
+    )
+
+    # ---- dis_max + constant_score + per-clause boost (the remaining
+    # Lucene compound-query wrappers ES exposes): score = max(clause
+    # scores) + tie_breaker * (sum of the other matched clauses) ----
+    DISMAX_DSL = {"dis_max": {
+        "queries": [
+            {"term": {"value": "fast", "boost": 2.0}},
+            {"match": {"terms": ["table", "hash"]}},
+            {"constant_score": {"filter": {"term": "merge"}, "boost": 0.5}},
+        ],
+        "tie_breaker": 0.3,
+    }}
+
+    def bm25_dsl_dismax(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.execute_dsl(spark, idx, DISMAX_DSL, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_dsl_dismax"] = (
+        bm25_dsl_dismax,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('fast', 'hash', 'table')
+),
+c1 AS (SELECT doc_id, 2.0 * sum(c) AS s FROM contrib
+       WHERE term = 'fast' GROUP BY 1),
+c2 AS (SELECT doc_id, sum(c) AS s FROM contrib
+       WHERE term IN ('table', 'hash') GROUP BY 1),
+c3 AS (SELECT DISTINCT doc_id, 0.5 AS s FROM tok WHERE term = 'merge'),
+agg AS (SELECT doc_id, max(s) AS mx, sum(s) AS sm
+        FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+              UNION ALL SELECT * FROM c3) GROUP BY 1)
+SELECT doc_id, round(mx + 0.3 * (sm - mx), 4) AS score FROM agg
+ORDER BY mx + 0.3 * (sm - mx) DESC, doc_id ASC LIMIT 10
+""",
+    )
+
     return R
 
 

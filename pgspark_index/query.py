@@ -2306,3 +2306,279 @@ def term_vectors(
         .select("term", "tf", "df")
         .orderBy(F.asc("term"))
     )
+
+
+# --------------------------------------------------------------------------
+# ES-style bool query DSL compiler
+# --------------------------------------------------------------------------
+# The reference's search store consumes the OpenSearch JSON query DSL over
+# HTTP (pkg/search — its store delegates bool/must/should/filter trees to
+# OpenSearch/Lucene). This compiler is the engine-native analog: a nested
+# dict in the same shape compiles onto the primitives above.
+
+_DSL_TERMSET_LEAVES = ("match", "term", "prefix", "wildcard", "regexp", "fuzzy")
+
+
+def _dsl_leaf_terms(index_dir: str, kind: str, body) -> list[str]:
+    """Resolve a term-set leaf to its concrete lexicon term list."""
+    if kind == "match":
+        terms = body["terms"] if isinstance(body, dict) else body
+        return sorted(set(terms))
+    if kind == "term":
+        return [body if isinstance(body, str) else body["value"]]
+    if kind == "prefix":
+        pat = body if isinstance(body, str) else body["value"]
+        return expand_prefix(index_dir, pat)
+    if kind == "wildcard":
+        pat = body if isinstance(body, str) else body["value"]
+        return expand_wildcard(index_dir, pat)
+    if kind == "regexp":
+        pat = body if isinstance(body, str) else body["value"]
+        return expand_regexp(index_dir, pat)
+    if kind == "fuzzy":
+        if isinstance(body, str):
+            return expand_fuzzy(index_dir, body)
+        return expand_fuzzy(
+            index_dir, body["term"],
+            max_edits=int(body.get("max_edits", 1)),
+            prefix_length=int(body.get("prefix_length", 0)),
+            transpositions=bool(body.get("transpositions", False)),
+        )
+    raise ValueError(f"unknown term-set DSL leaf {kind!r}")
+
+
+def _dsl_boost(body) -> float:
+    """Per-clause score multiplier (the Lucene BoostQuery wrapper every ES
+    clause accepts via a ``boost`` key in its body dict)."""
+    if isinstance(body, dict):
+        return float(body.get("boost", 1.0))
+    return 1.0
+
+
+def _apply_boost(df: DataFrame, boost: float) -> DataFrame:
+    if boost == 1.0:
+        return df
+    return df.select(
+        "doc_id", (F.col("score") * F.lit(boost)).alias("score")
+    )
+
+
+def _dsl_scores(spark: SparkSession, index_dir: str, node: dict) -> DataFrame:
+    """One DSL node -> DataFrame(doc_id, score) of ALL matching live docs,
+    unordered (clause semantics: a multi-term leaf matches if ANY of its
+    terms match; its score is the sum of the matched terms' BM25
+    contributions — the Lucene BooleanQuery/SHOULD sum inside the leaf).
+    Any node body dict may carry ``boost`` (multiplies the clause score,
+    the Lucene BoostQuery wrapper)."""
+    if not isinstance(node, dict) or len(node) != 1:
+        raise ValueError(f"DSL node must be a single-key dict, got {node!r}")
+    kind, body = next(iter(node.items()))
+    if kind == "bool":
+        return _apply_boost(_dsl_bool(spark, index_dir, body), _dsl_boost(body))
+    if kind == "dis_max":
+        return _dsl_dis_max(spark, index_dir, body)
+    if kind == "constant_score":
+        return _dsl_constant_score(spark, index_dir, body)
+    if kind == "phrase":
+        terms = body["terms"] if isinstance(body, dict) else body
+        return _apply_boost(
+            search_phrase(spark, index_dir, list(terms), k=None),
+            _dsl_boost(body),
+        )
+    return _apply_boost(
+        score_all_matches(
+            spark, index_dir, _dsl_leaf_terms(index_dir, kind, body)
+        ),
+        _dsl_boost(body),
+    )
+
+
+def _dsl_dis_max(spark: SparkSession, index_dir: str, body: dict) -> DataFrame:
+    """dis_max node -> DataFrame(doc_id, score): score = max(clause
+    scores) + tie_breaker * (sum of the OTHER matched clause scores) —
+    the Lucene DisjunctionMaxQuery. One unionByName over the clause
+    emissions + one groupBy(doc_id) computing max and sum (map-side
+    combined); no driver staging."""
+    unknown = set(body) - {"queries", "tie_breaker", "boost"}
+    if unknown:
+        raise ValueError(f"unknown dis_max keys {sorted(unknown)}")
+    queries = list(body.get("queries", []))
+    if not queries:
+        raise ValueError("dis_max needs a non-empty queries list")
+    tb = float(body.get("tie_breaker", 0.0))
+    u = None
+    for clause in queries:
+        d = _dsl_scores(spark, index_dir, clause)
+        u = d if u is None else u.unionByName(d)
+    agg = u.groupBy("doc_id").agg(
+        F.max("score").alias("__mx"), F.sum("score").alias("__sm")
+    )
+    score = F.col("__mx") + F.lit(tb) * (F.col("__sm") - F.col("__mx"))
+    return _apply_boost(
+        agg.select("doc_id", score.alias("score")), _dsl_boost(body)
+    )
+
+
+def _dsl_constant_score(
+    spark: SparkSession, index_dir: str, body: dict
+) -> DataFrame:
+    """constant_score node: every doc matching the inner filter scores
+    exactly ``boost`` (default 1.0) — the Lucene ConstantScoreQuery.
+    Filter-context evaluation (no BM25 math on term-set leaves)."""
+    unknown = set(body) - {"filter", "boost"}
+    if unknown:
+        raise ValueError(f"unknown constant_score keys {sorted(unknown)}")
+    boost = float(body.get("boost", 1.0))
+    return _dsl_match_set(spark, index_dir, body["filter"]).withColumn(
+        "score", F.lit(boost)
+    )
+
+
+def _dsl_match_set(spark: SparkSession, index_dir: str, node: dict) -> DataFrame:
+    """Filter-context evaluation: DataFrame(doc_id) only. Term-set leaves
+    skip scoring entirely (``match_docs`` decodes doc ids, no tf/doclen
+    math); phrase and nested bool fall back to the scored path and drop
+    the score column."""
+    kind, body = next(iter(node.items()))
+    if kind in _DSL_TERMSET_LEAVES:
+        return match_docs(
+            spark, index_dir, _dsl_leaf_terms(index_dir, kind, body)
+        ).select("doc_id")
+    if kind == "constant_score":
+        return _dsl_match_set(spark, index_dir, body["filter"])
+    if kind == "dis_max":
+        sets = [
+            _dsl_match_set(spark, index_dir, clause)
+            for clause in body.get("queries", [])
+        ]
+        u = sets[0]
+        for s in sets[1:]:
+            u = u.unionByName(s)
+        return u.distinct()
+    return _dsl_scores(spark, index_dir, node).select("doc_id")
+
+
+def _dsl_bool(spark: SparkSession, index_dir: str, body: dict) -> DataFrame:
+    """bool node -> DataFrame(doc_id, score), Lucene BooleanQuery
+    semantics: score = sum(must scores) + sum(matched should scores);
+    must clauses all required; filter clauses required, zero score
+    contribution; must_not excludes; minimum_should_match defaults to 1
+    when the query has no must/filter clause, else 0.
+
+    Plan shape: every clause is an independent distributed emission
+    (O(clause matches) rows); must combine via inner equi-joins on
+    doc_id, should via one unionByName + groupBy(doc_id) (map-side
+    combined), filter via left_semi, must_not via left_anti. No clause
+    set ever stages on the driver."""
+    unknown = set(body) - {"must", "should", "must_not", "filter",
+                           "minimum_should_match", "boost"}
+    if unknown:
+        raise ValueError(f"unknown bool keys {sorted(unknown)}")
+    must = list(body.get("must", []))
+    should = list(body.get("should", []))
+    must_not = list(body.get("must_not", []))
+    filt = list(body.get("filter", []))
+    if not (must or should or filt):
+        raise ValueError("bool node needs at least one of must/should/filter")
+    msm = body.get("minimum_should_match")
+    msm = int(msm) if msm is not None else (0 if (must or filt) else 1)
+
+    base: DataFrame | None = None
+    for i, clause in enumerate(must):
+        d = _dsl_scores(spark, index_dir, clause).withColumnRenamed(
+            "score", f"__m{i}"
+        )
+        base = d if base is None else base.join(d, "doc_id")
+    if base is not None and must:
+        total = sum((F.col(f"__m{i}") for i in range(1, len(must))),
+                    F.col("__m0"))
+        base = base.select("doc_id", total.alias("score"))
+
+    if should:
+        parts = [
+            _dsl_scores(spark, index_dir, clause)
+            .select("doc_id", "score", F.lit(i).alias("__c"))
+            for i, clause in enumerate(should)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        agg = u.groupBy("doc_id").agg(
+            F.sum("score").alias("__s"),
+            F.count_distinct("__c").alias("__n"),
+        )
+        if msm > 0:
+            agg = agg.filter(F.col("__n") >= msm)
+        if base is None:
+            base = agg.select("doc_id", F.col("__s").alias("score"))
+        elif msm > 0:
+            # msm alongside must: the should block becomes a constraint
+            base = base.join(agg, "doc_id").select(
+                "doc_id", (F.col("score") + F.col("__s")).alias("score")
+            )
+        else:
+            base = base.join(agg, "doc_id", "left").select(
+                "doc_id",
+                (F.col("score")
+                 + F.coalesce(F.col("__s"), F.lit(0.0))).alias("score"),
+            )
+
+    for clause in filt:
+        fset = _dsl_match_set(spark, index_dir, clause)
+        if base is None:
+            # filter-only bool: every survivor scores 0 (Lucene filter
+            # context never contributes)
+            base = fset.withColumn("score", F.lit(0.0))
+        else:
+            base = base.join(fset, "doc_id", "left_semi")
+
+    for clause in must_not:
+        base = base.join(
+            _dsl_match_set(spark, index_dir, clause), "doc_id", "left_anti"
+        )
+    return base.select("doc_id", "score")
+
+
+def execute_dsl(
+    spark: SparkSession,
+    index_dir: str,
+    dsl: dict,
+    k: int = 10,
+) -> DataFrame:
+    """Execute an OpenSearch-style JSON query DSL tree -> top-k
+    DataFrame(doc_id, score), (score DESC, doc_id ASC).
+
+    Supported nodes: ``bool`` (must / should / must_not / filter /
+    minimum_should_match, arbitrarily nested), ``dis_max`` (queries +
+    tie_breaker, the DisjunctionMaxQuery), ``constant_score`` (filter +
+    boost), term-set leaves ``match`` ``term`` ``prefix`` ``wildcard``
+    ``regexp`` ``fuzzy`` (multi-term expansion against the lexicon,
+    driver-side range scan), and ``phrase`` (positional); every node's
+    body dict accepts ``boost``. This is the engine-native analog of the
+    query DSL the reference's search store forwards to OpenSearch.
+
+    A top-level term-set leaf short-circuits to ``search`` (pruned
+    MaxScore top-k — no exhaustive emission; a positive boost is
+    rank-preserving, so it is applied to the pruned result); everything
+    else runs the clause-DAG plan described on ``_dsl_bool``."""
+    if not isinstance(dsl, dict) or len(dsl) != 1:
+        raise ValueError("query DSL must be a single-key dict")
+    kind, body = next(iter(dsl.items()))
+    if kind in _DSL_TERMSET_LEAVES:
+        return _apply_boost(
+            search(
+                spark, index_dir, _dsl_leaf_terms(index_dir, kind, body), k=k
+            ),
+            _dsl_boost(body),
+        )
+    if kind == "phrase":
+        terms = body["terms"] if isinstance(body, dict) else body
+        return _apply_boost(
+            search_phrase(spark, index_dir, list(terms), k=k),
+            _dsl_boost(body),
+        )
+    return (
+        _dsl_scores(spark, index_dir, dsl)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
