@@ -166,6 +166,11 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--regexp", help="regexp term query (anchored over the term)")
     g.add_argument("--phrase", nargs="+",
                    help="exact-phrase query (index built with --positions)")
+    g.add_argument("--phrase-prefix", nargs="+", dest="phrase_prefix",
+                   help="match_phrase_prefix: exact words then a prefix "
+                        "(search-as-you-type; index built with --positions)")
+    g.add_argument("--dsl", help="OpenSearch-style JSON query DSL tree "
+                                 "(bool/dis_max/constant_score/...)")
     s.add_argument("--slop", type=int, default=0,
                    help="with --phrase: ordered-window proximity slop")
     s.add_argument("--max-edits", type=int, default=1,
@@ -365,6 +370,13 @@ def main(argv: list[str] | None = None) -> int:
                 if a.slop == 0
                 else query.search_proximity(spark, idx, a.phrase, a.slop, a.k)
             )
+        elif a.phrase_prefix:
+            df = query.search_phrase_prefix(
+                spark, idx, a.phrase_prefix, a.k,
+                max_expansions=a.max_expansions,
+            )
+        elif a.dsl:
+            df = query.execute_dsl(spark, idx, json.loads(a.dsl), a.k)
         elif a.ranges > 0:
             df = query.search_ranged(spark, idx, a.terms, a.k, ranges=a.ranges)
         elif a.after is not None:

@@ -2332,6 +2332,48 @@ ORDER BY mx + 0.3 * (sm - mx) DESC, doc_id ASC LIMIT 10
 """,
     )
 
+    # ---- match_phrase_prefix ("search-as-you-type"): exact word(s)
+    # followed immediately by any lexicon term with the given prefix;
+    # matched docs BM25-scored over every distinct matched term (exact +
+    # expansions), query.search_phrase_prefix ----
+    PP_PHRASE = ["table", "s"]  # 's' expands to 6 corpus terms at sf0.01
+    PP_EXP = ["scan", "slow", "small", "sort", "spark", "stream"]
+
+    def bm25_phrase_prefix(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.search_phrase_prefix(spark, idx, PP_PHRASE, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    _pp_all = ", ".join(f"'{t}'" for t in sorted(set(PP_EXP) | {"table"}))
+    R["bm25_phrase_prefix"] = (
+        bm25_phrase_prefix,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_pp_all})
+),
+pp AS (
+  SELECT doc_id FROM
+  (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+   FROM documents)
+  WHERE len(toks) >= 2 AND len(list_filter(range(1, len(toks)),
+        i -> toks[i] = 'table' AND starts_with(toks[i+1], 's'))) > 0
+)
+SELECT c.doc_id, round(sum(c.c), 4) AS score
+FROM contrib c JOIN pp USING (doc_id)
+GROUP BY 1 ORDER BY sum(c.c) DESC, c.doc_id ASC LIMIT 10
+""",
+    )
+
     return R
 
 

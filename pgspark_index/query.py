@@ -989,6 +989,43 @@ def search_multifield_phrase(
     )
 
 
+def search_multifield_phrase_prefix(
+    spark: SparkSession,
+    field_indexes: dict[str, str] | str,
+    phrase: list[str],
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """match_phrase_prefix over a multi-field index (multi_match ``type:
+    phrase_prefix``, best_fields/max fusion): the last phrase word expands
+    against EACH field's own lexicon; a doc matches if any field matches;
+    score = ``max_f boost_f * phrase_prefix_BM25_f``. Exactness under
+    per-field top-k truncation follows the same argmax-field argument as
+    ``search_multifield_phrase``."""
+    if isinstance(field_indexes, str):
+        field_indexes = discover_fields(field_indexes)
+    boosts = {f: 1.0 for f in field_indexes} | (boosts or {})
+    parts = [
+        search_phrase_prefix(
+            spark, field_indexes[f], phrase, k, max_expansions=max_expansions
+        ).select(
+            "doc_id",
+            (F.col("score") * F.lit(float(boosts[f]))).alias("score"),
+        )
+        for f in sorted(field_indexes)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("doc_id")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def expand_prefix(
     index_dir: str, prefix: str, max_expansions: int = 128
 ) -> list[str]:
@@ -1389,6 +1426,75 @@ def search_phrase(
         # every phrase match, un-ordered and un-limited (a live doc exists
         # in exactly one unit, so the union needs no dedup) — the rescore
         # building block
+        return per_unit
+    return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_phrase_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: list[str],
+    k: int = 10,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """match_phrase_prefix: the leading phrase words are exact, the LAST
+    word is a prefix — a doc matches where the exact words occur
+    consecutively immediately followed by ANY lexicon term starting with
+    the prefix (the Lucene MultiPhrasePrefixQuery behind ES's
+    match_phrase_prefix, the "search-as-you-type" query).
+
+    The prefix expands against the term-sorted lexicon (driver-side range
+    scan, ``expand_prefix``, capped at ``max_expansions``); the expansion
+    set becomes the last positional slot, which ``wand.score_phrase``
+    already models (a slot is a LIST of posting lists — any of them
+    continues the chain). Matching docs are BM25-scored over every
+    distinct matched term (exact words + expansions), the same
+    distinct-list convention as ``search_phrase``.
+    -> DataFrame(doc_id, score), (score DESC, doc_id ASC)."""
+    if not phrase:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    exact = list(phrase[:-1])
+    expansions = expand_prefix(index_dir, phrase[-1], max_expansions)
+    if not expansions:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    stats = merge.load_stats(index_dir)
+    uniq_terms = sorted(set(exact) | set(expansions))
+    idfs = _term_idfs(spark, index_dir, uniq_terms, stats["n_docs"])
+    if any(t not in idfs for t in exact):
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    avgdl = float(stats["avgdl"])
+    excluder = _tombstone_excluder(index_dir)
+    expansion_set = sorted(set(expansions))
+
+    seg = (
+        _seg_scan(spark, index_dir, stats["units"])
+        .filter(F.col("term").isin(uniq_terms))
+        .select(
+            "unit", "term", "df", "postings", "positions",
+            "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+        )
+    )
+
+    def score_unit(key, pdf):
+        import pandas as pd
+
+        lists = _rows_to_lists(pdf, idfs)
+        by_term: dict[str, list[dict]] = {}
+        for lst in lists:
+            by_term.setdefault(lst["term"], []).append(lst)
+        last_slot: list[dict] = []
+        for t in expansion_set:
+            last_slot.extend(by_term.get(t, []))
+        slot_lists = [by_term.get(t, []) for t in exact] + [last_slot]
+        sc = _sidecar(index_dir, key[0])
+        docs, scores = wand.score_phrase(
+            slot_lists, avgdl, k, sc,
+            exclude=sc.ords_of_docs(excluder(key[0])),
+        )
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    per_unit = seg.groupBy("unit").applyInPandas(score_unit, schema=RESULT_SCHEMA)
+    if k is None:
         return per_unit
     return per_unit.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -2385,6 +2491,15 @@ def _dsl_scores(spark: SparkSession, index_dir: str, node: dict) -> DataFrame:
             search_phrase(spark, index_dir, list(terms), k=None),
             _dsl_boost(body),
         )
+    if kind == "phrase_prefix":
+        terms = body["terms"] if isinstance(body, dict) else body
+        mx = int(body.get("max_expansions", 128)) if isinstance(body, dict) else 128
+        return _apply_boost(
+            search_phrase_prefix(
+                spark, index_dir, list(terms), k=None, max_expansions=mx
+            ),
+            _dsl_boost(body),
+        )
     return _apply_boost(
         score_all_matches(
             spark, index_dir, _dsl_leaf_terms(index_dir, kind, body)
@@ -2575,6 +2690,15 @@ def execute_dsl(
         terms = body["terms"] if isinstance(body, dict) else body
         return _apply_boost(
             search_phrase(spark, index_dir, list(terms), k=k),
+            _dsl_boost(body),
+        )
+    if kind == "phrase_prefix":
+        terms = body["terms"] if isinstance(body, dict) else body
+        mx = int(body.get("max_expansions", 128)) if isinstance(body, dict) else 128
+        return _apply_boost(
+            search_phrase_prefix(
+                spark, index_dir, list(terms), k=k, max_expansions=mx
+            ),
             _dsl_boost(body),
         )
     return (

@@ -197,3 +197,46 @@ def test_cli_retry_quarantined(spark, tmp_path):
          "--snapshot", "1"])[-1])
     assert res["retried"] == 1
     assert res["still_quarantined"] == 0
+
+
+def test_cli_phrase_prefix_and_dsl(spark, tmp_path):
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    src = str(tmp_path / "docs")
+    rng = np.random.RandomState(9)
+    vocab = ["table", "stream", "stack", "store", "data", "fast"] + [
+        f"w{i:03d}" for i in range(20)
+    ]
+    texts = [" ".join(rng.choice(vocab, size=10)) for _ in range(150)]
+    for i in range(0, 150, 6):
+        texts[i] += " table stream"
+    pdf = pd.DataFrame({
+        "url": [f"https://ex.com/{i}" for i in range(150)],
+        "warc_ts": [dt.datetime(2026, 1, 1)] * 150,
+        "html": [None] * 150,
+        "text": texts,
+        "lang": ["en"] * 150,
+    })
+    spark.createDataFrame(pdf, schema=fixtures.WEBTEXT_DDL).write.parquet(src)
+
+    idx = str(tmp_path / "idx")
+    _run(["build", "--input", src, "--index", idx, "--units", "1",
+          "--partitions", "2", "--positions"])
+
+    rows = [json.loads(l) for l in _run(
+        ["search", "--index", idx, "--phrase-prefix", "table", "st", "-k", "5"])]
+    assert rows and all(r["score"] > 0 for r in rows)
+
+    dsl = json.dumps({"bool": {
+        "must": [{"term": "data"}],
+        "should": [{"constant_score": {"filter": {"term": "fast"},
+                                       "boost": 0.25}}],
+    }})
+    rows_d = [json.loads(l) for l in _run(
+        ["search", "--index", idx, "--dsl", dsl, "-k", "5"])]
+    assert rows_d
+    scores = [r["score"] for r in rows_d]
+    assert scores == sorted(scores, reverse=True)

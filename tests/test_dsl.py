@@ -375,3 +375,63 @@ def test_dis_max_validation(spark, built):
         query.execute_dsl(
             spark, built, {"constant_score": {"boost": 1.0, "x": 1}}, 5
         )
+
+
+def _pp_match_set(model, exact, prefix):
+    out = set()
+    m = len(exact)
+    for d, t in model.toks.items():
+        for i in range(len(t) - m):
+            if t[i:i + m] == exact and t[i + m].startswith(prefix):
+                out.add(d)
+                break
+    return out
+
+
+def test_phrase_prefix_matches_and_scores(spark, built, model):
+    # "table w0*": exact word then any w0-prefixed vocab word
+    got = [
+        (r["doc_id"], r["score"])
+        for r in query.search_phrase_prefix(
+            spark, built, ["table", "w0"], 10
+        ).collect()
+    ]
+    exps = sorted(t for t in model.df if t.startswith("w0"))
+    matched = _pp_match_set(model, ["table"], "w0")
+    exp_scores = {
+        d: sum(model.contrib(d, t) for t in set(exps) | {"table"})
+        for d in matched
+    }
+    exp = model.topk(exp_scores, 10)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_phrase_prefix_single_slot_is_prefix_match(spark, built, model):
+    # degenerate 1-word phrase: any doc containing a w00* term
+    got = [
+        (r["doc_id"], r["score"])
+        for r in query.search_phrase_prefix(spark, built, ["w00"], 5).collect()
+    ]
+    exps = sorted(t for t in model.df if t.startswith("w00"))
+    matched = model.match_set(exps)
+    exp = model.topk(model.score(matched, exps), 5)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_phrase_prefix_no_expansion_is_empty(spark, built):
+    assert query.search_phrase_prefix(
+        spark, built, ["table", "zzzz"], 5
+    ).count() == 0
+
+
+def test_phrase_prefix_dsl_leaf(spark, built):
+    direct = query.search_phrase_prefix(spark, built, ["table", "w0"], 7).collect()
+    via = query.execute_dsl(
+        spark, built, {"phrase_prefix": {"terms": ["table", "w0"]}}, 7
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in direct] == \
+        [(r["doc_id"], r["score"]) for r in via]

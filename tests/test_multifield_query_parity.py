@@ -129,3 +129,22 @@ def test_multifield_proximity_slop(spark, mf_root):
 
 def test_multifield_empty_expansion(spark, mf_root):
     assert query.search_multifield_prefix(spark, mf_root, "zzz").count() == 0
+
+
+def test_multifield_phrase_prefix_best_fields(spark, mf_root):
+    # "quick t*": only doc 0 matches in both fields (body "quick table…",
+    # title "quick table hash"). Per-field scoring covers the exact word
+    # plus every prefix expansion of that FIELD's lexicon present in the
+    # doc; fusion is best_fields/max like multifield phrase.
+    got = _got(
+        query.search_multifield_phrase_prefix(
+            spark, mf_root, ["quick", "t"], boosts=BOOSTS
+        )
+    )
+    body_t = sorted({w for d in DOCS for w in d.split() if w.startswith("t")})
+    title_t = sorted({w for t in TITLES for w in t.split() if w.startswith("t")})
+    body = _bm25(DOCS, ["quick"] + body_t)
+    title = _bm25(TITLES, ["quick"] + title_t)
+    fused = {0: max(BOOSTS["body"] * body[0], BOOSTS["title"] * title[0])}
+    exp = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == [(i, round(s, 6)) for i, s in exp]
