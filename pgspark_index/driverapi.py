@@ -2374,6 +2374,46 @@ GROUP BY 1 ORDER BY sum(c.c) DESC, c.doc_id ASC LIMIT 10
 """,
     )
 
+    # ---- boosting query (soft must_not): positive matches score
+    # normally, docs also matching the negative clause are multiplied by
+    # negative_boost — they demote but never disappear ----
+    BOOSTING_DSL = {"boosting": {
+        "positive": {"match": {"terms": ["data", "query"]}},
+        "negative": {"term": "slow"},
+        "negative_boost": 0.2,
+    }}
+
+    def bm25_dsl_boosting(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.execute_dsl(spark, idx, BOOSTING_DSL, 10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_dsl_boosting"] = (
+        bm25_dsl_boosting,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ('data', 'query')
+),
+pos AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY 1),
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'slow')
+SELECT p.doc_id,
+       round(p.s * CASE WHEN n.doc_id IS NULL THEN 1.0 ELSE 0.2 END, 4) AS score
+FROM pos p LEFT JOIN neg n USING (doc_id)
+ORDER BY p.s * CASE WHEN n.doc_id IS NULL THEN 1.0 ELSE 0.2 END DESC,
+         p.doc_id ASC LIMIT 10
+""",
+    )
+
     return R
 
 

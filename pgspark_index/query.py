@@ -2485,6 +2485,13 @@ def _dsl_scores(spark: SparkSession, index_dir: str, node: dict) -> DataFrame:
         return _dsl_dis_max(spark, index_dir, body)
     if kind == "constant_score":
         return _dsl_constant_score(spark, index_dir, body)
+    if kind == "boosting":
+        return _dsl_boosting(spark, index_dir, body)
+    if kind == "ids":
+        values = body["values"] if isinstance(body, dict) else body
+        return _dsl_ids_set(spark, index_dir, values).withColumn(
+            "score", F.lit(1.0 * _dsl_boost(body))
+        )
     if kind == "phrase":
         terms = body["terms"] if isinstance(body, dict) else body
         return _apply_boost(
@@ -2534,6 +2541,59 @@ def _dsl_dis_max(spark: SparkSession, index_dir: str, body: dict) -> DataFrame:
     )
 
 
+def _dsl_boosting(spark: SparkSession, index_dir: str, body: dict) -> DataFrame:
+    """boosting node: docs matching ``positive`` score normally; those
+    ALSO matching ``negative`` have their score multiplied by
+    ``negative_boost`` (default 0.5) — the Lucene/ES demotion query
+    (soft must_not). One left join of the positive emission against the
+    negative match set."""
+    unknown = set(body) - {"positive", "negative", "negative_boost", "boost"}
+    if unknown:
+        raise ValueError(f"unknown boosting keys {sorted(unknown)}")
+    if "positive" not in body or "negative" not in body:
+        raise ValueError("boosting needs positive and negative")
+    nb = float(body.get("negative_boost", 0.5))
+    pos = _dsl_scores(spark, index_dir, body["positive"])
+    neg = _dsl_match_set(spark, index_dir, body["negative"]).withColumn(
+        "__neg", F.lit(1)
+    )
+    out = pos.join(neg, "doc_id", "left").select(
+        "doc_id",
+        (F.col("score")
+         * F.when(F.col("__neg").isNotNull(), F.lit(nb)).otherwise(F.lit(1.0))
+         ).alias("score"),
+    )
+    return _apply_boost(out, _dsl_boost(body))
+
+
+def _dsl_ids_set(spark: SparkSession, index_dir: str, values) -> DataFrame:
+    """ids node match set: the requested doc_ids that are LIVE in the
+    index -> DataFrame(doc_id). Liveness = present in a committed unit's
+    docs sidecar and not suppressed by a unit-scoped tombstone. The
+    requested id list is driver-provided (bounded); the sidecar scan is
+    distributed with the id filter pushed down."""
+    stats = merge.load_stats(index_dir)
+    vals = sorted({int(v) for v in values})
+    if not vals:
+        return spark.createDataFrame([], "doc_id long")
+    excluder = _tombstone_excluder(index_dir)
+    live = (
+        _docs_scan(spark, index_dir, stats["units"])
+        .select("unit", "doc_id")
+        .filter(F.col("doc_id").isin(vals))
+    )
+    pairs = []
+    vset = set(vals)
+    for u in stats["units"]:
+        ex = excluder(u)
+        if ex is not None and len(ex):
+            pairs.extend((int(u), int(d)) for d in set(ex.tolist()) & vset)
+    if pairs:
+        exdf = spark.createDataFrame(pairs, "unit int, doc_id long")
+        live = live.join(exdf, ["unit", "doc_id"], "left_anti")
+    return live.select("doc_id").distinct()
+
+
 def _dsl_constant_score(
     spark: SparkSession, index_dir: str, body: dict
 ) -> DataFrame:
@@ -2561,6 +2621,12 @@ def _dsl_match_set(spark: SparkSession, index_dir: str, node: dict) -> DataFrame
         ).select("doc_id")
     if kind == "constant_score":
         return _dsl_match_set(spark, index_dir, body["filter"])
+    if kind == "ids":
+        values = body["values"] if isinstance(body, dict) else body
+        return _dsl_ids_set(spark, index_dir, values)
+    if kind == "boosting":
+        # demotion never unmatches: the match set is the positive's
+        return _dsl_match_set(spark, index_dir, body["positive"])
     if kind == "dis_max":
         sets = [
             _dsl_match_set(spark, index_dir, clause)

@@ -435,3 +435,45 @@ def test_phrase_prefix_dsl_leaf(spark, built):
     ).collect()
     assert [(r["doc_id"], r["score"]) for r in direct] == \
         [(r["doc_id"], r["score"]) for r in via]
+
+
+def test_boosting_demotes_but_keeps_matches(spark, built, model):
+    dsl = {"boosting": {
+        "positive": {"match": {"terms": ["data", "query"]}},
+        "negative": {"term": "slow"},
+        "negative_boost": 0.2,
+    }}
+    got = _run(spark, built, dsl, 15)
+    slow = model.match_set(["slow"])
+    exp_scores = {}
+    for d in model.match_set(["data", "query"]):
+        s = model.contrib(d, "data") + model.contrib(d, "query")
+        exp_scores[d] = s * (0.2 if d in slow else 1.0)
+    exp = model.topk(exp_scores, 15)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_ids_leaf_and_filter_context(spark, built, model):
+    want = [3, 7, 9999, 42]
+    got = _run(spark, built, {"ids": {"values": want}}, 10)
+    assert sorted(d for d, _ in got) == [3, 7, 42]  # 9999 not in corpus
+    assert all(s == 1.0 for _, s in got)
+
+    # ids as a bool filter clause constrains without scoring
+    dsl = {"bool": {
+        "must": [{"match": {"terms": ["data"]}}],
+        "filter": [{"ids": {"values": list(range(0, 200))}}],
+    }}
+    got2 = _run(spark, built, dsl, 10)
+    cand = {d for d in model.match_set(["data"]) if d < 200}
+    exp = model.topk({d: model.contrib(d, "data") for d in cand}, 10)
+    assert [d for d, _ in got2] == [d for d, _ in exp]
+
+
+def test_boosting_validation(spark, built):
+    with pytest.raises(ValueError):
+        query.execute_dsl(
+            spark, built, {"boosting": {"positive": {"term": "a"}}}, 5
+        )
