@@ -188,3 +188,75 @@ def test_fold_requires_two_units(spark, corpora, tmp_index):
     }
     with pytest.raises(ValueError, match="not committed"):
         incremental.merge_units(spark, tmp_index, units=[0, 7])
+
+
+def test_fold_preserves_positional_queries(spark, tmp_path):
+    """Folding a POSITIONAL index keeps phrase / proximity / phrase_prefix
+    results bit-identical (positions are doc-local gap blobs — splice
+    concat must be the identity on them), including after a drop."""
+    import pandas as pd
+
+    texts = []
+    for i in range(240):
+        filler = " ".join(f"w{(i * 7 + j) % 40:03d}" for j in range(8))
+        if i % 4 == 0:
+            filler += " table hash join"
+        if i % 5 == 0:
+            filler += " table stream"
+        texts.append(filler)
+    pdf = pd.DataFrame({
+        "url": [f"https://e/{i}" for i in range(240)],
+        "warc_ts": [dt.datetime(2026, 2, 1)] * 240,
+        "html": [None] * 240,
+        "text": texts,
+        "lang": ["en"] * 240,
+    })
+    idx = str(tmp_path / "posidx")
+    df = spark.createDataFrame(pdf, schema=fixtures.WEBTEXT_DDL)
+    build.build_index(spark, df, idx, num_units=3, partitions=4,
+                      sample_fraction=1.0, with_positions=True)
+    merge.merge_index(spark, idx)
+
+    def snap(at=None):
+        at = at or idx
+        ph = [(r["doc_id"], round(r["score"], 10)) for r in
+              query.search_phrase(spark, at, ["table", "hash"], 25).collect()]
+        px = [(r["doc_id"], round(r["score"], 10)) for r in
+              query.search_proximity(spark, at, ["table", "join"], 1, 25).collect()]
+        pp = [(r["doc_id"], round(r["score"], 10)) for r in
+              query.search_phrase_prefix(spark, at, ["table", "s"], 25).collect()]
+        return ph, px, pp
+
+    before = snap()
+    assert all(part for part in before)  # non-trivial result sets
+
+    res = incremental.merge_units(spark, idx, partitions=4)
+    assert len(res["folded_units"]) == 3
+    merge.merge_index(spark, idx)
+    assert snap() == before
+
+    # drop two phrase-matching docs, compact (positional rewrite!), and
+    # compare bit-exact against a FROM-SCRATCH positional build of the
+    # surviving corpus — fold + compact must be invisible to positional
+    # queries
+    dropped = [before[0][0][0], before[0][1][0]]
+    incremental.drop_docs(
+        spark, idx,
+        spark.createDataFrame([(int(d),) for d in dropped], "doc_id long"),
+    )
+    incremental.compact(spark, idx, partitions=4)
+    merge.merge_index(spark, idx)
+    after = snap()
+    for part in after:
+        assert not ({d for d, _ in part} & set(dropped))
+
+    from pyspark.sql import functions as SF
+
+    ref_idx = str(tmp_path / "refidx")
+    survivors = df.filter(
+        ~SF.xxhash64("url").isin([int(d) for d in dropped])
+    )
+    build.build_index(spark, survivors, ref_idx, num_units=1, partitions=4,
+                      sample_fraction=1.0, with_positions=True)
+    merge.merge_index(spark, ref_idx)
+    assert after == snap(at=ref_idx)

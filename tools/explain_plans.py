@@ -226,6 +226,28 @@ def main():
          fold_plan)
     )
 
+    # 10. query DSL compiler: bool tree plan — clause joins on doc_id,
+    # no cartesian product, no driver staging of clause sets
+    dsl_df = query.execute_dsl(spark, idx, {"bool": {
+        "must": [{"match": {"terms": ["w00001", "w00002"]}}],
+        "should": [{"term": "w00003"}],
+        "must_not": [{"term": "w00004"}],
+        "filter": [{"term": "w00005"}],
+    }}, 10)
+    dsl_plan = formatted(dsl_df)
+    assert "CartesianProduct" not in dsl_plan, "bool DSL must not cross-join"
+    n_bnlj = dsl_plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj == 0, f"bool DSL must join on doc_id only, saw {n_bnlj} BNLJ"
+    sections.append(
+        ("Query DSL compiler: bool tree (must+should+must_not+filter)",
+         "Every clause is an independent per-unit emission; the tree "
+         "combines them with equi-joins / left_semi / left_anti on doc_id "
+         "and one union+groupBy for the should block. MUST contain no "
+         "`CartesianProduct` or `BroadcastNestedLoopJoin` (asserted by "
+         "this generator) — clause sets stay distributed end-to-end.",
+         dsl_plan)
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     for title, requirement, plan in sections:
         out.append(f"## {title}\n\n{requirement}\n\n```\n{plan}```\n")
