@@ -87,6 +87,16 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="expunge tombstones, renumber, refresh stats")
     c.add_argument("--index", required=True)
 
+    dq = sub.add_parser(
+        "delete-by-query",
+        help="tombstone every live doc matching an OpenSearch-style "
+             "query DSL tree (searchstore DeleteByQuery analog)",
+    )
+    dq.add_argument("--index", required=True)
+    dq.add_argument("--dsl", required=True,
+                    help='JSON query tree, e.g. \'{"term": "spam"}\'')
+    dq.add_argument("--snapshot", type=int, default=None)
+
     mu = sub.add_parser(
         "merge-units",
         help="tiered unit merge: fold committed units into one "
@@ -274,6 +284,15 @@ def main(argv: list[str] | None = None) -> int:
         from . import incremental
 
         print(json.dumps(incremental.compact(spark, a.index), default=str))
+    elif a.cmd == "delete-by-query":
+        from . import incremental
+
+        print(json.dumps(
+            incremental.delete_by_query(
+                spark, a.index, json.loads(a.dsl), snapshot_id=a.snapshot
+            ),
+            default=str,
+        ))
     elif a.cmd == "merge-units":
         from . import incremental
 

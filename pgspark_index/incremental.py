@@ -473,6 +473,28 @@ def drop_docs(
     return res
 
 
+def delete_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    dsl: dict,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Delete-by-QUERY-DSL: tombstone every live doc matching an
+    OpenSearch-style query tree — the engine-native form of the
+    reference's DeleteByQueryRequest (a DSL tree as ``map[string]any``,
+    internal/searchstore/search_api.go:22-26; used on schema drop,
+    pkg/wal/processor/search/search_store.go:154-184).
+
+    The tree is evaluated in FILTER context (``query._dsl_match_set`` —
+    term-set leaves decode doc ids only, no BM25 math), then handed to
+    ``drop_docs``: a pure tombstone write, postings untouched until
+    ``compact``. Distributed end-to-end."""
+    from . import query as q
+
+    match = q._dsl_match_set(spark, index_dir, dsl)
+    return drop_docs(spark, index_dir, match, snapshot_id=snapshot_id)
+
+
 def recover_folds(spark: SparkSession, index_dir: str) -> dict:
     """Finish or roll back interrupted unit folds (crash recovery).
 

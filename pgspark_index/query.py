@@ -2725,6 +2725,7 @@ def execute_dsl(
     index_dir: str,
     dsl: dict,
     k: int = 10,
+    from_: int = 0,
 ) -> DataFrame:
     """Execute an OpenSearch-style JSON query DSL tree -> top-k
     DataFrame(doc_id, score), (score DESC, doc_id ASC).
@@ -2732,11 +2733,20 @@ def execute_dsl(
     Supported nodes: ``bool`` (must / should / must_not / filter /
     minimum_should_match, arbitrarily nested), ``dis_max`` (queries +
     tie_breaker, the DisjunctionMaxQuery), ``constant_score`` (filter +
-    boost), term-set leaves ``match`` ``term`` ``prefix`` ``wildcard``
+    boost), ``boosting`` (positive / negative / negative_boost),
+    ``ids``, term-set leaves ``match`` ``term`` ``prefix`` ``wildcard``
     ``regexp`` ``fuzzy`` (multi-term expansion against the lexicon,
-    driver-side range scan), and ``phrase`` (positional); every node's
-    body dict accepts ``boost``. This is the engine-native analog of the
-    query DSL the reference's search store forwards to OpenSearch.
+    driver-side range scan), ``phrase`` and ``phrase_prefix``
+    (positional); every node's body dict accepts ``boost``. ``from_``
+    is the From/Size offset-pagination window.
+
+    This is the engine-native analog of the query DSL the reference's
+    search store forwards opaquely to OpenSearch/ES — SearchRequest
+    carries the raw JSON query as an io.Reader plus Size/From/Sort
+    (internal/searchstore/search_api.go:12-20), and delete-by-query
+    carries the same tree as a map (search_api.go:22-26); the engine
+    compiles that tree onto its own distributed primitives instead of
+    delegating to a Lucene service.
 
     A top-level term-set leaf short-circuits to ``search`` (pruned
     MaxScore top-k — no exhaustive emission; a positive boost is
@@ -2744,31 +2754,40 @@ def execute_dsl(
     else runs the clause-DAG plan described on ``_dsl_bool``."""
     if not isinstance(dsl, dict) or len(dsl) != 1:
         raise ValueError("query DSL must be a single-key dict")
+    from_ = int(from_)
+    if from_ < 0:
+        raise ValueError("from_ must be >= 0")
+    depth = k + from_  # leaf top-k prune must cover the whole window
     kind, body = next(iter(dsl.items()))
     if kind in _DSL_TERMSET_LEAVES:
-        return _apply_boost(
+        out = _apply_boost(
             search(
-                spark, index_dir, _dsl_leaf_terms(index_dir, kind, body), k=k
+                spark, index_dir, _dsl_leaf_terms(index_dir, kind, body),
+                k=depth,
             ),
             _dsl_boost(body),
         )
-    if kind == "phrase":
+    elif kind == "phrase":
         terms = body["terms"] if isinstance(body, dict) else body
-        return _apply_boost(
-            search_phrase(spark, index_dir, list(terms), k=k),
+        out = _apply_boost(
+            search_phrase(spark, index_dir, list(terms), k=depth),
             _dsl_boost(body),
         )
-    if kind == "phrase_prefix":
+    elif kind == "phrase_prefix":
         terms = body["terms"] if isinstance(body, dict) else body
         mx = int(body.get("max_expansions", 128)) if isinstance(body, dict) else 128
-        return _apply_boost(
+        out = _apply_boost(
             search_phrase_prefix(
-                spark, index_dir, list(terms), k=k, max_expansions=mx
+                spark, index_dir, list(terms), k=depth, max_expansions=mx
             ),
             _dsl_boost(body),
         )
-    return (
-        _dsl_scores(spark, index_dir, dsl)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    else:
+        out = (
+            _dsl_scores(spark, index_dir, dsl)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(depth)
+        )
+    if from_ > 0:
+        out = out.offset(from_)
+    return out

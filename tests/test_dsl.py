@@ -477,3 +477,50 @@ def test_boosting_validation(spark, built):
         query.execute_dsl(
             spark, built, {"boosting": {"positive": {"term": "a"}}}, 5
         )
+
+
+def test_from_size_offset_pagination(spark, built):
+    dsl = {"bool": {"should": [{"term": "data"}, {"term": "fast"}]}}
+    full = _run(spark, built, dsl, 10)
+    page1 = _run(spark, built, dsl, 5)
+    page2 = [
+        (r["doc_id"], r["score"])
+        for r in query.execute_dsl(spark, built, dsl, 5, from_=5).collect()
+    ]
+    assert page1 + page2 == full
+    # leaf short-circuit paginates too (prune depth covers the window)
+    leaf = {"match": {"terms": ["data", "fast"]}}
+    lf = _run(spark, built, leaf, 10)
+    lp2 = [
+        (r["doc_id"], r["score"])
+        for r in query.execute_dsl(spark, built, leaf, 5, from_=5).collect()
+    ]
+    assert lp2 == lf[5:]
+
+
+def test_delete_by_query_dsl(spark, corpus_pdf, tmp_path_factory):
+    from pgspark_index import incremental
+
+    idx = str(tmp_path_factory.mktemp("dsl_dbq") / "idx")
+    df = spark.createDataFrame(corpus_pdf, "doc_id long, text string")
+    build.build_index(spark, build.docs_unit_provider(df), idx,
+                      num_units=2, partitions=4, sample_fraction=1.0,
+                      with_positions=True)
+    merge.merge_index(spark, idx)
+
+    # delete docs that contain BOTH 'slow' and 'beta' (bool filter tree)
+    dsl = {"bool": {"filter": [{"term": "slow"}, {"term": "beta"}]}}
+    victims = {d for d, t in
+               ((int(r.doc_id), r.text.split())
+                for r in corpus_pdf.itertuples())
+               if "slow" in t and "beta" in t}
+    assert victims  # fixture must exercise the path
+    res = incremental.delete_by_query(spark, idx, dsl)
+    assert res["tombstoned"] == len(victims)
+
+    left = {r["doc_id"] for r in
+            query.search(spark, idx, ["slow"], 1000).collect()}
+    assert not (left & victims)
+    # idempotent: same query again tombstones nothing new
+    res2 = incremental.delete_by_query(spark, idx, dsl)
+    assert res2["tombstoned"] == 0
