@@ -483,7 +483,11 @@ def main():
             "## Bracketed same-window pairs (primary scaling evidence)",
             "",
             "Each attempt runs N, 4N, then N again BACK-TO-BACK (A-B-A). A",
-            "pair is *healthy* iff the two N runs agree within 20% — direct",
+            "pair is *healthy* iff the two N runs agree within the bracket",
+            "gate IN FORCE WHEN IT WAS RECORDED — 20% through round 4,",
+            "tightened to 10% from round 5 (so a round-5 'no' can carry a",
+            "spread a round-4 'YES' was accepted at; the spread <= 10%",
+            "tight-bracket subset below is the gate-uniform view) — direct",
             "proof the host window held through the whole measurement — and",
             "efficiency = 4N throughput / (4 x mean of the two N runs). This",
             "replaced an absolute in-run-probe floor: the register probe",
