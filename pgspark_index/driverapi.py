@@ -2414,6 +2414,301 @@ ORDER BY p.s * CASE WHEN n.doc_id IS NULL THEN 1.0 ELSE 0.2 END DESC,
 """,
     )
 
+    # ---- sort-by-field (the ES ``sort`` parameter): match-set hits
+    # ordered by a doc FIELD, no scoring work at all ----
+    def bm25_sort_by_field(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        meta = _documents(spark, sf_dir).select("doc_id", "n_chars")
+        return query.search_sort(
+            spark, idx, FACET_TERMS, meta, "n_chars", k=10, ascending=False
+        )
+
+    R["bm25_sort_by_field"] = (
+        bm25_sort_by_field,
+        f"""
+WITH {TOK_CTE},
+{_m_cte}
+SELECT doc_id, n_chars FROM documents JOIN m USING (doc_id)
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+""",
+    )
+
+    # ---- range aggregation: explicit [from, to) buckets, overlap legal,
+    # empty buckets kept — one conditional-count aggregate, no join ----
+    _RANGES = [
+        ("a_short", None, 200.0),
+        ("b_mid", 200.0, 500.0),
+        ("c_long", 500.0, None),
+        ("d_all", None, None),
+    ]
+
+    def agg_range(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        meta = _documents(spark, sf_dir).select("doc_id", "n_chars")
+        return query.search_agg_range(
+            spark, idx, FACET_TERMS, meta, "n_chars", _RANGES
+        )
+
+    R["search_agg_range"] = (
+        agg_range,
+        f"""
+WITH {TOK_CTE},
+{_m_cte},
+j AS (SELECT n_chars FROM documents JOIN m USING (doc_id))
+SELECT 'a_short' AS key, count(*) FILTER (n_chars < 200.0)::BIGINT AS doc_count FROM j
+UNION ALL
+SELECT 'b_mid', count(*) FILTER (n_chars >= 200.0 AND n_chars < 500.0)::BIGINT FROM j
+UNION ALL
+SELECT 'c_long', count(*) FILTER (n_chars >= 500.0)::BIGINT FROM j
+UNION ALL
+SELECT 'd_all', count(*)::BIGINT FROM j
+ORDER BY key ASC
+""",
+    )
+
+    # ---- cardinality aggregation (ES runs HLL++; the engine exposes the
+    # same sketch via approx_count_distinct — exact here so DuckDB can
+    # hash-match) ----
+    def agg_cardinality(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        meta = _documents(spark, sf_dir).select("doc_id", "source")
+        return query.search_agg_cardinality(
+            spark, idx, FACET_TERMS, meta, "source", exact=True
+        )
+
+    R["search_agg_cardinality"] = (
+        agg_cardinality,
+        f"""
+WITH {TOK_CTE},
+{_m_cte}
+SELECT count(DISTINCT source)::BIGINT AS cardinality
+FROM documents JOIN m USING (doc_id)
+""",
+    )
+
+    # ---- percentiles aggregation: exact linear-interpolation quantiles
+    # (Spark ``percentile`` == DuckDB ``quantile_cont``; the 100-TB swap
+    # is percentile_approx, the TDigest-family sketch ES itself uses) ----
+    def agg_percentiles(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        meta = _documents(spark, sf_dir).select("doc_id", "n_chars")
+        res = query.search_agg_percentiles(
+            spark, idx, FACET_TERMS, meta, "n_chars", (0.25, 0.5, 0.75)
+        )
+        return res.select(
+            F.round("pct", 4).alias("pct"), F.round("value", 4).alias("value")
+        )
+
+    R["search_agg_percentiles"] = (
+        agg_percentiles,
+        f"""
+WITH {TOK_CTE},
+{_m_cte},
+q AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS v
+      FROM documents JOIN m USING (doc_id))
+SELECT * FROM (
+  SELECT round(unnest([0.25, 0.5, 0.75]), 4) AS pct,
+         round(unnest(v), 4) AS value FROM q
+) ORDER BY pct ASC
+""",
+    )
+
+    # ---- top_hits sub-aggregation: the n best-scoring hits within each
+    # bucket of a terms agg (score every match, one window per bucket) ----
+    def agg_top_hits(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        meta = _documents(spark, sf_dir).select("doc_id", "lang")
+        res = query.search_agg_top_hits(
+            spark, idx, FACET_TERMS, meta, "lang", n=3
+        )
+        return res.select(
+            "bucket", "rank", "doc_id", F.round("score", 4).alias("score")
+        )
+
+    _fc_tlist = ", ".join(f"'{t}'" for t in sorted(set(FACET_TERMS)))
+    R["search_agg_top_hits"] = (
+        agg_top_hits,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_fc_tlist})
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+ranked AS (
+  SELECT d.lang AS bucket,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rank,
+         s.doc_id, round(s.score, 4) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT bucket, rank::INT AS rank, doc_id, score FROM ranked
+WHERE rank <= 3 ORDER BY bucket ASC, rank ASC
+""",
+    )
+
+    # ---- function_score gauss decay on a numeric field (boost_mode
+    # multiply): factor = decay at origin +- scale, 1.0 at origin ----
+    _DK_ORIGIN, _DK_SCALE, _DK_DECAY = 300.0, 200.0, 0.5
+    import math as _math
+
+    _dk_two_sigma2 = repr(
+        2.0 * (-(_DK_SCALE ** 2) / (2.0 * _math.log(_DK_DECAY)))
+    )
+
+    def bm25_decay(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        meta = _documents(spark, sf_dir).select("doc_id", "n_chars")
+        res = query.search_decay(
+            spark, idx, FACET_TERMS, meta, "n_chars",
+            origin=_DK_ORIGIN, scale=_DK_SCALE, decay=_DK_DECAY, k=10,
+            fn="gauss",
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_decay"] = (
+        bm25_decay,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_fc_tlist})
+),
+scored AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id),
+decayed AS (
+  SELECT s.doc_id,
+         s.s * exp(-pow(greatest(0.0, abs(d.n_chars - {_DK_ORIGIN!r})), 2)
+                   / {_dk_two_sigma2}) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, round(score, 4) AS score
+FROM decayed ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    )
+
+    # ---- multi_match type=best_fields (the ES default): dis_max across
+    # fields with a tie_breaker, vs search_multifield's most_fields SUM ----
+    _TIE = 0.3
+
+    def bm25_multifield_bestfields(spark, sf_dir):
+        fields = multifield_indexes(spark, sf_dir)
+        res = query.search_multifield_bestfields(
+            spark, fields, MF_TERMS, 10, boosts=MF_BOOSTS, tie_breaker=_TIE
+        )
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    R["bm25_multifield_bestfields"] = (
+        bm25_multifield_bestfields,
+        f"""
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+body_tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+title_tok AS (SELECT doc_id, unnest((regexp_extract_all(lower(text), '[a-z0-9]+'))[1:8]) AS term FROM documents),
+b_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM body_tok GROUP BY 1, 2),
+b_dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM body_tok GROUP BY 1),
+b_st AS (SELECT (SELECT sum(dl) FROM b_dl)::DOUBLE / (SELECT n FROM n) AS avgdl),
+b_df AS (SELECT term, count(*)::BIGINT AS df FROM b_tf GROUP BY 1),
+t_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM title_tok GROUP BY 1, 2),
+t_dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM title_tok GROUP BY 1),
+t_st AS (SELECT (SELECT sum(dl) FROM t_dl)::DOUBLE / (SELECT n FROM n) AS avgdl),
+t_df AS (SELECT term, count(*)::BIGINT AS df FROM t_tf GROUP BY 1),
+b_scored AS (
+  SELECT tf.doc_id, {MF_BOOSTS['body']} * sum({_mf_idf} * {_mf_w}) AS score
+  FROM b_tf tf JOIN b_df df USING (term) JOIN b_dl dl USING (doc_id) CROSS JOIN b_st st
+  WHERE tf.term IN ({_mf_tlist}) GROUP BY tf.doc_id
+),
+t_scored AS (
+  SELECT tf.doc_id, {MF_BOOSTS['title']} * sum({_mf_idf} * {_mf_w}) AS score
+  FROM t_tf tf JOIN t_df df USING (term) JOIN t_dl dl USING (doc_id) CROSS JOIN t_st st
+  WHERE tf.term IN ({_mf_tlist}) GROUP BY tf.doc_id
+),
+fused AS (
+  SELECT doc_id, max(score) + {_TIE!r} * (sum(score) - max(score)) AS score
+  FROM (SELECT * FROM b_scored UNION ALL SELECT * FROM t_scored)
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM fused ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    )
+
+    # ---- query-time synonym expansion: per-position synonym GROUPS,
+    # dis_max within a group, sum across groups ----
+    _SYN_GROUPS = [["data", "table"], ["fast", "slow"]]
+
+    def bm25_synonyms(spark, sf_dir):
+        idx = docs_index(spark, sf_dir)
+        res = query.search_synonyms(spark, idx, _SYN_GROUPS, k=10)
+        return res.select("doc_id", F.round("score", 4).alias("score"))
+
+    _syn_all = ", ".join(
+        f"'{t}'" for t in sorted({t for g in _SYN_GROUPS for t in g})
+    )
+    _syn_g0 = ", ".join(f"'{t}'" for t in sorted(set(_SYN_GROUPS[0])))
+    R["bm25_synonyms"] = (
+        bm25_synonyms,
+        f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE tf.term IN ({_syn_all})
+),
+g AS (SELECT doc_id,
+             CASE WHEN term IN ({_syn_g0}) THEN 0 ELSE 1 END AS grp,
+             max(c) AS gscore
+      FROM contrib GROUP BY 1, 2),
+scored AS (SELECT doc_id, sum(gscore) AS score FROM g GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    )
+
+    # ---- filtered kNN (the ES knn ``filter`` parameter): metadata
+    # pre-filter pushed into the scan, then exact cosine top-k over the
+    # surviving vectors ----
+    def ann_filtered(spark, sf_dir):
+        qv = _query_vec(spark, sf_dir)
+        emb = _embeddings(spark, sf_dir).filter(F.col("label") == 3)
+        return ann.cosine_topk(emb, qv, k=10, exclude_id=0)
+
+    R["ann_filtered_topk"] = (
+        ann_filtered,
+        """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(list_sum(list_transform(list_zip(embedding, q.qv), z -> z[1]::DOUBLE * z[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos
+  FROM embeddings CROSS JOIN q WHERE vec_id <> 0 AND label = 3
+)
+SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+    )
+
     return R
 
 

@@ -2322,6 +2322,324 @@ def search_count(
     )
 
 
+def search_sort(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    meta_df: DataFrame,
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = False,
+    mode: str = "or",
+) -> DataFrame:
+    """The ES ``sort`` parameter: hits ordered by a document FIELD instead
+    of relevance -> top-k DataFrame(doc_id, <sort_col>), (<sort_col>
+    ASC|DESC, doc_id ASC).
+
+    Field order is score-independent, so no scoring work runs at all: the
+    boolean match set (``match_docs`` — doc-id-only postings decode,
+    tombstone-aware) joins the metadata column and the order+limit
+    compiles to TakeOrderedAndProject (distributed partial top-k, no full
+    sort — the same plan shape the reference's users get from an
+    OpenSearch sort, which reads doc values instead of scores)."""
+    matched = match_docs(spark, index_dir, terms, mode=mode).select("doc_id")
+    order = [
+        F.asc(sort_col) if ascending else F.desc(sort_col),
+        F.asc("doc_id"),
+    ]
+    return (
+        meta_df.select("doc_id", sort_col)
+        .join(matched, "doc_id")
+        .orderBy(*order)
+        .limit(k)
+    )
+
+
+def search_agg_range(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    meta_df: DataFrame,
+    value_col: str,
+    ranges: list[tuple],
+    mode: str = "or",
+) -> DataFrame:
+    """The ES ``range`` aggregation: explicit ``[from, to)`` buckets over
+    the match set -> DataFrame(key, doc_count), key ASC. ``ranges`` is a
+    list of (key, lo, hi) with ``None`` for an open end; buckets may
+    overlap and EMPTY buckets are kept (count 0), both ES semantics.
+
+    Scale shape: overlapping buckets rule out a single groupBy key, and a
+    non-equi join of rows x ranges would force a nested-loop join — so
+    each bucket is a conditional count in ONE distributed aggregate over
+    the matched rows (K counter columns, partial+final combine), unpivoted
+    to rows with ``stack``. One pass, no join, nothing per-doc on the
+    driver."""
+    matched = match_docs(spark, index_dir, terms, mode=mode).select("doc_id")
+    vals = meta_df.select("doc_id", value_col).join(matched, "doc_id")
+    v = F.col(value_col)
+    aggs = []
+    for i, (key, lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (v < F.lit(float(hi)))
+        aggs.append(F.count(F.when(cond, 1)).alias(f"__b{i}"))
+    row = vals.agg(*aggs)
+    stack = ", ".join(
+        f"'{key}', __b{i}" for i, (key, _, _) in enumerate(ranges)
+    )
+    return row.selectExpr(
+        f"stack({len(ranges)}, {stack}) AS (key, doc_count)"
+    ).orderBy("key")
+
+
+def search_agg_cardinality(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    meta_df: DataFrame,
+    value_col: str,
+    exact: bool = True,
+    rsd: float = 0.05,
+    mode: str = "or",
+) -> DataFrame:
+    """The ES ``cardinality`` aggregation: distinct values of a field over
+    the match set -> one row DataFrame(cardinality).
+
+    ES computes this with HyperLogLog++; Spark ships the same sketch as
+    ``approx_count_distinct`` (``exact=False``, tunable ``rsd``) — the
+    100-TB path, one pass, fixed-size partial state, no distinct shuffle.
+    ``exact=True`` (default here so the DuckDB oracle can hash-match)
+    runs the exact distributed count-distinct instead."""
+    matched = match_docs(spark, index_dir, terms, mode=mode).select("doc_id")
+    j = meta_df.select("doc_id", value_col).join(matched, "doc_id")
+    agg = (
+        F.count_distinct(F.col(value_col))
+        if exact
+        else F.approx_count_distinct(value_col, rsd)
+    )
+    return j.agg(agg.alias("cardinality"))
+
+
+def search_agg_percentiles(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    meta_df: DataFrame,
+    value_col: str,
+    percentiles: tuple = (0.25, 0.5, 0.75),
+    mode: str = "or",
+) -> DataFrame:
+    """The ES ``percentiles`` aggregation over the match set ->
+    DataFrame(pct, value), pct ASC, linear interpolation between order
+    statistics (the quantile_cont definition both Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` implement — ES itself
+    uses TDigest, approximate; Spark's scale analog is
+    ``percentile_approx``, same sketch family, which this function would
+    swap in for a 100-TB corpus where an exact distributed sort-based
+    percentile is wasteful)."""
+    matched = match_docs(spark, index_dir, terms, mode=mode).select("doc_id")
+    j = meta_df.select("doc_id", value_col).join(matched, "doc_id")
+    pcts = [float(p) for p in percentiles]
+    arr = F.expr(
+        f"percentile({value_col}, array({', '.join(repr(p) for p in pcts)}))"
+    )
+    row = j.agg(arr.alias("__p"))
+    pct_arr = F.array(*[F.lit(p) for p in pcts])
+    return (
+        row.select(F.posexplode("__p").alias("__i", "value"))
+        .withColumn("pct", F.element_at(pct_arr, F.col("__i") + 1))
+        .select("pct", "value")
+        .orderBy("pct")
+    )
+
+
+def search_agg_top_hits(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    meta_df: DataFrame,
+    bucket_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """The ES ``top_hits`` sub-aggregation: the n best-scoring hits WITHIN
+    each bucket of a terms aggregation -> DataFrame(bucket, rank, doc_id,
+    score), (bucket ASC, rank ASC).
+
+    Per-bucket order is still relevance, so every match is scored
+    (``score_all_matches`` — emission is O(sum df), the work any scorer
+    does), the bucket key joins on doc_id, and one window per bucket
+    (row_number over score DESC, doc_id ASC — deterministic) keeps rank
+    <= n. One shuffle on the bucket key; no driver staging."""
+    from pyspark.sql.window import Window
+
+    scored = score_all_matches(spark, index_dir, terms)
+    j = scored.join(meta_df.select("doc_id", bucket_col), "doc_id")
+    w = Window.partitionBy(bucket_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(n))
+        .select(
+            F.col(bucket_col).alias("bucket"), "rank", "doc_id", "score"
+        )
+        .orderBy(F.asc("bucket"), F.asc("rank"))
+    )
+
+
+def search_decay(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    meta_df: DataFrame,
+    value_col: str,
+    origin: float,
+    scale: float,
+    k: int = 10,
+    decay: float = 0.5,
+    offset: float = 0.0,
+    fn: str = "gauss",
+) -> DataFrame:
+    """function_score decay (the ES ``gauss``/``exp``/``linear`` decay
+    functions, ``boost_mode: multiply``): final = BM25 x decay(|field -
+    origin|) -> top-k DataFrame(doc_id, score).
+
+    The decay curve is normalized exactly as ES documents it: the factor
+    is ``decay`` at distance ``origin +- (offset + scale)`` and 1.0 inside
+    ``offset``. A per-doc multiplier reorders arbitrarily, so every match
+    is scored (``score_all_matches``), the field joins on doc_id (left —
+    docs missing the field keep factor 1.0, the ES default), the factor
+    is a JVM Column expression, and the top-k is TakeOrderedAndProject."""
+    import math
+
+    if fn not in ("gauss", "exp", "linear"):
+        raise ValueError(f"unknown decay fn {fn!r}")
+    scored = score_all_matches(spark, index_dir, terms)
+    j = scored.join(meta_df.select("doc_id", value_col), "doc_id", "left")
+    v = F.col(value_col)
+    dist = F.greatest(
+        F.lit(0.0), F.abs(v - F.lit(float(origin))) - F.lit(float(offset))
+    )
+    if fn == "gauss":
+        sigma2 = -(float(scale) ** 2) / (2.0 * math.log(float(decay)))
+        factor = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    elif fn == "exp":
+        lam = math.log(float(decay)) / float(scale)
+        factor = F.exp(F.lit(lam) * dist)
+    else:  # linear
+        s = float(scale) / (1.0 - float(decay))
+        factor = F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+    factor = F.when(v.isNull(), F.lit(1.0)).otherwise(factor)
+    return (
+        j.withColumn("score", F.col("score") * factor)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def search_multifield_bestfields(
+    spark: SparkSession,
+    field_indexes: dict[str, str] | str,
+    terms: list[str],
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """multi_match ``type: best_fields`` (the ES default, a dis_max over
+    per-field queries): score(d) = max_f boost_f * BM25_f(d, q) +
+    tie_breaker * sum of the non-best fields -> top-k DataFrame(doc_id,
+    score). Contrast ``search_multifield`` (most_fields: SUM across
+    fields).
+
+    Each field's full match set is scored in its own index
+    (``score_all_matches`` — per-field tombstones already excluded; the
+    engine's delta path writes tombstones to every field dir, so the
+    doc-live set is field-consistent), the per-field score columns
+    full-outer-join on doc_id (missing field = no match = 0 contribution,
+    exactly dis_max), and the combine is a JVM greatest/sum expression
+    feeding TakeOrderedAndProject."""
+    if isinstance(field_indexes, str):
+        field_indexes = discover_fields(field_indexes)
+    boosts = {f: 1.0 for f in field_indexes} | (boosts or {})
+    fields = sorted(field_indexes)
+    joined = None
+    cols = []
+    for f in fields:
+        s = score_all_matches(spark, field_indexes[f], terms).select(
+            "doc_id",
+            (F.col("score") * F.lit(float(boosts[f]))).alias(f"__s_{f}"),
+        )
+        joined = s if joined is None else joined.join(s, "doc_id", "full_outer")
+        cols.append(f"__s_{f}")
+    zs = [F.coalesce(F.col(c), F.lit(0.0)) for c in cols]
+    mx = F.greatest(*zs) if len(zs) > 1 else zs[0]
+    total = zs[0]
+    for z in zs[1:]:
+        total = total + z
+    score = mx + F.lit(float(tie_breaker)) * (total - mx)
+    return (
+        joined.withColumn("score", score)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def search_synonyms(
+    spark: SparkSession,
+    index_dir: str,
+    groups: list[list[str]],
+    k: int = 10,
+) -> DataFrame:
+    """Query-time synonym expansion: each query position carries a GROUP
+    of interchangeable terms; score(d) = sum over groups of max over the
+    group's member-term BM25 contributions -> top-k DataFrame(doc_id,
+    score). (Max-per-group is the dis_max fusion: the best synonym
+    represents the position — a doc containing three spellings of the
+    same word is not tripled. Lucene's SynonymQuery blends df across
+    members instead; max-of-members is the equally standard
+    per-term-weights expansion, and unlike df-blending it needs no
+    index-side statistics rewrite.)
+
+    Plan shape: ONE scoring pass per member term (each decodes only its
+    own posting list — together the same O(sum df) work as an OR query
+    over all members), per-term score columns full-outer-join on doc_id,
+    and the group-max/total-sum fold is a JVM expression feeding
+    TakeOrderedAndProject."""
+    flat: list[str] = []
+    for g in groups:
+        flat.extend(g)
+    if len(set(flat)) != len(flat):
+        raise ValueError("synonym groups must be disjoint")
+    joined = None
+    per_term: dict[str, str] = {}
+    for gi, g in enumerate(groups):
+        for t in sorted(set(g)):
+            col = f"__s_{gi}_{t}"
+            per_term[t] = col
+            s = score_all_matches(spark, index_dir, [t]).select(
+                "doc_id", F.col("score").alias(col)
+            )
+            joined = (
+                s if joined is None else joined.join(s, "doc_id", "full_outer")
+            )
+    total = None
+    for gi, g in enumerate(groups):
+        zs = [
+            F.coalesce(F.col(per_term[t]), F.lit(0.0)) for t in sorted(set(g))
+        ]
+        gmax = F.greatest(*zs) if len(zs) > 1 else zs[0]
+        total = gmax if total is None else total + gmax
+    return (
+        joined.withColumn("score", total)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def percolate(
     spark: SparkSession,
     docs_df: DataFrame,
