@@ -157,6 +157,26 @@ def probe_per_core() -> float:
     return spin_total(8) / 8.0
 
 
+def probe_bandwidth(secs: float = 1.0) -> float:
+    """Single-core streaming bandwidth in GB/s (scale + reduce over a 64 MB
+    buffer, far beyond LLC). The register spin is blind to this component:
+    observed windows show spin at full speed while deliverable bandwidth sits
+    at 0.01-0.2 GB/s (healthy: 2.7-18) — and the engine's tokenize/Arrow hot
+    path is bandwidth-hungry, so a pair started in such a window measures the
+    neighbor, not the engine. Gated via BW_GATE (GB/s; 0 disables)."""
+    import numpy as np
+
+    buf = np.ones(8_000_000, dtype=np.float64)
+    out = np.empty_like(buf)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < secs:
+        np.multiply(buf, 1.0000001, out=out)
+        _ = float(out.sum())
+        n += 1
+    return n * buf.nbytes * 3 / (time.time() - t0) / 1e9
+
+
 def gen_input(n_docs: int) -> str:
     """Generate the corpus parquet ONCE (full machine parallelism, unpinned)."""
     input_dir = f"/dev/shm/pgspark_scaling_input_{n_docs}"
@@ -370,6 +390,15 @@ def main():
                 print(f"SKIP pair: host degraded (probe {p:.1f} < {SPIN_GATE})")
                 time.sleep(20)
                 continue
+            bw_gate = float(os.environ.get("BW_GATE", "1.5"))
+            bw = probe_bandwidth() if bw_gate > 0 else float("inf")
+            if bw < bw_gate:
+                print(
+                    f"SKIP pair: bandwidth collapsed (bw {bw:.2f} GB/s < "
+                    f"{bw_gate}; spin probe {p:.1f} was blind to it)"
+                )
+                time.sleep(20)
+                continue
             attempts += 1
             # bracket the 4N level by default (its runs are ~4x shorter, so
             # the A-B-A exposure window shrinks accordingly); BRACKET_LEVEL=n
@@ -410,6 +439,7 @@ def main():
                 "n": n, "n4": n4, "eff": round(eff, 3), "healthy": healthy,
                 "bracket_spread": round(spread, 3),
                 "n_docs": n_docs, "start_probe": round(p, 1),
+                "start_bw": round(bw, 2),
                 "mid_reps": mid_reps,
                 "mid_dps": [round(x, 1) for x in mid_dps],
                 "runs": pair_runs,
