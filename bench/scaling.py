@@ -177,6 +177,36 @@ def probe_bandwidth(secs: float = 1.0) -> float:
     return n * buf.nbytes * 3 / (time.time() - t0) / 1e9
 
 
+def _bw_child(out, i, secs=2.0):
+    import numpy as np
+
+    buf = np.ones(8_000_000, dtype=np.float64)
+    dst = np.empty_like(buf)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < secs:
+        np.multiply(buf, 1.0000001, out=dst)
+        _ = float(dst.sum())
+        n += 1
+    out[i] = n * buf.nbytes * 3 / (time.time() - t0) / 1e9
+
+
+def bw_total(procs: int) -> float:
+    """Aggregate streaming bandwidth (GB/s) with `procs` concurrent
+    single-core readers — the hardware ceiling for the engine's
+    bandwidth-bound stages (Arrow string tokenize). A VM socket whose
+    aggregate saturates below 4x between 2 and 8 readers caps ANY
+    software's 2->8 strong-scaling of such stages at the same ratio;
+    separate cluster NODES each bring their own memory controllers and do
+    not share this ceiling."""
+    man = mp.Manager()
+    o = man.dict()
+    ps = [mp.Process(target=_bw_child, args=(o, i)) for i in range(procs)]
+    [p.start() for p in ps]
+    [p.join() for p in ps]
+    return sum(o.values())
+
+
 def gen_input(n_docs: int) -> str:
     """Generate the corpus parquet ONCE (full machine parallelism, unpinned)."""
     input_dir = f"/dev/shm/pgspark_scaling_input_{n_docs}"
@@ -284,11 +314,14 @@ def calibrate() -> dict:
             break
         time.sleep(20)
     per = {p: spin_total(p) for p in (1, 2, 8, 16, 32)}
+    bw = {p: bw_total(p) for p in (1, 2, 8)}
     return {
         "spin_totals": {str(k): round(v, 1) for k, v in per.items()},
         "per_core": {str(k): round(v / k, 2) for k, v in per.items()},
         "eff_2_to_8": round(per[8] / (4 * per[2]), 3),
         "eff_8_to_32": round(per[32] / (4 * per[8]), 3),
+        "bw_totals": {str(k): round(v, 2) for k, v in bw.items()},
+        "bw_eff_2_to_8": round(bw[8] / (4 * bw[2]), 3),
     }
 
 
@@ -821,6 +854,22 @@ def main():
             f"| {k} | {cal['spin_totals'][k]} | {cal['per_core'][k]} |"
         )
     lines += [
+        "",
+        "Aggregate streaming bandwidth (concurrent single-core 64 MB",
+        "scale+reduce readers — the ceiling for the engine's bandwidth-bound",
+        "Arrow/tokenize stages; separate cluster NODES each bring their own",
+        "memory controllers and do not share it):",
+        "",
+        "| concurrent procs | total GB/s |",
+        "|---|---|",
+    ] + [
+        f"| {k} | {v} |" for k, v in cal.get("bw_totals", {}).items()
+    ] + [
+        "",
+        f"Bandwidth efficiency 2->8 procs: **{cal.get('bw_eff_2_to_8', 'n/a')}**",
+        "— when this is < 1.0, the socket is already sharing bandwidth at 8",
+        "readers; a bandwidth-bound stage CANNOT strong-scale past it on this",
+        "box, independent of the engine.",
         "",
         f"Spin efficiency 2->8 procs: **{cal['eff_2_to_8']}** (hardware flat);",
         f"spin efficiency 8->32 procs: **{cal['eff_8_to_32']}** — the VM's own",
