@@ -272,10 +272,15 @@ def run(execs: int, n_docs: int, input_dir: str) -> dict:
         stdout=subprocess.PIPE, text=True,
     )
     try:
+        # explicit cwd: if the directory the campaign was LAUNCHED from is
+        # ever unlinked (observed: a relaunch rm -rf'd the frozen tree while
+        # a prior generation still held it), an inherited stale cwd makes
+        # every child JVM abort with "Could not determine current working
+        # directory" — pin children to REPO, which always exists
         out = subprocess.run(
             ["taskset", "-c", cpuset, sys.executable, "-c", code,
              str(execs), str(n_docs), input_dir],
-            capture_output=True, text=True, timeout=7200, env=env,
+            capture_output=True, text=True, timeout=7200, env=env, cwd=REPO,
         )
     finally:
         prober.terminate()
@@ -410,6 +415,11 @@ def main():
         # whole attempt budget in 20 s skips) — the wall clock is the
         # backstop against a host that never recovers.
         wall = float(os.environ.get("SCALING_WALL_SECS", "inf"))
+        # child CRASHES (JVM/infra failures, not engine measurements) get
+        # their attempt refunded up to this budget — a transient host fault
+        # otherwise burns the whole attempt budget in minutes while the wall
+        # clock remains the backstop against a host that never recovers
+        crash_refunds = int(os.environ.get("SCALING_CRASH_REFUNDS", "20"))
         t_start = time.time()
         while attempts < max_attempts and time.time() - t_start < wall and any(
             _healthy_count(n, n4) < want for (n, n4) in pairs
@@ -451,6 +461,9 @@ def main():
                     rb = run(n4, n_docs, input_dir)
             except Exception as exc:  # noqa: BLE001
                 print(f"FAILED pair: {str(exc)[:500]}")
+                if crash_refunds > 0:
+                    crash_refunds -= 1
+                    attempts -= 1
                 continue
             da, db = ra["docs_per_sec"], rb["docs_per_sec"]
             spread = abs(da - db) / min(da, db)
@@ -502,10 +515,19 @@ def main():
                     print(f"FAILED executors={e}: {str(exc)[:500]}")
                     continue
                 _accept(r, p)
+    with open(os.path.join(REPO, "BENCH", "calibration.json"), "w") as f:
+        json.dump(cal, f)
+    sections = [make_section(n_docs, cal, runs, pair_results, pairs, levels)]
+    write_baseline(sections, cal)
+
+
+def make_section(n_docs, cal, runs, pair_results, pairs, levels):
+    """One scale's full evidence block (headline best-accepted runs, bracketed
+    A-B-A pairs, same-window concurrent cross-check, per-scale Raw line)."""
     best = {e: max(runs[e], key=lambda r: r["docs_per_sec"]) for e in levels if runs[e]}
 
     lines = [
-        "# BENCH/BASELINE — scaling efficiency at two cluster sizes (N vs 4N executors)",
+        f"## Scale: {n_docs:,} docs",
         "",
         f"Same input ({n_docs:,} synthetic webtext docs, seed 42), same build (1 unit,",
         "partitions = 4x executors), each level a FRESH `local-cluster[E,1,mem]` —",
@@ -543,7 +565,7 @@ def main():
             lines.append("")
     if pair_results:
         lines += [
-            "## Bracketed same-window pairs (primary scaling evidence)",
+            "### Bracketed same-window pairs (primary scaling evidence)",
             "",
             "Each attempt runs N, 4N, then N again BACK-TO-BACK (A-B-A). A",
             "pair is *healthy* iff the two N runs agree within the bracket",
@@ -725,7 +747,7 @@ def main():
             if phase_rows:
                 lines += [
                     "",
-                    "### Per-phase scaling efficiency (healthy pairs)",
+                    "#### Per-phase scaling efficiency (healthy pairs)",
                     "",
                     "eff = T_N / (4 x T_4N) per phase (bracket legs averaged).",
                     "Tokenize dominates wall time. Segments carries the splice",
@@ -804,7 +826,7 @@ def main():
             ]
     if conc:
         lines += [
-            "## Same-window concurrent cross-check (loose lower bound)",
+            "### Same-window concurrent cross-check (loose lower bound)",
             "",
             "The N=2 and 4N=8 builds run AT THE SAME TIME on disjoint cores",
             "(2-exec on cores 0-2, 8-exec on cores 4-12, 13 of 32 cores busy —",
@@ -840,7 +862,17 @@ def main():
             "",
         ]
         effs["concurrent_2->8"] = c_med
+    best_raw = {e: best[e] for e in best}
     lines += [
+        "",
+        f"Raw: {json.dumps({'best': best_raw, 'efficiencies': effs, 'all_runs': runs, 'n_docs': n_docs, 'spin_gate': SPIN_GATE})}",
+        "",
+    ]
+    return lines
+
+
+def hardware_lines(cal):
+    lines = [
         "## Hardware ceiling (same machine, same windows)",
         "",
         "Pure-register integer spin — zero memory traffic, zero syscalls, zero",
@@ -880,15 +912,79 @@ def main():
         "executor NODES, whose per-node silicon does not degrade as the cluster",
         "grows. The 8->32 row is reported for completeness against that ceiling.",
         "",
-        f"Raw: {json.dumps({'best': best, 'efficiencies': effs, 'hw_spin': cal, 'all_runs': runs, 'n_docs': n_docs, 'spin_gate': SPIN_GATE})}",
+        f"Hardware-calibration raw: {json.dumps(cal)}",
         "",
     ]
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    return lines
+
+
+def write_baseline(sections, cal):
+    lines = [
+        "# BENCH/BASELINE — scaling efficiency at two cluster sizes (N vs 4N executors)",
+        "",
+        "Evidence is grouped by corpus scale (largest first); each scale",
+        "section is a full campaign — headline best-accepted runs, bracketed",
+        "A-B-A same-window pairs, and (where recorded) a same-window",
+        "concurrent cross-check — over the identical methodology. The",
+        "hardware-ceiling calibration at the end applies to every section",
+        "(same machine).",
+        "",
+    ]
+    for s in sections:
+        lines += s
+    lines += hardware_lines(cal)
     md = "\n".join(lines)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
 
 
+def load_calibration() -> dict:
+    """Prefer the cached calibration (written by the most recent campaign)
+    unless SCALING_RECAL=1 — report-only regeneration must not inject spin/bw
+    load while a measured leg may be running elsewhere."""
+    cache = os.path.join(REPO, "BENCH", "calibration.json")
+    if os.environ.get("SCALING_RECAL") != "1" and os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    cal = calibrate()
+    with open(cache, "w") as f:
+        json.dump(cal, f)
+    return cal
+
+
+def report_only():
+    """Regenerate BENCH/BASELINE.md from BENCH/{runs,pairs,concurrent}.jsonl
+    covering EVERY corpus scale present — the campaign itself reports only the
+    scale it ran, which would otherwise drop earlier scales' evidence."""
+    cal = load_calibration()
+    all_runs, all_pairs = [], []
+    rp = os.path.join(REPO, "BENCH", "runs.jsonl")
+    pp = os.path.join(REPO, "BENCH", "pairs.jsonl")
+    if os.path.exists(rp):
+        with open(rp) as f:
+            all_runs = [json.loads(l) for l in f if l.strip()]
+    if os.path.exists(pp):
+        with open(pp) as f:
+            all_pairs = [json.loads(l) for l in f if l.strip()]
+    scales = sorted(
+        {r.get("n_docs") for r in all_runs} | {p.get("n_docs") for p in all_pairs},
+        reverse=True,
+    )
+    sections = []
+    for nd in scales:
+        prs = [p for p in all_pairs if p.get("n_docs") == nd]
+        rl = [r for r in all_runs if r.get("n_docs") == nd]
+        levels = sorted({int(r["executors"]) for r in rl})
+        runs = {e: [r for r in rl if int(r["executors"]) == e] for e in levels}
+        pair_cfgs = sorted({(p["n"], p["n4"]) for p in prs}) or [(2, 8)]
+        sections.append(make_section(nd, cal, runs, prs, pair_cfgs, levels))
+    write_baseline(sections, cal)
+
+
 if __name__ == "__main__":
-    main()
+    if "--report-only" in sys.argv:
+        report_only()
+    else:
+        main()
