@@ -318,14 +318,16 @@ def calibrate() -> dict:
         if probe_per_core() >= SPIN_GATE:
             break
         time.sleep(20)
-    per = {p: spin_total(p) for p in (1, 2, 8, 16, 32)}
-    bw = {p: bw_total(p) for p in (1, 2, 8)}
+    per = {p: spin_total(p) for p in (1, 2, 4, 8, 16, 32)}
+    bw = {p: bw_total(p) for p in (1, 2, 4, 8)}
     return {
         "spin_totals": {str(k): round(v, 1) for k, v in per.items()},
         "per_core": {str(k): round(v / k, 2) for k, v in per.items()},
+        "eff_1_to_4": round(per[4] / (4 * per[1]), 3),
         "eff_2_to_8": round(per[8] / (4 * per[2]), 3),
         "eff_8_to_32": round(per[32] / (4 * per[8]), 3),
         "bw_totals": {str(k): round(v, 2) for k, v in bw.items()},
+        "bw_eff_1_to_4": round(bw[4] / (4 * bw[1]), 3),
         "bw_eff_2_to_8": round(bw[8] / (4 * bw[2]), 3),
     }
 
@@ -688,21 +690,22 @@ def make_section(n_docs, cal, runs, pair_results, pairs, levels):
                     "  N=2 each 1-core executor owns 4x the rows per task,",
                     "  growing the tokenize working set past cache comfort.",
                 ]
-                if (n, n4) == (2, 8) and cal.get("eff_2_to_8"):
+                norm_key = f"eff_{n}_to_{n4}"
+                if cal.get(norm_key):
                     # shared-silicon normalization: the spin calibration
-                    # measures what the VM itself loses going 2 -> 8 busy
+                    # measures what the VM itself loses going N -> 4N busy
                     # cores (frequency/contention) — a loss separate
                     # executor NODES would not see. The normalized ratio is
                     # the engine's own scaling with the silicon's tax
                     # factored out.
-                    norm = med / cal["eff_2_to_8"]
+                    norm = med / cal[norm_key]
                     lines.append(
-                        f"  - silicon-normalized median (/{cal['eff_2_to_8']:.3f} "
-                        f"measured spin eff 2->8 busy cores on this VM): "
-                        f"**{norm:.3f}** — per-NODE silicon on a real "
+                        f"  - silicon-normalized median (/{cal[norm_key]:.3f} "
+                        f"measured spin eff {n}->{n4} busy cores on this "
+                        f"VM): **{norm:.3f}** — per-NODE silicon on a real "
                         f"cluster does not degrade as executors are added"
                     )
-                    effs["pair_2->8_silicon_normalized"] = round(norm, 3)
+                    effs[f"pair_{n}->{n4}_silicon_normalized"] = round(norm, 3)
 
             # per-phase attribution: the build's phases scale differently
             # (tokenize is embarrassingly parallel; segments carries the
@@ -881,7 +884,9 @@ def hardware_lines(cal):
         "| concurrent procs | total units | units/core |",
         "|---|---|---|",
     ]
-    for k in ("1", "2", "8", "16", "32"):
+    for k in ("1", "2", "4", "8", "16", "32"):
+        if k not in cal["spin_totals"]:
+            continue
         lines.append(
             f"| {k} | {cal['spin_totals'][k]} | {cal['per_core'][k]} |"
         )
@@ -898,10 +903,15 @@ def hardware_lines(cal):
         f"| {k} | {v} |" for k, v in cal.get("bw_totals", {}).items()
     ] + [
         "",
-        f"Bandwidth efficiency 2->8 procs: **{cal.get('bw_eff_2_to_8', 'n/a')}**",
-        "— when this is < 1.0, the socket is already sharing bandwidth at 8",
-        "readers; a bandwidth-bound stage CANNOT strong-scale past it on this",
-        "box, independent of the engine.",
+        f"Bandwidth efficiency 1->4 procs: **{cal.get('bw_eff_1_to_4', 'n/a')}**;",
+        f"bandwidth efficiency 2->8 procs: **{cal.get('bw_eff_2_to_8', 'n/a')}**",
+        "— when this is < 1.0, the socket is already sharing bandwidth at that",
+        "reader count; a bandwidth-bound stage CANNOT strong-scale past it on",
+        "this box, independent of the engine. This is why the campaign also",
+        "runs the N=1 -> 4N=4 pair: it is the largest 4x step that stays under",
+        "the socket's bandwidth knee, so it isolates ENGINE scaling from the",
+        "single-socket sharing artifact that separate cluster nodes do not",
+        "have.",
         "",
         f"Spin efficiency 2->8 procs: **{cal['eff_2_to_8']}** (hardware flat);",
         f"spin efficiency 8->32 procs: **{cal['eff_8_to_32']}** — the VM's own",
