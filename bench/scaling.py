@@ -932,6 +932,14 @@ def write_baseline(sections, cal):
     lines = [
         "# BENCH/BASELINE — scaling efficiency at two cluster sizes (N vs 4N executors)",
         "",
+    ]
+    # optional hand-authored conclusions (BENCH/HEADLINE.md): inlined verbatim
+    # so campaign-end narrative survives report regeneration
+    headline = os.path.join(REPO, "BENCH", "HEADLINE.md")
+    if os.path.exists(headline):
+        with open(headline) as f:
+            lines += [f.read().rstrip(), ""]
+    lines += [
         "Evidence is grouped by corpus scale (largest first); each scale",
         "section is a full campaign — headline best-accepted runs, bracketed",
         "A-B-A same-window pairs, and (where recorded) a same-window",
