@@ -519,8 +519,10 @@ def main():
                 _accept(r, p)
     with open(os.path.join(REPO, "BENCH", "calibration.json"), "w") as f:
         json.dump(cal, f)
-    sections = [make_section(n_docs, cal, runs, pair_results, pairs, levels)]
-    write_baseline(sections, cal)
+    # always end with the full multi-scale report: a campaign that reported
+    # only its own scale used to drop earlier scales' evidence from
+    # BENCH/BASELINE.md on exit
+    report_only()
 
 
 def make_section(n_docs, cal, runs, pair_results, pairs, levels):
