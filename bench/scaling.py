@@ -742,6 +742,8 @@ def make_section(n_docs, cal, runs, pair_results, pairs, levels):
                 row = {"pair": f"{pr['n']}->{pr['n4']}"}
                 for key, col in (
                     ("tokenize_docs", "tokenize"),
+                    ("tokenize_segments", "tokenize"),
+                    ("docs", "docs"),
                     ("segments", "segments"),
                     ("merge", "merge"),
                 ):

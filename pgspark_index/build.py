@@ -1528,10 +1528,46 @@ def build_unit(
 
         phases: dict[str, float] = {}
         _t0 = _time.time()
-        # ONE action computes docs stats AND the oversize-drop counter: the
-        # observation sits on `combined` (above the kind filter) so the
-        # kind==2 accounting rows are tallied during the same cache-
-        # populating pass that writes the docs table — no second job.
+        partials = combined.filter(F.col("kind") == 1).select(
+            "term", "salt", "df", "cf", "first_doc",
+            "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+            "postings", "positions",
+        )
+        seg_obs = Observation()
+        # Map-side combine: only compressed partial lists cross this shuffle
+        # (~2.3 B/posting vs ~14+ B/posting raw rows), and JVM<->Arrow row
+        # counts are O(distinct terms), not O(postings). Hash repartition
+        # (no range-sampler pass); sortWithinPartitions keeps every output
+        # FILE term-sorted so parquet row-group min/max stats stay selective
+        # for the query-time term IN (...) pushdown; first_doc in the sort
+        # key is the splice order. The SEGMENTS job runs FIRST: its
+        # `partitions`-wide shuffle-map stage is what populates the
+        # tokenize cache, so the docs job below can coalesce its output to
+        # few, larger files without serializing the tokenize itself.
+        seg_parts = int(os.environ.get("PGSPARK_SEG_SHUFFLE_PARTS", "0")) or partitions
+        segments = (
+            partials.repartition(seg_parts, "term", "salt")
+            .sortWithinPartitions("term", "salt", "first_doc")
+            .mapInArrow(_splice_merge_fn, schema=SEG_SCHEMA)
+            .observe(
+                seg_obs,
+                F.count(F.lit(1)).alias("term_rows"),
+                F.sum(F.length("postings")).alias("bytes"),
+            )
+        )
+        segments.write.mode("overwrite").parquet(
+            os.path.join(segments_path(index_dir), f"unit={unit}")
+        )
+        phases["tokenize_segments"] = round(_time.time() - _t0, 2)
+
+        _t0 = _time.time()
+        # docs job: cache read only. The observation sits on `combined`
+        # (above the kind filter) so the kind==2/3 accounting rows are
+        # tallied in the same action; output coalesced to ~1/16th of the
+        # build width (docs rows are ~40 B/doc vs ~hundreds of postings
+        # bytes/doc, so file sizing follows the same target as segments —
+        # guide §6: fewer, larger files; 128 x 100 KB sidecar files cost
+        # every reader 128 footers).
         docs_obs = Observation()
         docs_out = (
             combined.observe(
@@ -1544,9 +1580,13 @@ def build_unit(
             .filter(F.col("kind") == 0)
             .select("ord", "doc_id", "url", "doclen")
         )
+        doc_parts = max(1, partitions // 16)
+        if doc_parts < partitions:
+            docs_out = docs_out.coalesce(doc_parts)
         docs_out.write.mode("overwrite").parquet(
             os.path.join(docs_path(index_dir), f"unit={unit}")
         )
+        phases["docs"] = round(_time.time() - _t0, 2)
         dropped_terms = docs_obs.get["dropped"] or 0
         quarantined = int(docs_obs.get["quarantined"] or 0)
         if quarantined:
@@ -1583,37 +1623,6 @@ def build_unit(
                     "failing the unit instead of committing systematic data "
                     "loss; see quarantine sidecar for per-doc errors"
                 )
-        phases["tokenize_docs"] = round(_time.time() - _t0, 2)
-
-        partials = combined.filter(F.col("kind") == 1).select(
-            "term", "salt", "df", "cf", "first_doc",
-            "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
-            "postings", "positions",
-        )
-        seg_obs = Observation()
-        # Map-side combine: only compressed partial lists cross this shuffle
-        # (~2.3 B/posting vs ~14+ B/posting raw rows), and JVM<->Arrow row
-        # counts are O(distinct terms), not O(postings). Hash repartition
-        # (no range-sampler pass); sortWithinPartitions keeps every output
-        # FILE term-sorted so parquet row-group min/max stats stay selective
-        # for the query-time term IN (...) pushdown; first_doc in the sort
-        # key is the splice order.
-        segments = (
-            partials.repartition(partitions, "term", "salt")
-            .sortWithinPartitions("term", "salt", "first_doc")
-            .mapInArrow(_splice_merge_fn, schema=SEG_SCHEMA)
-            .observe(
-                seg_obs,
-                F.count(F.lit(1)).alias("term_rows"),
-                F.sum(F.length("postings")).alias("bytes"),
-            )
-        )
-        _t0 = _time.time()
-        segments.write.mode("overwrite").parquet(
-            os.path.join(segments_path(index_dir), f"unit={unit}")
-        )
-        phases["segments"] = round(_time.time() - _t0, 2)
-
         row = {
             "phase_secs": phases,  # diagnostics only (not a manifest field)
             "segment_id": f"u{unit}",
@@ -1690,29 +1699,41 @@ def build_index(
         source, num_units, sample_fraction, salt_target, max_fanout
     ) if todo else {}
     salt_plan_sec = round(_time.time() - _t0, 2)
+
+    def _one_unit(u: int) -> dict:
+        return build_unit(
+            spark,
+            docs_provider,
+            index_dir,
+            u,
+            num_units,
+            partitions,
+            input_snapshot_id,
+            salt_target,
+            sample_fraction,
+            max_fanout,
+            salt_plan=salt_plan,
+            max_term_bytes=max_term_bytes,
+            max_id_bytes=max_id_bytes,
+            with_positions=with_positions,
+            quarantine_max_docs=quarantine_max_docs,
+            quarantine_max_frac=quarantine_max_frac,
+        )
+
+    # Units are independent jobs (own shuffles, own output dirs, own
+    # manifest rows); Spark's FIFO scheduler happily overlaps them, so the
+    # tail of one unit's stage back-fills with the next unit's tasks
+    # instead of idling the cluster (guide §2.6 overlap-independent-jobs).
+    # 2 in flight is the sweet spot: enough to fill stragglers, not enough
+    # to double peak memory. Sequential path kept for one-unit builds.
+    conc = max(1, int(os.environ.get("PGSPARK_BUILD_UNIT_CONCURRENCY", "2")))
     built, failed = [], []
-    for u in todo:
+    first_exc: Exception | None = None
+
+    def _run_catching(u: int):
+        nonlocal first_exc
         try:
-            built.append(
-                build_unit(
-                    spark,
-                    docs_provider,
-                    index_dir,
-                    u,
-                    num_units,
-                    partitions,
-                    input_snapshot_id,
-                    salt_target,
-                    sample_fraction,
-                    max_fanout,
-                    salt_plan=salt_plan,
-                    max_term_bytes=max_term_bytes,
-                    max_id_bytes=max_id_bytes,
-                    with_positions=with_positions,
-                    quarantine_max_docs=quarantine_max_docs,
-                    quarantine_max_frac=quarantine_max_frac,
-                )
-            )
+            built.append(_one_unit(u))
         except Exception as exc:  # noqa: BLE001 — ledger + re-raise/skip
             manifest.commit_unit(
                 index_dir,
@@ -1725,9 +1746,26 @@ def build_index(
                 },
             )
             if not ignore_unit_errors:
-                raise
+                if first_exc is None:
+                    first_exc = exc
+                return
             print(f"DATALOSS unit={u} skipped after error: {exc}")
             failed.append(u)
+
+    if conc > 1 and len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(conc, len(todo))) as pool:
+            list(pool.map(_run_catching, todo))
+    else:
+        for u in todo:
+            _run_catching(u)
+            if first_exc is not None:
+                break
+    if first_exc is not None:
+        raise first_exc
+    built.sort(key=lambda r: r["unit"])  # deterministic metrics/result order
+    failed.sort()
     res = {
         "built_units": [r["unit"] for r in built],
         "skipped_units": [u for u in requested if u not in todo],

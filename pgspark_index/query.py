@@ -197,6 +197,161 @@ RESULT_SCHEMA = "doc_id bigint, score double"
 BATCH_RESULT_SCHEMA = "query_id int, doc_id bigint, score double"
 
 
+# ---- driver small-query tier ---------------------------------------------
+# A top-k query's real work is O(total postings of its terms); when that
+# total is small (bounded below), scheduling a Spark job (scan + shuffle +
+# Python workers + TakeOrdered: ~0.5 s of fixed cost at any data size)
+# dwarfs the work itself. Small queries therefore run entirely on the
+# driver: the SAME pyarrow term-IN segment read the executors would do
+# (row-group pruning via the term-sorted file layout), the SAME wand
+# scorers per unit, the SAME (score DESC, doc_id ASC) merge — bit-identical
+# results (the strategies are order-insensitive: per-doc sums accumulate in
+# sorted term order, see wand._exact_topk). This is the coordinating-node
+# shape of a search engine: a query touching a few hundred KB of postings
+# is one node's work; the cluster is for the queries (and corpora) that
+# aren't.
+#
+# The gate is a hard byte bound, not a heuristic: sum(df) over the query's
+# terms (already in hand from the lexicon lookup) x 16 B/posting decode
+# working set must fit PGSPARK_QUERY_DRIVER_BYTES (default 64 MB; 0
+# disables the tier entirely). Unit count is capped so a many-unit index
+# never serializes per-unit scoring on the driver. Everything over the
+# gate takes the distributed path unchanged.
+_DRIVER_TIER_DEFAULT_BYTES = 64 << 20
+_DRIVER_TIER_MAX_UNITS = 64
+_POSTING_DECODE_BYTES = 16  # int64 doc + int64 tf per decoded posting
+
+
+def _driver_tier_cap() -> int:
+    import os as _os
+
+    try:
+        return int(
+            _os.environ.get(
+                "PGSPARK_QUERY_DRIVER_BYTES", _DRIVER_TIER_DEFAULT_BYTES
+            )
+        )
+    except ValueError:
+        return _DRIVER_TIER_DEFAULT_BYTES
+
+
+def _driver_tier_ok(units: list, dfs: dict, terms: list[str]) -> bool:
+    cap = _driver_tier_cap()
+    if cap <= 0 or len(units) > _DRIVER_TIER_MAX_UNITS:
+        return False
+    return (
+        sum(int(dfs.get(t, 0)) for t in terms) * _POSTING_DECODE_BYTES <= cap
+    )
+
+
+_SEG_DS_CACHE: dict = {}
+# lexicon dataset cache: merge_index overwrites produce fresh file names
+# (Spark part-file UUIDs), so the file-list key rolls on any rewrite
+_LEX_DS_CACHE: dict = {}
+
+_SEG_COLS = [
+    "term", "df", "postings",
+    "block_last_doc", "block_max_tf", "block_min_dl", "block_offset",
+]
+
+
+def _unit_seg_pdf(
+    index_dir: str, unit: int, terms: list[str], part_ids=None
+):
+    """Driver-side read of one unit's segment rows for ``terms`` -> pandas
+    (same columns the distributed scan selects).
+
+    ``part_ids``: the lexicon entries' (term -> part_id) pointers for the
+    query terms — the term-dictionary -> posting-file indirection. Segment
+    file ``part-<pid>-*`` is written by shuffle partition ``pid`` (its rows
+    carry that part_id), so the read opens ONLY the files that contain the
+    query terms' rows. Without the pointer (or if naming doesn't match), a
+    term-IN scan over a unit whose files each hold one wide-term-range row
+    group prunes nothing and decompresses the whole unit per query. The
+    dataset is cached per (file-set, selection); compaction swaps the dir,
+    which rolls the key."""
+    import os as _os
+    import re as _re
+
+    import pyarrow.dataset as ds
+
+    d = _os.path.join(segments_path(index_dir), f"unit={int(unit)}")
+    names = tuple(
+        sorted(fn for fn in _os.listdir(d) if fn.endswith(".parquet"))
+    )
+    sel = names
+    if part_ids is not None:
+        by_pid = {}
+        for fn in names:
+            m = _re.match(r"part-(\d+)-", fn)
+            if m is not None:
+                by_pid.setdefault(int(m.group(1)), fn)
+        picked = [by_pid.get(int(p)) for p in sorted(part_ids)]
+        if all(fn is not None for fn in picked):
+            sel = tuple(picked)
+    key = (d, names, sel)
+    dset = _SEG_DS_CACHE.get(key)
+    if dset is None:
+        dset = ds.dataset(
+            [_os.path.join(d, fn) for fn in sel], format="parquet"
+        )
+        if len(_SEG_DS_CACHE) >= 64:
+            _SEG_DS_CACHE.pop(next(iter(_SEG_DS_CACHE)))
+        _SEG_DS_CACHE[key] = dset
+    tab = dset.to_table(
+        columns=_SEG_COLS, filter=ds.field("term").isin(terms)
+    )
+    return tab.to_pandas()
+
+
+def _unit_part_ids(
+    parts: dict, terms: list[str], units: list
+) -> dict[int, set[int]]:
+    """Lexicon entry pointers -> {unit: part_ids holding any query term}.
+    A unit with an empty set holds none of the terms and is skipped
+    entirely (the distributed path's groupBy produces no group there)."""
+    out: dict[int, set[int]] = {int(u): set() for u in units}
+    for t in terms:
+        for u, pid in parts.get(t, ()):
+            if int(u) in out:
+                out[int(u)].add(int(pid))
+    return out
+
+
+def _topk_rows(rows: list, k: int) -> list:
+    """Global (score DESC, doc_id ASC) top-k merge of per-unit emissions —
+    the driver-tier equivalent of orderBy(desc(score), asc(doc_id)).limit(k)."""
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+def _sql_lit(v, t: str) -> str:
+    t = t.strip().lower()
+    if t == "double":
+        # repr(float) is the shortest round-trip form; the JVM's
+        # string->double parse is correctly rounded, so the score survives
+        # bit-exactly through the SQL literal
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+    return f"CAST({int(v)} AS {t.upper()})"
+
+
+def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Tiny driver-computed result list -> DataFrame as a LocalRelation
+    (SQL VALUES): collect() on it is a driver-side LocalTableScan — no
+    Spark job, no Python-worker roundtrip. The default createDataFrame
+    path would parallelize even a 10-row list into defaultParallelism
+    slices and schedule a 32-task Python-RDD job per collect."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    fields = [f.strip().split(None, 1) for f in schema.split(",")]
+    names = ", ".join(f[0] for f in fields)
+    sql_rows = ", ".join(
+        "(" + ", ".join(_sql_lit(v, f[1]) for v, f in zip(r, fields)) + ")"
+        for r in rows
+    )
+    return spark.sql(f"SELECT * FROM (VALUES {sql_rows}) AS t({names})")
+
+
 def _seg_scan(spark: SparkSession, index_dir: str, units: list[int]) -> DataFrame:
     """Segment scan over the COMMITTED units listed in stats.json (the
     merge-time manifest view). Reading explicit ``unit=<u>`` dirs (with
@@ -223,16 +378,22 @@ def _docs_scan(spark: SparkSession, index_dir: str, units: list[int]) -> DataFra
     )
 
 
-def _term_idfs(spark: SparkSession, index_dir: str, terms: list[str], n_docs: int) -> dict[str, float]:
-    """Lexicon lookup: term -> idf (global df). Missing terms are simply
-    absent (score 0 everywhere), like any search engine.
+def _term_stats(
+    spark: SparkSession, index_dir: str, terms: list[str], n_docs: int
+) -> tuple[dict[str, float], dict[str, int]]:
+    """Lexicon lookup: (term -> idf, term -> global df). Missing terms are
+    simply absent (score 0 everywhere), like any search engine.
 
     Read directly with pyarrow on the driver — the lexicon is range-
     partitioned and sorted by term, so parquet row-group statistics prune
     to a handful of row groups; no Spark job is scheduled for the (tiny)
-    lookup, which roughly halves single-query latency."""
+    lookup, which roughly halves single-query latency. The df side feeds
+    the driver-tier byte gate, and the entries side its per-file read
+    targeting, at zero extra I/O.
+
+    Returns (term -> idf, term -> global df, term -> [(unit, part_id)])."""
     if not terms:
-        return {}
+        return {}, {}, {}
     import glob as _glob
     import os as _os
 
@@ -241,14 +402,32 @@ def _term_idfs(spark: SparkSession, index_dir: str, terms: list[str], n_docs: in
     files = sorted(
         _glob.glob(_os.path.join(merge.lexicon_path(index_dir), "*.parquet"))
     )
-    dataset = ds.dataset(files, format="parquet")
+    key = tuple(files)
+    dataset = _LEX_DS_CACHE.get(key)
+    if dataset is None:
+        dataset = ds.dataset(files, format="parquet")
+        if len(_LEX_DS_CACHE) >= 16:
+            _LEX_DS_CACHE.pop(next(iter(_LEX_DS_CACHE)))
+        _LEX_DS_CACHE[key] = dataset
     table = dataset.to_table(
-        columns=["term", "df_total"], filter=ds.field("term").isin(terms)
+        columns=["term", "df_total", "entries"],
+        filter=ds.field("term").isin(terms),
     )
-    out = {}
-    for term, df_total in zip(table["term"].to_pylist(), table["df_total"].to_pylist()):
-        out[term] = float(bm25.idf(n_docs, df_total))
-    return out
+    idfs, dfs, parts = {}, {}, {}
+    for term, df_total, ents in zip(
+        table["term"].to_pylist(),
+        table["df_total"].to_pylist(),
+        table["entries"].to_pylist(),
+    ):
+        idfs[term] = float(bm25.idf(n_docs, df_total))
+        dfs[term] = int(df_total)
+        parts[term] = [(int(e["unit"]), int(e["part_id"])) for e in ents]
+    return idfs, dfs, parts
+
+
+def _term_idfs(spark: SparkSession, index_dir: str, terms: list[str], n_docs: int) -> dict[str, float]:
+    """Back-compat wrapper over ``_term_stats`` (idf side only)."""
+    return _term_stats(spark, index_dir, terms, n_docs)[0]
 
 
 def _split_must_not(pdf, neg_terms):
@@ -353,7 +532,7 @@ def search(
     stats = merge.load_stats(index_dir)
     terms = sorted(set(terms))
     neg_terms = sorted(set(exclude_terms or []))
-    all_idfs = _term_idfs(
+    all_idfs, all_dfs, all_parts = _term_stats(
         spark, index_dir, sorted(set(terms + neg_terms)), stats["n_docs"]
     )
     idfs = {t: v for t, v in all_idfs.items() if t in terms}
@@ -367,6 +546,32 @@ def search(
         index_dir, tombstone_closure_limit
     )
     n_docs = int(stats["n_docs"])
+
+    if (
+        filter_df is None
+        and not tomb_big
+        and _driver_tier_ok(stats["units"], all_dfs, present + neg_present)
+    ):
+        # small query: score on the driver (same reads, same scorers, same
+        # merge order — bit-identical; see the tier comment above)
+        rows: list[tuple[int, float]] = []
+        up = _unit_part_ids(all_parts, present + neg_present, stats["units"])
+        for u in stats["units"]:
+            if not up[int(u)]:
+                continue
+            pdf = _unit_seg_pdf(
+                index_dir, u, present + neg_present, part_ids=up[int(u)]
+            )
+            if len(pdf) == 0:
+                continue
+            sc = _sidecar(index_dir, u)
+            pdf, neg_ords = _split_must_not(pdf, neg_present)
+            docs, scores = scorer(
+                _rows_to_lists(pdf, idfs), avgdl, k, sc,
+                exclude=_merge_excludes(sc.ords_of_docs(excluder(u)), neg_ords),
+            )
+            rows.extend(zip(docs.tolist(), scores.tolist()))
+        return _local_df(spark, _topk_rows(rows, k), RESULT_SCHEMA)
 
     seg = (
         _seg_scan(spark, index_dir, stats["units"])
@@ -435,7 +640,7 @@ def search_after(
     stats = merge.load_stats(index_dir)
     terms = sorted(set(terms))
     neg_terms = sorted(set(exclude_terms or []))
-    all_idfs = _term_idfs(
+    all_idfs, all_dfs, all_parts = _term_stats(
         spark, index_dir, sorted(set(terms + neg_terms)), stats["n_docs"]
     )
     idfs = {t: v for t, v in all_idfs.items() if t in terms}
@@ -446,6 +651,28 @@ def search_after(
     avgdl = float(stats["avgdl"])
     excluder = _tombstone_excluder(index_dir)
     cursor = (float(after[0]), int(after[1]))
+
+    if _driver_tier_ok(stats["units"], all_dfs, present + neg_present):
+        # small query: driver tier (same scorer, same cursor mask — the
+        # tier comment near the top of this module)
+        rows: list[tuple[int, float]] = []
+        up = _unit_part_ids(all_parts, present + neg_present, stats["units"])
+        for u in stats["units"]:
+            if not up[int(u)]:
+                continue
+            pdf = _unit_seg_pdf(
+                index_dir, u, present + neg_present, part_ids=up[int(u)]
+            )
+            if len(pdf) == 0:
+                continue
+            sc = _sidecar(index_dir, u)
+            pdf, neg_ords = _split_must_not(pdf, neg_present)
+            docs, scores = wand.score_exhaustive_after(
+                _rows_to_lists(pdf, idfs), avgdl, k, sc, cursor,
+                exclude=_merge_excludes(sc.ords_of_docs(excluder(u)), neg_ords),
+            )
+            rows.extend(zip(docs.tolist(), scores.tolist()))
+        return _local_df(spark, _topk_rows(rows, k), RESULT_SCHEMA)
 
     seg = (
         _seg_scan(spark, index_dir, stats["units"])
@@ -2059,7 +2286,7 @@ def search_batch(
     local lists; the global per-query top-k is a single window."""
     stats = merge.load_stats(index_dir)
     all_terms = sorted({t for q in queries for t in q["terms"]})
-    idfs = _term_idfs(spark, index_dir, all_terms, stats["n_docs"])
+    idfs, all_dfs, all_parts = _term_stats(spark, index_dir, all_terms, stats["n_docs"])
     qspec = [
         {
             "query_id": int(q["query_id"]),
@@ -2074,6 +2301,41 @@ def search_batch(
     if not present:
         return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
     excluder = _tombstone_excluder(index_dir)
+
+    if _driver_tier_ok(stats["units"], all_dfs, present):
+        # small batch: one driver-side segment read for the union of all
+        # query terms, then the same per-unit/per-query scoring loop the
+        # executors would run, and the same global per-query rank order
+        acc: dict[int, list[tuple[int, float]]] = {}
+        up = _unit_part_ids(all_parts, present, stats["units"])
+        for u in stats["units"]:
+            if not up[int(u)]:
+                continue
+            pdf = _unit_seg_pdf(index_dir, u, present, part_ids=up[int(u)])
+            if len(pdf) == 0:
+                continue
+            sc = _sidecar(index_dir, u)
+            exclude = sc.ords_of_docs(excluder(u))
+            by_term: dict[str, list[dict]] = {}
+            for lst in _rows_to_lists(pdf, idfs):
+                by_term.setdefault(lst["term"], []).append(lst)
+            for q in qspec:
+                qlists = [l for t in q["terms"] for l in by_term.get(t, [])]
+                if not qlists:
+                    continue
+                docs, scores = scorer(qlists, avgdl, q["k"], sc, exclude=exclude)
+                acc.setdefault(q["query_id"], []).extend(
+                    zip(docs.tolist(), scores.tolist())
+                )
+        out_rows = []
+        for q in qspec:
+            top = _topk_rows(acc.get(q["query_id"], []), q["k"])
+            out_rows.extend(
+                (q["query_id"], r + 1, d, s) for r, (d, s) in enumerate(top)
+            )
+        return _local_df(
+            spark, out_rows, "query_id int, rank int, doc_id bigint, score double"
+        )
 
     seg = (
         _seg_scan(spark, index_dir, stats["units"])

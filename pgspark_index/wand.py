@@ -196,15 +196,36 @@ def _member_mask(sorted_vals: np.ndarray, probes: np.ndarray) -> np.ndarray:
 def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float, sc):
     """Decode only the blocks that can contain candidate docs; return
     (docs, contribs) restricted to candidates. Pure block-max skipping.
-    ``cand_docs`` must be sorted (maxscore maintains that invariant)."""
+    ``cand_docs`` must be sorted (maxscore maintains that invariant).
+
+    Contiguous runs of needed blocks decode as ONE varbyte pass each: gap
+    chains continue across block boundaries (block b+1's first gap is
+    relative to block b's last doc), so a run's byte slice decodes with a
+    single cumsum based at the run predecessor's last doc. On dense
+    candidate sets this turns thousands of per-block decode calls into a
+    handful of vectorized passes — same docs, same contribs."""
     last = np.asarray(lst["block_last_doc"], dtype=np.int64)
     offs = np.asarray(lst["block_offset"], dtype=np.int64)
     needed = np.unique(np.searchsorted(last, cand_docs))
     needed = needed[needed < last.size]
+    if needed.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    blob = lst["postings"]
+    mv = memoryview(blob)
+    run_starts = np.flatnonzero(np.diff(needed, prepend=needed[0] - 2) != 1)
     out_docs, out_contribs = [], []
-    for b in needed:
-        prev = int(last[b - 1]) if b > 0 else None
-        doc, tf = codecs.decode_block(lst["postings"], int(b), offs, prev)
+    for ri in range(run_starts.size):
+        i0 = int(run_starts[ri])
+        i1 = int(run_starts[ri + 1]) if ri + 1 < run_starts.size else needed.size
+        b0, b1 = int(needed[i0]), int(needed[i1 - 1])
+        off = int(offs[b0])
+        end = int(offs[b1 + 1]) if b1 + 1 < offs.size else len(blob)
+        stream = codecs.varbyte_decode(mv[off:end])
+        gaps = stream[0::2].copy()
+        if b0 > 0:
+            gaps[0] += np.uint64(int(last[b0 - 1]))
+        doc = np.cumsum(gaps, dtype=np.uint64).view(np.int64)
+        tf = stream[1::2].astype(np.int64)
         mask = _member_mask(cand_docs, doc)
         if mask.any():
             dsel = doc[mask]
