@@ -60,14 +60,18 @@ def merge_index(spark: SparkSession, index_dir: str, lexicon_partitions: int | N
     parts = lexicon_partitions or max(
         1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2
     )
+    # ONE exchange: range-partitioning by term satisfies the aggregation's
+    # clustered-distribution requirement (equal terms co-locate), so the
+    # groupBy runs in place on the range layout instead of adding its own
+    # hash exchange before a second range exchange for the output order.
     lex = (
-        seg.groupBy("term")
+        seg.repartitionByRange(parts, "term")
+        .groupBy("term")
         .agg(
             F.sum("df").alias("df_total"),
             F.sum("cf").alias("cf_total"),
             F.collect_list(F.struct("unit", "salt", "part_id", "df")).alias("entries"),
         )
-        .repartitionByRange(parts, "term")
         .sortWithinPartitions("term")
     )
     lex.write.mode("overwrite").parquet(lexicon_path(index_dir))

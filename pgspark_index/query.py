@@ -1286,6 +1286,155 @@ def expand_prefix(
     return terms[:max_expansions]
 
 
+# ---- distributed expansion tier -------------------------------------------
+# An UNPRUNED expansion (fuzzy with prefix_length=0, leading-* wildcard,
+# unanchorable regexp) must pass the whole lexicon through the matcher.
+# Below this byte bound the term-sorted lexicon streams through the driver
+# (pyarrow, no job — fine for lexicons up to tens of MB); above it the
+# same matcher runs as a small Spark job (mapInArrow over the lexicon
+# parquet, same pyarrow/numpy kernels, executors each matching their
+# split), and only the capped match list is collected. The gate is file
+# bytes — known before reading anything.
+_EXPAND_DRIVER_DEFAULT_BYTES = 64 << 20
+
+
+def _expand_driver_cap() -> int:
+    import os as _os
+
+    try:
+        return int(
+            _os.environ.get(
+                "PGSPARK_EXPAND_DRIVER_BYTES", _EXPAND_DRIVER_DEFAULT_BYTES
+            )
+        )
+    except ValueError:
+        return _EXPAND_DRIVER_DEFAULT_BYTES
+
+
+def _lexicon_files(index_dir: str) -> list[str]:
+    import glob as _glob
+    import os as _os
+
+    return sorted(
+        _glob.glob(_os.path.join(merge.lexicon_path(index_dir), "*.parquet"))
+    )
+
+
+def _expand_needs_job(files: list[str]) -> bool:
+    import os as _os
+
+    cap = _expand_driver_cap()
+    if cap <= 0:
+        return True
+    return sum(_os.path.getsize(f) for f in files) > cap
+
+
+def _collect_expansion_spark(
+    matched, max_expansions: int, what: str
+) -> list[str]:
+    """Deterministic cap of a distributed expansion: lexicographically
+    first ``max_expansions`` matches via TakeOrderedAndProject; one extra
+    row detects truncation (same warning contract as the driver stream)."""
+    import warnings
+
+    rows = matched.orderBy("term").limit(max_expansions + 1).collect()
+    out = [r["term"] for r in rows]
+    if len(out) > max_expansions:
+        warnings.warn(
+            f"{what} expansion truncated to the first "
+            f"{max_expansions} lexicon matches",
+            stacklevel=4,
+        )
+    return sorted(set(out[:max_expansions]))
+
+
+def _expand_regex_spark(
+    spark: SparkSession, index_dir: str, rx: str, max_expansions: int,
+    what: str,
+) -> list[str]:
+    """Distributed anchored-regex expansion: the same pyarrow RE2 matcher
+    the driver stream uses (NOT Java regex — tier choice must never change
+    which terms match), run per executor split via mapInArrow."""
+
+    def match_fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            hits = pc.filter(
+                b.column("term"),
+                pc.match_substring_regex(b.column("term"), rx),
+            )
+            yield pa.record_batch([hits], names=["term"])
+
+    lex = spark.read.parquet(merge.lexicon_path(index_dir)).select("term")
+    return _collect_expansion_spark(
+        lex.mapInArrow(match_fn, "term string"), max_expansions, what
+    )
+
+
+def _fuzzy_batch_hits(arr, qb, max_edits: int, transpositions: bool):
+    """One Arrow string batch -> list of terms within ``max_edits`` of the
+    query bytes ``qb`` (the vectorized DP kernel, shared by the driver
+    stream and the distributed expansion job)."""
+    import numpy as np
+    import pyarrow as pa
+
+    m = len(qb)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    lens = offs[1:] - offs[:-1]
+    sel = np.flatnonzero(np.abs(lens - m) <= max_edits)
+    if not sel.size or not data.size:
+        return []
+    lens_s = lens[sel]
+    lmax = int(lens_s.max())
+    idx = offs[sel][:, None] + np.arange(lmax)
+    mask = np.arange(lmax) < lens_s[:, None]
+    cand = np.zeros((sel.size, lmax), dtype=np.uint8)
+    np.copyto(cand, data[np.minimum(idx, data.size - 1)], where=mask)
+    dists = _levenshtein_batch(cand, lens_s, qb, transpositions)
+    hits = sel[dists <= max_edits]
+    if not hits.size:
+        return []
+    return arr.take(pa.array(hits)).to_pylist()
+
+
+def _expand_fuzzy_spark(
+    spark: SparkSession, index_dir: str, term: str, max_edits: int,
+    max_expansions: int, transpositions: bool,
+) -> list[str]:
+    """Distributed fuzzy expansion: the same numpy DP kernel, one executor
+    split at a time via mapInArrow; only the capped match list returns."""
+    qbytes = term.encode("utf-8")
+
+    def match_fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        qb = np.frombuffer(qbytes, dtype=np.uint8)
+        for b in batches:
+            hits = _fuzzy_batch_hits(
+                b.column("term"), qb, max_edits, transpositions
+            )
+            yield pa.record_batch(
+                [pa.array(hits, type=pa.string())], names=["term"]
+            )
+
+    lex = spark.read.parquet(merge.lexicon_path(index_dir)).select("term")
+    return _collect_expansion_spark(
+        lex.mapInArrow(match_fn, "term string"), max_expansions,
+        f"fuzzy {term!r} (max_edits={max_edits})",
+    )
+
+
 def _expand_lexicon_regex(
     index_dir: str, rx: str, lead: str, max_expansions: int, what: str
 ) -> list[str]:
@@ -1313,6 +1462,13 @@ def _expand_lexicon_regex(
     if lead:
         upper = lead[:-1] + chr(ord(lead[-1]) + 1)
         filt = (ds.field("term") >= lead) & (ds.field("term") < upper)
+    elif _expand_needs_job(files):
+        # no range prune possible and the lexicon is beyond the driver
+        # byte gate: run the same RE2 matcher as a distributed job instead
+        # of streaming the whole lexicon through the driver
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            return _expand_regex_spark(spark, index_dir, rx, max_expansions, what)
     # the lexicon is range-partitioned + term-sorted and files sort by
     # partition id, so an in-order scan yields terms in lexicographic
     # order — the first max_expansions matches are the deterministic set
@@ -1506,6 +1662,16 @@ def expand_fuzzy(
         lead = term[: min(prefix_length, len(term))]
         upper = lead[:-1] + chr(ord(lead[-1]) + 1)
         filt = (ds.field("term") >= lead) & (ds.field("term") < upper)
+    elif _expand_needs_job(files):
+        # prefix_length=0 and the lexicon is beyond the driver byte gate:
+        # run the same DP kernel as a distributed job instead of streaming
+        # the whole lexicon through the driver
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            return _expand_fuzzy_spark(
+                spark, index_dir, term, max_edits, max_expansions,
+                transpositions,
+            )
     scanner = ds.dataset(files, format="parquet").scanner(
         columns=["term"], filter=filt, batch_size=64 * 1024
     )
@@ -1514,30 +1680,10 @@ def expand_fuzzy(
     for batch in scanner.to_batches():
         if batch.num_rows == 0:
             continue
-        arr = batch.column("term")
-        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-            arr.offset : arr.offset + len(arr) + 1
-        ].astype(np.int64)
-        buf = arr.buffers()[2]
-        data = (
-            np.frombuffer(buf, dtype=np.uint8)
-            if buf is not None
-            else np.zeros(0, dtype=np.uint8)
+        hits = _fuzzy_batch_hits(
+            batch.column("term"), qb, max_edits, transpositions
         )
-        lens = offs[1:] - offs[:-1]
-        sel = np.flatnonzero(np.abs(lens - m) <= max_edits)
-        if not sel.size or not data.size:
-            continue
-        lens_s = lens[sel]
-        lmax = int(lens_s.max())
-        idx = offs[sel][:, None] + np.arange(lmax)
-        mask = np.arange(lmax) < lens_s[:, None]
-        cand = np.zeros((sel.size, lmax), dtype=np.uint8)
-        np.copyto(cand, data[np.minimum(idx, data.size - 1)], where=mask)
-        dists = _levenshtein_batch(cand, lens_s, qb, transpositions)
-        hits = sel[dists <= max_edits]
-        if hits.size:
-            out.extend(arr.take(pa.array(hits)).to_pylist())
+        out.extend(hits)
         if len(out) > max_expansions:
             truncated = True
             break

@@ -308,10 +308,29 @@ def score_bmw(
     lists: list[dict], avgdl: float, k: int, sc,
     exclude: np.ndarray | None = None, include: np.ndarray | None = None,
 ):
-    """Document-at-a-time Block-Max WAND (reference implementation).
+    """Document-at-a-time Block-Max WAND, block-window batched.
 
-    Decodes lazily block-by-block; skips blocks via the WAND pivot +
-    block-max upper bounds. Final top-k re-summed in term order."""
+    Round-6 vectorization of the former per-document pivot loop: the WAND
+    pivot (Broder et al.) and the block-max skip (Ding & Suel 2011) are
+    kept, but they now gate WINDOWS of postings, not single documents.
+    Each iteration sorts the live cursors by current doc, picks the WAND
+    pivot from the list-level upper bounds, sets the window end W = min
+    over live lists of their current block's last doc (so every list's
+    window postings sit in its already-decoded current block), and either
+
+    - skips the whole window when the summed current-block upper bounds
+      fall strictly below the heap threshold (the block-max skip; == T
+      still scores, doc-id tie-break), or
+    - scores every candidate in [pivot_doc, W] EXACTLY with vectorized
+      member masks over the decoded blocks, accumulating per-term
+      contributions in sorted term order (bit-identical to the oracle's
+      accumulation), then bulk-updates the top-k heap.
+
+    Docs below the pivot are skipped by the standard WAND argument (they
+    occur only in the prefix lists whose summed bounds < T). All cursors
+    then advance past W, so every posting is visited at most once per
+    list and no document can be scored twice. Python work per iteration
+    is O(n_lists); numpy does the per-posting work."""
     if include is not None:
         # include-restricted scoring delegates to MaxScore (identical
         # output — property-tested); wiring an include set through the
@@ -321,76 +340,66 @@ def score_bmw(
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     ranks = _term_ranks(lists)
 
-    class Cursor:
-        __slots__ = ("lst", "ub", "block", "docs", "tfs", "dls", "i", "done", "trank")
+    class _BCursor:
+        __slots__ = ("lst", "ub", "trank", "idf", "last", "offs", "b",
+                     "docs", "tfs", "i", "done")
 
-        def __init__(self, lst, avgdl):
+        def __init__(self, lst):
             self.lst = lst
             self.ub = _list_upper_bound(lst, avgdl)
             self.trank = ranks[lst["term"]]
-            self.block = -1
-            self.done = len(lst["block_last_doc"]) == 0
-            self.docs = None
+            self.idf = lst["idf"]
+            self.last = np.asarray(lst["block_last_doc"], dtype=np.int64)
+            self.offs = np.asarray(lst["block_offset"], dtype=np.int64)
+            self.done = self.last.size == 0
+            self.b = -1
             self.i = 0
             if not self.done:
                 self._load(0)
 
         def _load(self, b):
-            lst = self.lst
-            prev = int(lst["block_last_doc"][b - 1]) if b > 0 else None
+            prev = int(self.last[b - 1]) if b > 0 else None
             self.docs, self.tfs = codecs.decode_block(
-                lst["postings"], b,
-                np.asarray(lst["block_offset"], dtype=np.int64), prev,
+                self.lst["postings"], b, self.offs, prev
             )
-            self.dls = sc.dl_of(self.docs)
-            self.block = b
+            self.b = b
             self.i = 0
 
-        def current(self):
+        def current(self) -> int:
             return int(self.docs[self.i])
 
-        def block_ub(self, avgdl):
-            b = self.block
+        def block_ub(self) -> float:
             return float(
                 bm25.block_upper_bound(
-                    self.lst["idf"],
-                    int(self.lst["block_max_tf"][b]),
-                    int(self.lst["block_min_dl"][b]),
+                    self.idf,
+                    int(self.lst["block_max_tf"][self.b]),
+                    int(self.lst["block_min_dl"][self.b]),
                     avgdl,
                 )
             )
 
-        def seek(self, target):
+        def window_slice(self, lo: int, hi: int):
+            """(docs, tfs) of this list's current block within [lo, hi]."""
+            j0 = self.i + int(np.searchsorted(self.docs[self.i:], lo))
+            j1 = int(np.searchsorted(self.docs, hi, side="right"))
+            return self.docs[j0:j1], self.tfs[j0:j1]
+
+        def seek(self, target: int):
             """Advance to first doc >= target (block-skipping)."""
-            last = self.lst["block_last_doc"]
-            b = int(np.searchsorted(np.asarray(last, dtype=np.int64), target))
-            if b >= len(last):
+            b = int(np.searchsorted(self.last, target))
+            if b >= self.last.size:
                 self.done = True
                 return
-            if b != self.block:
+            if b != self.b:
                 self._load(b)
-                self.i = 0
-            j = int(np.searchsorted(self.docs[self.i:], target)) + self.i
-            if j >= self.docs.size:  # target beyond block end (can't happen: last[b] >= target)
+            j = self.i + int(np.searchsorted(self.docs[self.i:], target))
+            if j >= self.docs.size:
                 self.done = True
                 return
             self.i = j
 
-        def contrib(self, avgdl):
-            return self.lst["idf"] * float(
-                bm25.tf_weight(int(self.tfs[self.i]), int(self.dls[self.i]), avgdl)
-            )
-
-    exclude_set = set(exclude.tolist()) if exclude is not None and getattr(exclude, "size", 0) else None
-    cursors = [Cursor(l, avgdl) for l in lists]
-    cursors = [c for c in cursors if not c.done]
-    # heap entries tie-break on the MAPPED doc_id (oracle order), while the
-    # DAAT traversal itself runs in ordinal order
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-    results: dict[int, float] = {}
-
-    def _mapped(o: int) -> int:
-        return int(sc.doc_of(np.array([o], dtype=np.int64))[0])
+    cursors = [c for c in (_BCursor(l) for l in lists) if not c.done]
+    heap: list[tuple[float, int]] = []  # (score, -mapped_doc) min-heap of k
 
     while True:
         live = [c for c in cursors if not c.done]
@@ -398,10 +407,8 @@ def score_bmw(
             break
         live.sort(key=lambda c: c.current())
         T = heap[0][0] if len(heap) >= k else 0.0
-        # WAND pivot: first prefix whose ub sum REACHES T. Tie-safety: a doc
-        # whose bound exactly equals T can still win the (score DESC, doc_id
-        # ASC) tie-break — v3 traverses in ordinal order while ties break on
-        # the mapped doc_id, so ub == T must be scored, never pruned.
+        # WAND pivot: first prefix whose ub sum REACHES T (== T scores —
+        # the (score DESC, doc_id ASC) tie-break can still admit it)
         acc_ub = 0.0
         pivot_idx = None
         for idx, c in enumerate(live):
@@ -412,36 +419,41 @@ def score_bmw(
         if pivot_idx is None:
             break
         pivot_doc = live[pivot_idx].current()
-        if exclude_set and pivot_doc in exclude_set:
-            for c in live:
-                if not c.done and c.current() <= pivot_doc:
-                    c.seek(pivot_doc + 1)
-            continue
-        if live[0].current() == pivot_doc:
-            # block-max check over ALL lists positioned at the pivot doc —
-            # with ties, lists beyond pivot_idx can also match and score.
-            block_ub_sum = sum(
-                c.block_ub(avgdl) for c in live if c.current() == pivot_doc
-            )
-            if block_ub_sum >= T:  # == T scores too (doc_id tie-break)
-                score = 0.0
-                matched = sorted(
-                    (c for c in live if c.current() == pivot_doc), key=lambda c: c.trank
-                )
-                for c in matched:
-                    score += c.contrib(avgdl)
-                md = _mapped(pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, (score, -md))
-                elif (score, -md) > heap[0]:
-                    heapq.heapreplace(heap, (score, -md))
-                results[md] = score
-            for c in live:
-                if not c.done and c.current() <= pivot_doc:
-                    c.seek(pivot_doc + 1)
-        else:
-            for c in live[:pivot_idx]:
-                c.seek(pivot_doc)
+        # window: every live list's current block covers doc ids up to at
+        # least W, so window postings need no further decode
+        W = min(int(c.last[c.b]) for c in live)
+        if W >= pivot_doc:
+            block_ub_sum = sum(c.block_ub() for c in live)
+            if block_ub_sum >= T:  # block-max gate; == T scores
+                parts = [
+                    c.window_slice(pivot_doc, W)[0] for c in live
+                ]
+                cand = np.unique(np.concatenate(parts)) if parts else None
+                if cand is not None and cand.size:
+                    if exclude is not None and exclude.size:
+                        cand = cand[~_member_mask(exclude, cand)]
+                if cand is not None and cand.size:
+                    acc = np.zeros(cand.size, dtype=np.float64)
+                    for c in sorted(live, key=lambda c: c.trank):
+                        d_, t_ = c.window_slice(pivot_doc, W)
+                        m = _member_mask(cand, d_)
+                        if m.any():
+                            dsel = d_[m]
+                            idxs = np.searchsorted(cand, dsel)
+                            acc[idxs] += c.idf * bm25.tf_weight(
+                                t_[m], sc.dl_of(dsel), avgdl
+                            )
+                    mapped = sc.doc_of(cand)
+                    for s, md in zip(acc.tolist(), mapped.tolist()):
+                        if len(heap) < k:
+                            heapq.heappush(heap, (s, -md))
+                        elif (s, -md) > heap[0]:
+                            heapq.heapreplace(heap, (s, -md))
+        # advance every cursor past the window: each posting is visited
+        # at most once per list, and no doc can be scored twice
+        for c in live:
+            if not c.done and c.current() <= W:
+                c.seek(W + 1)
 
     top = sorted(((-s, -nd) for s, nd in heap))[:k]
     doc_ids = np.array([int(d) for _, d in top], dtype=np.int64)

@@ -95,6 +95,26 @@ def test_tier_batch_and_after_match(spark, idx, monkeypatch):
     assert tier_a == dist_a
 
 
+def test_distributed_expansion_matches_driver_stream(spark, idx, monkeypatch):
+    """Unpruned fuzzy / leading-wildcard / regexp expansion over a lexicon
+    beyond the byte gate runs as a Spark job (mapInArrow over the lexicon
+    with the same RE2 / numpy-DP kernels) — term sets must be identical to
+    the driver stream."""
+    cases = [
+        lambda: query.expand_wildcard(idx, "*eta", 16),
+        lambda: query.expand_regexp(idx, "[bz]eta", 16),
+        lambda: query.expand_fuzzy(idx, "beta", 1, 16, prefix_length=0),
+        lambda: query.expand_fuzzy(idx, "gamm", 1, 16, prefix_length=0,
+                                   transpositions=True),
+    ]
+    monkeypatch.setenv("PGSPARK_EXPAND_DRIVER_BYTES", str(64 << 20))
+    stream = [c() for c in cases]
+    monkeypatch.setenv("PGSPARK_EXPAND_DRIVER_BYTES", "0")  # force the job
+    job = [c() for c in cases]
+    assert job == stream
+    assert stream[0]  # *eta matches beta/zeta/eta-family terms
+
+
 def test_local_df_roundtrips_doubles_exactly(spark):
     import math
 
