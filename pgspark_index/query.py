@@ -318,6 +318,20 @@ def _unit_part_ids(
     return out
 
 
+def _map_units(units: list, fn) -> list:
+    """Run the tier's per-unit work concurrently (decode/score kernels are
+    numpy and release the GIL) — halves heavy-query latency on multi-unit
+    indexes; results are order-independent (the caller's global merge
+    sorts). Serial for one unit."""
+    units = [int(u) for u in units]
+    if len(units) < 2:
+        return [fn(u) for u in units]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(units))) as pool:
+        return list(pool.map(fn, units))
+
+
 def _topk_rows(rows: list, k: int) -> list:
     """Global (score DESC, doc_id ASC) top-k merge of per-unit emissions —
     the driver-tier equivalent of orderBy(desc(score), asc(doc_id)).limit(k)."""
@@ -554,23 +568,25 @@ def search(
     ):
         # small query: score on the driver (same reads, same scorers, same
         # merge order — bit-identical; see the tier comment above)
-        rows: list[tuple[int, float]] = []
         up = _unit_part_ids(all_parts, present + neg_present, stats["units"])
-        for u in stats["units"]:
-            if not up[int(u)]:
-                continue
+
+        def unit_rows(u: int) -> list:
+            if not up[u]:
+                return []
             pdf = _unit_seg_pdf(
-                index_dir, u, present + neg_present, part_ids=up[int(u)]
+                index_dir, u, present + neg_present, part_ids=up[u]
             )
             if len(pdf) == 0:
-                continue
+                return []
             sc = _sidecar(index_dir, u)
-            pdf, neg_ords = _split_must_not(pdf, neg_present)
+            pdf2, neg_ords = _split_must_not(pdf, neg_present)
             docs, scores = scorer(
-                _rows_to_lists(pdf, idfs), avgdl, k, sc,
+                _rows_to_lists(pdf2, idfs), avgdl, k, sc,
                 exclude=_merge_excludes(sc.ords_of_docs(excluder(u)), neg_ords),
             )
-            rows.extend(zip(docs.tolist(), scores.tolist()))
+            return list(zip(docs.tolist(), scores.tolist()))
+
+        rows = [r for rs in _map_units(stats["units"], unit_rows) for r in rs]
         return _local_df(spark, _topk_rows(rows, k), RESULT_SCHEMA)
 
     seg = (
@@ -655,23 +671,25 @@ def search_after(
     if _driver_tier_ok(stats["units"], all_dfs, present + neg_present):
         # small query: driver tier (same scorer, same cursor mask — the
         # tier comment near the top of this module)
-        rows: list[tuple[int, float]] = []
         up = _unit_part_ids(all_parts, present + neg_present, stats["units"])
-        for u in stats["units"]:
-            if not up[int(u)]:
-                continue
+
+        def unit_rows(u: int) -> list:
+            if not up[u]:
+                return []
             pdf = _unit_seg_pdf(
-                index_dir, u, present + neg_present, part_ids=up[int(u)]
+                index_dir, u, present + neg_present, part_ids=up[u]
             )
             if len(pdf) == 0:
-                continue
+                return []
             sc = _sidecar(index_dir, u)
-            pdf, neg_ords = _split_must_not(pdf, neg_present)
+            pdf2, neg_ords = _split_must_not(pdf, neg_present)
             docs, scores = wand.score_exhaustive_after(
-                _rows_to_lists(pdf, idfs), avgdl, k, sc, cursor,
+                _rows_to_lists(pdf2, idfs), avgdl, k, sc, cursor,
                 exclude=_merge_excludes(sc.ords_of_docs(excluder(u)), neg_ords),
             )
-            rows.extend(zip(docs.tolist(), scores.tolist()))
+            return list(zip(docs.tolist(), scores.tolist()))
+
+        rows = [r for rs in _map_units(stats["units"], unit_rows) for r in rs]
         return _local_df(spark, _topk_rows(rows, k), RESULT_SCHEMA)
 
     seg = (
@@ -2452,27 +2470,34 @@ def search_batch(
         # small batch: one driver-side segment read for the union of all
         # query terms, then the same per-unit/per-query scoring loop the
         # executors would run, and the same global per-query rank order
-        acc: dict[int, list[tuple[int, float]]] = {}
         up = _unit_part_ids(all_parts, present, stats["units"])
-        for u in stats["units"]:
-            if not up[int(u)]:
-                continue
-            pdf = _unit_seg_pdf(index_dir, u, present, part_ids=up[int(u)])
+
+        def unit_results(u: int) -> dict:
+            if not up[u]:
+                return {}
+            pdf = _unit_seg_pdf(index_dir, u, present, part_ids=up[u])
             if len(pdf) == 0:
-                continue
+                return {}
             sc = _sidecar(index_dir, u)
             exclude = sc.ords_of_docs(excluder(u))
             by_term: dict[str, list[dict]] = {}
             for lst in _rows_to_lists(pdf, idfs):
                 by_term.setdefault(lst["term"], []).append(lst)
+            out: dict[int, list[tuple[int, float]]] = {}
             for q in qspec:
                 qlists = [l for t in q["terms"] for l in by_term.get(t, [])]
                 if not qlists:
                     continue
                 docs, scores = scorer(qlists, avgdl, q["k"], sc, exclude=exclude)
-                acc.setdefault(q["query_id"], []).extend(
+                out.setdefault(q["query_id"], []).extend(
                     zip(docs.tolist(), scores.tolist())
                 )
+            return out
+
+        acc: dict[int, list[tuple[int, float]]] = {}
+        for unit_acc in _map_units(stats["units"], unit_results):
+            for qid, rs in unit_acc.items():
+                acc.setdefault(qid, []).extend(rs)
         out_rows = []
         for q in qspec:
             top = _topk_rows(acc.get(q["query_id"], []), q["k"])
