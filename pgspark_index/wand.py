@@ -252,24 +252,56 @@ def score_maxscore(
     if not lists:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     ranks = _term_ranks(lists)
-    ubs = np.array([_list_upper_bound(l, avgdl) for l in lists])
+    # Salted lists of ONE term are doc-disjoint slices of that term's
+    # postings — process them as one logical list: the per-doc upper
+    # bound is max(salt ubs), not their sum (a doc lives in exactly one
+    # salt list), which both TIGHTENS the pruning bound and makes the
+    # candidate merge below run once per TERM instead of once per salt
+    # list (the former per-list full re-sort was quadratic-ish on
+    # 64-way-salted head terms).
+    by_term: dict[str, list[dict]] = {}
+    for lst in lists:
+        by_term.setdefault(lst["term"], []).append(lst)
+    groups = list(by_term.values())
+    ubs = np.array(
+        [max(_list_upper_bound(l, avgdl) for l in g) for g in groups]
+    )
     order = np.argsort(-ubs, kind="stable")
-    lists = [lists[i] for i in order]
+    groups = [groups[i] for i in order]
     ubs = ubs[order]
     rem_after = np.concatenate((np.cumsum(ubs[::-1])[::-1][1:], [0.0]))
+
+    def _group_decode(g, fn):
+        """Concatenate per-salt-list (doc, contrib) into the term's one
+        doc-sorted entry (docs unique across a term's salt lists)."""
+        ds_, cs_ = [], []
+        for lst in g:
+            d_, c_ = fn(lst)
+            ds_.append(d_)
+            cs_.append(c_)
+        doc = np.concatenate(ds_) if len(ds_) > 1 else ds_[0]
+        contrib = np.concatenate(cs_) if len(cs_) > 1 else cs_[0]
+        if len(ds_) > 1:
+            srt = np.argsort(doc, kind="stable")
+            doc, contrib = doc[srt], contrib[srt]
+        return doc, contrib
 
     cand_docs = np.zeros(0, dtype=np.int64)
     cand_acc = np.zeros(0, dtype=np.float64)
     kept = []  # (doc_array, contrib_array, trank) pairs for exact re-sum
     admitting = True
-    for i, lst in enumerate(lists):
+    for i, g in enumerate(groups):
         if admitting:
             # include applies at admission only: probe-phase candidates are
             # already a subset of the admitted (included) docs
-            doc, contrib = _decoded_contribs(lst, avgdl, sc, exclude, include)
+            doc, contrib = _group_decode(
+                g, lambda l: _decoded_contribs(l, avgdl, sc, exclude, include)
+            )
         else:
-            doc, contrib = _probe_blocks(lst, cand_docs, avgdl, sc)
-        kept.append((doc, contrib, ranks[lst["term"]]))
+            doc, contrib = _group_decode(
+                g, lambda l: _probe_blocks(l, cand_docs, avgdl, sc)
+            )
+        kept.append((doc, contrib, ranks[g[0]["term"]]))
         # merge into candidates (cand_docs kept sorted)
         if cand_docs.size:
             pos = np.searchsorted(cand_docs, doc)
