@@ -2518,6 +2518,8 @@ def search_batch(
     )
 
     def score_unit_all(key, pdf):
+        from concurrent.futures import ThreadPoolExecutor
+
         import pandas as pd
 
         sc = _sidecar(index_dir, key[0])
@@ -2526,13 +2528,24 @@ def search_batch(
         by_term: dict[str, list[dict]] = {}
         for lst in lists:
             by_term.setdefault(lst["term"], []).append(lst)
-        out_q, out_d, out_s = [], [], []
-        for q in qspec:
+
+        # per-query scoring is independent and numpy-bound (GIL released);
+        # a batch's unit task would otherwise score its whole query set
+        # serially — with one task per unit, that serialization IS the
+        # batch latency. pool.map preserves qspec order (deterministic
+        # output rows).
+        def one(q):
             qlists = [l for t in q["terms"] for l in by_term.get(t, [])]
             if not qlists:
-                continue
+                return None
             docs, scores = scorer(qlists, avgdl, q["k"], sc, exclude=exclude)
-            out_q.extend([q["query_id"]] * len(docs))
+            return q["query_id"], docs, scores
+
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(qspec)))) as pool:
+            results = [r for r in pool.map(one, qspec) if r is not None]
+        out_q, out_d, out_s = [], [], []
+        for qid, docs, scores in results:
+            out_q.extend([qid] * len(docs))
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())
         return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
