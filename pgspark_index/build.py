@@ -77,6 +77,31 @@ SEG_SCHEMA = (
     "positions binary"
 )
 
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _aqe_disabled(spark: SparkSession):
+    """Unit-build actions run with AQE off (restored on exit).
+
+    AQE buys the unit pipeline nothing — its exchanges are explicit
+    fixed-width repartitions AQE must not coalesce (the ordinal contract,
+    see ORD_SHIFT), and it has no joins — but it MATERIALIZES the persisted
+    tokenize output as its own adaptive query stage, which splits the fused
+    job: the tokenize reduce ends at the cache instead of flowing straight
+    into the partials shuffle map, adding a whole cache-read +
+    re-serialize pass per unit (measured via the stage API: 5 stages vs 4,
+    ~10-25% unit wall). Plan shape, partitioning, and output bytes are
+    identical either way — only the stage fusion differs."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
 DOCS_SCHEMA = "ord bigint, doc_id bigint, url string, doclen int"
 
 # dense doc ordinal (format v3): partition_id << ORD_SHIFT | rank-within-
@@ -1766,16 +1791,17 @@ def build_index(
             print(f"DATALOSS unit={u} skipped after error: {exc}")
             failed.append(u)
 
-    if conc > 1 and len(todo) > 1:
-        from concurrent.futures import ThreadPoolExecutor
+    with _aqe_disabled(spark):
+        if conc > 1 and len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(conc, len(todo))) as pool:
-            list(pool.map(_run_catching, todo))
-    else:
-        for u in todo:
-            _run_catching(u)
-            if first_exc is not None:
-                break
+            with ThreadPoolExecutor(max_workers=min(conc, len(todo))) as pool:
+                list(pool.map(_run_catching, todo))
+        else:
+            for u in todo:
+                _run_catching(u)
+                if first_exc is not None:
+                    break
     if first_exc is not None:
         raise first_exc
     built.sort(key=lambda r: r["unit"])  # deterministic metrics/result order

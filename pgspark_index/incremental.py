@@ -148,17 +148,21 @@ def build_delta(
             build_kwargs.get("salt_target", 100_000),
             build_kwargs.get("max_fanout", 64),
         )
-    for i in todo:
-        uid = base_unit + i
+    from .build import _aqe_disabled
 
-        def shifted(unit, total, _provider=provider, _i=i, _n=num_units):
-            return _provider(_i, _n)
+    with _aqe_disabled(spark):
+        for i in todo:
+            uid = base_unit + i
 
-        row = build_unit(
-            spark, shifted, index_dir, uid, num_units, partitions,
-            input_snapshot_id=input_snapshot_id, salt_plan=salt_plan, **build_kwargs,
-        )
-        built.append(row)
+            def shifted(unit, total, _provider=provider, _i=i, _n=num_units):
+                return _provider(_i, _n)
+
+            row = build_unit(
+                spark, shifted, index_dir, uid, num_units, partitions,
+                input_snapshot_id=input_snapshot_id, salt_plan=salt_plan,
+                **build_kwargs,
+            )
+            built.append(row)
 
     # tombstones: delta doc_ids that exist in OTHER (older) units' docs.
     # DISTRIBUTED parquet write of the semi-join result — a delta that

@@ -19,7 +19,8 @@ this size — a handful of floats per query term).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
 
 from . import bm25, merge, wand
 from .build import docs_path, segments_path
@@ -248,6 +249,11 @@ _SEG_DS_CACHE: dict = {}
 # lexicon dataset cache: merge_index overwrites produce fresh file names
 # (Spark part-file UUIDs), so the file-list key rolls on any rewrite
 _LEX_DS_CACHE: dict = {}
+# in-memory term dictionary (see _term_stats): file-set -> (term -> row,
+# df numpy, entries arrow column); and the file-sets known to exceed the
+# driver byte gate, so they are stat'ed once, not per query
+_LEX_MEM_CACHE: dict = {}
+_LEX_MEM_TOO_BIG: set = set()
 
 _SEG_COLS = [
     "term", "df", "postings",
@@ -349,21 +355,93 @@ def _sql_lit(v, t: str) -> str:
     return f"CAST({int(v)} AS {t.upper()})"
 
 
-def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
-    """Tiny driver-computed result list -> DataFrame as a LocalRelation
-    (SQL VALUES): collect() on it is a driver-side LocalTableScan — no
-    Spark job, no Python-worker roundtrip. The default createDataFrame
-    path would parallelize even a 10-row list into defaultParallelism
-    slices and schedule a 32-task Python-RDD job per collect."""
-    if not rows:
-        return spark.createDataFrame([], schema)
+def _values_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Driver-computed result list -> DataFrame as a LocalRelation (SQL
+    VALUES; a WHERE-false projection for the empty case, cached per schema
+    on the session — createDataFrame([], schema) builds an RDD-backed plan
+    whose every collect schedules a Spark job, ~0.3 s for nothing)."""
     fields = [f.strip().split(None, 1) for f in schema.split(",")]
+    if not rows:
+        cache = getattr(spark, "_pgspark_empty_dfs", None)
+        if cache is None:
+            cache = {}
+            spark._pgspark_empty_dfs = cache
+        df = cache.get(schema)
+        if df is None:
+            cols = ", ".join(
+                f"CAST(NULL AS {t.upper()}) AS {n}" for n, t in fields
+            )
+            df = spark.sql(f"SELECT {cols} WHERE false")
+            cache[schema] = df
+        return df
     names = ", ".join(f[0] for f in fields)
     sql_rows = ", ".join(
         "(" + ", ".join(_sql_lit(v, f[1]) for v, f in zip(r, fields)) + ")"
         for r in rows
     )
     return spark.sql(f"SELECT * FROM (VALUES {sql_rows}) AS t({names})")
+
+
+_PY_COERCE = {
+    "int": int, "integer": int, "bigint": int, "long": int,
+    "smallint": int, "tinyint": int,
+    "double": float, "float": float, "real": float,
+}
+
+
+class _DriverLocalDataFrame(_ClassicDataFrame):
+    """DataFrame over a small driver-computed result (the query tier).
+
+    ``collect()`` returns the precomputed rows directly: the tier already
+    holds the exact result, and round-tripping it through a freshly built
+    JVM plan costs ~35-40 ms of per-DataFrame QueryExecution fixed cost
+    (parse/analyze/optimize/execute — measured on a 10-row LocalRelation,
+    guide §1/§5 "the driver") for zero information. Every OTHER DataFrame
+    operation (toPandas, filter, join, schema, ...) works unchanged
+    through a lazily built LocalRelation (SQL VALUES) over the SAME rows,
+    so semantics are identical to returning the VALUES DataFrame itself —
+    only the collect() hot path skips the JVM detour."""
+
+    def __new__(cls, session: SparkSession, rows: list, schema: str):
+        # the classic base class pins __new__(jdf, sql_ctx); this subclass
+        # constructs from (session, rows, schema) instead
+        return object.__new__(cls)
+
+    def __init__(self, session: SparkSession, rows: list, schema: str):
+        # the subset of _ClassicDataFrame.__init__ state that base-class
+        # methods read (pinned by tests/test_driver_tier.py round-trips)
+        self._session = session
+        self._sc = session._sc
+        self.is_cached = False
+        self._support_repr_html = False
+        fields = [f.strip().split(None, 1) for f in schema.split(",")]
+        coerce = [_PY_COERCE.get(t.lower(), lambda v: v) for _, t in fields]
+        self._pg_rows = [
+            tuple(c(v) for c, v in zip(coerce, r)) for r in rows
+        ]
+        self._pg_row_cls = Row(*[n for n, _ in fields])
+        self._pg_schema = schema
+        self._pg_jdf = None
+
+    @property
+    def _jdf(self):
+        if self._pg_jdf is None:
+            self._pg_jdf = _values_df(
+                self._session, self._pg_rows, self._pg_schema
+            )._jdf
+        return self._pg_jdf
+
+    def collect(self) -> list:
+        rc = self._pg_row_cls
+        return [rc(*r) for r in self._pg_rows]
+
+
+def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Tiny driver-computed result list -> DataFrame whose collect() is
+    driver-side (see _DriverLocalDataFrame); any other use falls back to a
+    LocalRelation (SQL VALUES) plan over the same rows — no Spark job, no
+    Python-worker roundtrip either way."""
+    return _DriverLocalDataFrame(spark, rows, schema)
 
 
 def _seg_scan(spark: SparkSession, index_dir: str, units: list[int]) -> DataFrame:
@@ -417,6 +495,51 @@ def _term_stats(
         _glob.glob(_os.path.join(merge.lexicon_path(index_dir), "*.parquet"))
     )
     key = tuple(files)
+
+    # In-memory term dictionary (byte-gated, same budget knob as the
+    # driver tier): when the whole lexicon parquet fits the driver budget,
+    # hold its arrow table + a term -> row dict and serve lookups with
+    # zero parquet I/O (~0.1 ms vs ~8 ms for the filtered read). Same
+    # rows, same ints -> bit-identical idf/df/parts. Beyond the gate the
+    # filtered pyarrow read below is unchanged (a 10^9-term lexicon never
+    # lands on the driver). Keyed on the file set: merges/compaction mint
+    # new file names, so a rewrite rolls the key — no cross-index reuse.
+    mem = _LEX_MEM_CACHE.get(key)
+    if mem is None and key not in _LEX_MEM_TOO_BIG:
+        cap = _driver_tier_cap()
+        if 0 < sum(_os.path.getsize(f) for f in files) <= cap:
+            full = ds.dataset(files, format="parquet").to_table(
+                columns=["term", "df_total", "entries"]
+            )
+            row_of = {
+                t: i for i, t in enumerate(full["term"].to_pylist())
+            }
+            df_np = full["df_total"].to_numpy(zero_copy_only=False)
+            ents_col = full["entries"]
+            if len(_LEX_MEM_CACHE) >= 4:
+                _LEX_MEM_CACHE.pop(next(iter(_LEX_MEM_CACHE)))
+            mem = (row_of, df_np, ents_col)
+            _LEX_MEM_CACHE[key] = mem
+        else:
+            if len(_LEX_MEM_TOO_BIG) >= 64:
+                _LEX_MEM_TOO_BIG.pop()
+            _LEX_MEM_TOO_BIG.add(key)
+    if mem is not None:
+        row_of, df_np, ents_col = mem
+        idfs, dfs, parts = {}, {}, {}
+        for t in terms:
+            i = row_of.get(t)
+            if i is None:
+                continue
+            df_total = int(df_np[i])
+            idfs[t] = float(bm25.idf(n_docs, df_total))
+            dfs[t] = df_total
+            parts[t] = [
+                (int(e["unit"]), int(e["part_id"]))
+                for e in ents_col[i].as_py()
+            ]
+        return idfs, dfs, parts
+
     dataset = _LEX_DS_CACHE.get(key)
     if dataset is None:
         dataset = ds.dataset(files, format="parquet")
@@ -553,7 +676,7 @@ def search(
     neg_present = [t for t in neg_terms if t in all_idfs]
     present = sorted(idfs)
     if not present or (mode == "and" and len(present) < len(terms)):
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     avgdl = float(stats["avgdl"])
     scorer = wand.score_conjunctive if mode == "and" else wand.STRATEGIES[strategy]
     excluder, tomb_big = _tombstone_excluder_bounded(
@@ -663,7 +786,7 @@ def search_after(
     neg_present = [t for t in neg_terms if t in all_idfs]
     present = sorted(idfs)
     if not present:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     avgdl = float(stats["avgdl"])
     excluder = _tombstone_excluder(index_dir)
     cursor = (float(after[0]), int(after[1]))
@@ -919,7 +1042,7 @@ def search_ranged(
     idfs = _term_idfs(spark, index_dir, terms, stats["n_docs"])
     present = sorted(idfs)
     if not present:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     avgdl = float(stats["avgdl"])
     excluder = _tombstone_excluder(index_dir)
 
@@ -1060,7 +1183,7 @@ def search_multifield(
         for f in fields
     }
     if not any(idfs[f] for f in fields):
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     avgdls = {f: float(stats[f]["avgdl"]) for f in fields}
     excluders = {f: _tombstone_excluder(field_indexes[f]) for f in fields}
 
@@ -1134,7 +1257,7 @@ def search_multifield_prefix(
         }
     )
     if not terms:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     return search_multifield(spark, field_indexes, terms, k, boosts=boosts)
 
 
@@ -1158,7 +1281,7 @@ def search_multifield_wildcard(
         }
     )
     if not terms:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     return search_multifield(spark, field_indexes, terms, k, boosts=boosts)
 
 
@@ -1183,7 +1306,7 @@ def search_multifield_regexp(
         }
     )
     if not terms:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     return search_multifield(spark, field_indexes, terms, k, boosts=boosts)
 
 
@@ -1762,7 +1885,7 @@ def search_multifield_fuzzy(
         }
     )
     if not terms:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     return search_multifield(spark, field_indexes, terms, k, boosts=boosts)
 
 
@@ -1783,7 +1906,7 @@ def search_phrase(
     uniq_terms = sorted(set(phrase))
     idfs = _term_idfs(spark, index_dir, uniq_terms, stats["n_docs"])
     if len(idfs) < len(uniq_terms) or not phrase:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     avgdl = float(stats["avgdl"])
     excluder = _tombstone_excluder(index_dir)
     phrase_order = list(phrase)
@@ -1843,16 +1966,16 @@ def search_phrase_prefix(
     distinct-list convention as ``search_phrase``.
     -> DataFrame(doc_id, score), (score DESC, doc_id ASC)."""
     if not phrase:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     exact = list(phrase[:-1])
     expansions = expand_prefix(index_dir, phrase[-1], max_expansions)
     if not expansions:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     stats = merge.load_stats(index_dir)
     uniq_terms = sorted(set(exact) | set(expansions))
     idfs = _term_idfs(spark, index_dir, uniq_terms, stats["n_docs"])
     if any(t not in idfs for t in exact):
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     avgdl = float(stats["avgdl"])
     excluder = _tombstone_excluder(index_dir)
     expansion_set = sorted(set(expansions))
@@ -1907,7 +2030,7 @@ def search_min_should_match(
     present = sorted(idfs)
     m = max(1, int(min_should_match))
     if len(present) < m:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     avgdl = float(stats["avgdl"])
     excluder = _tombstone_excluder(index_dir)
 
@@ -1949,7 +2072,7 @@ def search_proximity(
     uniq_terms = sorted(set(phrase))
     idfs = _term_idfs(spark, index_dir, uniq_terms, stats["n_docs"])
     if len(idfs) < len(uniq_terms) or not phrase:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     avgdl = float(stats["avgdl"])
     excluder = _tombstone_excluder(index_dir)
     phrase_order = list(phrase)
@@ -2244,7 +2367,7 @@ def more_like_this(
         index_dir, like, max_query_terms, min_term_freq, min_doc_freq
     )
     if not terms:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     if exclude_doc_id is None:
         return search(spark, index_dir, terms, k, **kwargs)
     res = search(spark, index_dir, terms, k + 1, **kwargs)
@@ -2463,7 +2586,7 @@ def search_batch(
     scorer = wand.STRATEGIES[strategy]
     present = sorted(idfs)
     if not present:
-        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+        return _local_df(spark, [], BATCH_RESULT_SCHEMA)
     excluder = _tombstone_excluder(index_dir)
 
     if _driver_tier_ok(stats["units"], all_dfs, present):
@@ -2595,7 +2718,7 @@ def score_all_matches(
     idfs = _term_idfs(spark, index_dir, terms, stats["n_docs"])
     present = sorted(idfs)
     if not present:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return _local_df(spark, [], RESULT_SCHEMA)
     avgdl = float(stats["avgdl"])
     excluder, tomb_big = _tombstone_excluder_bounded(
         index_dir, tombstone_closure_limit
