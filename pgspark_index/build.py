@@ -879,6 +879,39 @@ def make_tokenize_multifield_fn(
 # term's salt fanout instead — plan_salts bounds group size by design).
 _SPLICE_FLUSH_BYTES = int(os.environ.get("PGSPARK_SPLICE_FLUSH_BYTES", 1 << 30))
 
+# ---- bytes-adaptive partials shuffle width --------------------------------
+# The partials exchange used to inherit the full build width; at small
+# data-to-width ratios that leaves hundreds of near-empty reduce tasks,
+# each paying an Arrow worker roundtrip and a parquet writer open/close
+# (A/B at 200k docs / width 128 -> 32: build 10.2 -> 8.4 s). The width now
+# derives from the salt-plan sample's postings estimate — BYTES PER REDUCE
+# PARTITION, not a core count — and is capped at `partitions`, so at real
+# scale (estimate >> target x partitions) it equals the build width
+# exactly as before. ~8 B/posting is the measured partials-shuffle rate at
+# small scale (per-partial row overhead dominates); it overestimates at
+# large scale, which only errs toward more partitions (the safe side for
+# reducer memory). This is AQE's advisory-partition-size discipline
+# applied to an exchange AQE cannot touch (explicit repartition widths are
+# user-pinned).
+_SEG_PART_TARGET_BYTES = int(
+    os.environ.get("PGSPARK_SEG_PART_TARGET_BYTES", 4 << 20)
+)
+_PARTIAL_BYTES_PER_POSTING = 8
+
+# row-group byte bound for segment parquet files (see the write site)
+_SEG_ROWGROUP_BYTES = int(
+    os.environ.get("PGSPARK_SEG_ROWGROUP_BYTES", 4 << 20)
+)
+
+
+def _seg_shuffle_width(unit_est_postings, partitions: int) -> int:
+    """Partials-shuffle width for one unit from its postings estimate.
+    Falls back to the full build width when no estimate is available."""
+    if not unit_est_postings or unit_est_postings <= 0 or _SEG_PART_TARGET_BYTES <= 0:
+        return partitions
+    unit_bytes = unit_est_postings * _PARTIAL_BYTES_PER_POSTING
+    return max(1, min(partitions, math.ceil(unit_bytes / _SEG_PART_TARGET_BYTES)))
+
 
 def _splice_merge_fn(batches):
     """mapInArrow: shuffled partial lists (sorted by term, salt, first_doc)
@@ -1307,26 +1340,41 @@ def make_rebase_fn(bases: dict[int, int]):
     return fn
 
 
+class SaltPlan(dict):
+    """term -> salt fanout, plus ``est_postings``: the sample's estimate of
+    total (term, doc) pairs in the planned source (scaled back up). The
+    estimate prices the partials shuffle (see _seg_shuffle_width) — it is
+    sizing metadata only, never a correctness input."""
+
+    est_postings: int | None = None
+
+
 def plan_salts(
     ded: DataFrame,
     sample_fraction: float,
     salt_target: int,
     max_fanout: int,
     seed: int = 7,
-) -> list[tuple[str, int]]:
+    extra_scale: float = 1.0,
+) -> "SaltPlan":
     """Estimate head-term doc frequencies from a doc sample and assign each
     an explicit salt fan-out so no (term, salt) group exceeds ~salt_target
     postings. Zipf tail terms get fanout 1 (no extra shuffle width).
+
+    ``extra_scale``: sample-to-corpus factor beyond the row fraction (the
+    file-subset path of plan_salts_source samples a fraction of the FILES
+    too; without it both the fanouts and the postings estimate would be
+    low by that factor).
 
     The reference precedent is choosing the Kafka partition-key strategy to
     control skew (pkg/wal/processor/kafka/config.go:21-39); here the 'key
     strategy' is computed per term from data."""
     if sample_fraction >= 1.0:
         sample = ded
-        scale = 1.0
+        scale = float(extra_scale)
     else:
         sample = ded.sample(fraction=sample_fraction, seed=seed)
-        scale = 1.0 / sample_fraction
+        scale = float(extra_scale) / sample_fraction
         # row-level sampling leaves every input partition ~fraction full;
         # coalesce merges most of that emptiness back so the tokenize tasks
         # of this pass carry roughly un-sampled-sized row counts instead of
@@ -1341,18 +1389,28 @@ def plan_salts(
         target = max(8, math.ceil(p * sample_fraction * 4))
         if p > target:
             sample = sample.coalesce(target)
+    obs = Observation()
     head = (
         sample.mapInPandas(explode_token_counts_fn, schema=EXPLODED_SCHEMA)
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") * scale > salt_target)
         .collect()
     )
-    plan = []
+    plan = SaltPlan()
     for r in head:
         fanout = min(max_fanout, int(math.ceil(r["cnt"] * scale / salt_target)))
         if fanout > 1:
-            plan.append((r["term"], fanout))
+            plan[r["term"]] = fanout
+    try:
+        rows = obs.get["rows"]
+    except Exception:  # noqa: BLE001 — sizing hint only: tiny/local-
+        # relation sources can execute the sample as a driver-local
+        # collect where the observation never registers; the shuffle
+        # width then falls back to the full build width
+        rows = None
+    plan.est_postings = int(rows * scale) if rows else None
     return plan
 
 
@@ -1432,15 +1490,23 @@ def plan_salts_source(
             subset = rng.sample(sorted(files), take)  # sorted: deterministic plan
             sampled = source.sparkSession.read.schema(source.schema).parquet(*subset)
             # keep the SAME expected sample size: scale the row fraction up
-            # by the inverse file fraction (capped at 1.0)
+            # by the inverse file fraction (capped at 1.0); the file
+            # fraction itself goes to plan_salts as extra_scale so counts
+            # scale back to CORPUS totals (without it fanouts and the
+            # postings estimate read low by files/take)
             frac = min(1.0, sample_fraction * len(files) / take)
+            extra = len(files) / take
+        else:
+            extra = 1.0
         ded = sampled.select(
             F.xxhash64("url").alias("doc_id"), html_col.alias("html"), "text"
         )
-    return dict(
-        plan_salts(
-            ded, frac, salt_target * max(1, num_units), max_fanout, seed
+        return plan_salts(
+            ded, frac, salt_target * max(1, num_units), max_fanout, seed,
+            extra_scale=extra,
         )
+    return plan_salts(
+        ded, frac, salt_target * max(1, num_units), max_fanout, seed
     )
 
 
@@ -1525,7 +1591,14 @@ def build_unit(
             F.col("url").isNull() | (F.octet_length("url") <= max_id_bytes)
         )
     if salt_plan is None:
-        salt_plan = dict(plan_salts(ded, sample_fraction, salt_target, max_fanout))
+        # plan computed from THIS unit's slice — its estimate is already
+        # unit-scoped (the shared plan from plan_salts_source is corpus-
+        # wide and divides by num_units below)
+        salt_plan = plan_salts(ded, sample_fraction, salt_target, max_fanout)
+        unit_est = getattr(salt_plan, "est_postings", None)
+    else:
+        g = getattr(salt_plan, "est_postings", None)
+        unit_est = g / max(1, num_units) if g else None
     # Hash-stripe the docs and sort within partitions by (stripe, doc hash,
     # doc_id, version DESC, ...): the ONE data shuffle of the build. The
     # stripe (top bits of xxhash64(doc_id), a pure function of the id — see
@@ -1583,7 +1656,8 @@ def build_unit(
         # `partitions`-wide shuffle-map stage is what populates the
         # tokenize cache, so the docs job below can coalesce its output to
         # few, larger files without serializing the tokenize itself.
-        seg_parts = int(os.environ.get("PGSPARK_SEG_SHUFFLE_PARTS", "0")) or partitions
+        seg_parts = int(os.environ.get("PGSPARK_SEG_SHUFFLE_PARTS", "0")) or \
+            _seg_shuffle_width(unit_est, partitions)
         segments = (
             partials.repartition(seg_parts, "term", "salt")
             .sortWithinPartitions("term", "salt", "first_doc")
@@ -1594,7 +1668,15 @@ def build_unit(
                 F.sum(F.length("postings")).alias("bytes"),
             )
         )
-        segments.write.mode("overwrite").parquet(
+        # bounded parquet row groups keep the query-time term IN (...) read
+        # selective INSIDE a file (guide §6): files are term-sorted, so
+        # each ~4 MB row group spans a narrow term range and min/max stats
+        # prune the rest — essential once bytes-adaptive widths produce
+        # multi-GB segment files at real scale (the default 128 MB groups
+        # would make every term lookup decompress 128 MB)
+        segments.write.mode("overwrite").option(
+            "parquet.block.size", str(_SEG_ROWGROUP_BYTES)
+        ).parquet(
             os.path.join(segments_path(index_dir), f"unit={unit}")
         )
         phases["tokenize_segments"] = round(_time.time() - _t0, 2)
