@@ -898,9 +898,13 @@ _SEG_PART_TARGET_BYTES = int(
 )
 _PARTIAL_BYTES_PER_POSTING = 8
 
-# row-group byte bound for segment parquet files (see the write site)
+# row-group byte bound for segment parquet files (see the write site).
+# Segment reads are POINT lookups (term IN over term-sorted files), so
+# small groups maximize row-group pruning; 1 MB measured best on the
+# 50-query pass with no build cost (vs whole-file decompression at the
+# parquet default 128 MB).
 _SEG_ROWGROUP_BYTES = int(
-    os.environ.get("PGSPARK_SEG_ROWGROUP_BYTES", 4 << 20)
+    os.environ.get("PGSPARK_SEG_ROWGROUP_BYTES", 1 << 20)
 )
 
 

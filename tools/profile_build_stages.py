@@ -86,6 +86,11 @@ def main():
                 "tasks": s["numCompleteTasks"],
                 "exec_cpu_s": round(s.get("executorCpuTime", 0) / 1e9, 2),
                 "exec_run_s": round(s.get("executorRunTime", 0) / 1e3, 2),
+                "gc_s": round(s.get("jvmGcTime", 0) / 1e3, 2),
+                "deser_s": round(s.get("executorDeserializeTime", 0) / 1e3, 2),
+                "sh_w_s": round(s.get("shuffleWriteTime", 0) / 1e9, 2),
+                "sh_fetch_s": round(s.get("shuffleFetchWaitTime", 0) / 1e3, 2),
+                "result_ser_s": round(s.get("resultSerializationTime", 0) / 1e3, 2),
                 "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
                 "sh_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
                 "sh_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
