@@ -352,6 +352,8 @@ def _sql_lit(v, t: str) -> str:
         # string->double parse is correctly rounded, so the score survives
         # bit-exactly through the SQL literal
         return f"CAST('{float(v)!r}' AS DOUBLE)"
+    if t == "string":
+        return "'" + str(v).replace("'", "''") + "'"
     return f"CAST({int(v)} AS {t.upper()})"
 
 
@@ -2640,23 +2642,45 @@ def search_batch(
         )
     )
 
-    def score_unit_all(key, pdf):
+    # The scoring task granularity used to be ONE task per unit (queries
+    # threaded inside): a 2-unit index batch ran on 2 tasks no matter how
+    # many cores the cluster has. Queries are independent, so they now
+    # round-robin into CHUNKS and the grouping key becomes (unit, chunk) —
+    # tasks = units x chunks ≈ the cluster's parallelism. A broadcast
+    # (term -> chunk) map routes each segment row to the chunks that need
+    # it (a term's rows duplicate through the shuffle only when several
+    # chunks' queries share it). Per (query, unit) the scorer sees exactly
+    # the rows it saw before -> identical emissions, identical window
+    # top-k.
+    import math as _math
+
+    par = max(1, int(spark.sparkContext.defaultParallelism))
+    n_units = max(1, len(stats["units"]))
+    n_chunks = max(1, min(len(qspec), _math.ceil(par / n_units)))
+    chunks = [qspec[i::n_chunks] for i in range(n_chunks)]
+    tc_rows = sorted(
+        {(t, ci) for ci, ch in enumerate(chunks) for q in ch for t in q["terms"]}
+    )
+    seg2 = seg.join(
+        F.broadcast(_values_df(spark, tc_rows, "term string, qc int")), "term"
+    )
+
+    def score_unit_chunk(key, pdf):
         from concurrent.futures import ThreadPoolExecutor
 
         import pandas as pd
 
-        sc = _sidecar(index_dir, key[0])
-        exclude = sc.ords_of_docs(excluder(key[0]))
-        lists = _rows_to_lists(pdf, idfs)
+        unit, qc = int(key[0]), int(key[1])
+        qs = chunks[qc]
+        sc = _sidecar(index_dir, unit)
+        exclude = sc.ords_of_docs(excluder(unit))
         by_term: dict[str, list[dict]] = {}
-        for lst in lists:
+        for lst in _rows_to_lists(pdf, idfs):
             by_term.setdefault(lst["term"], []).append(lst)
 
         # per-query scoring is independent and numpy-bound (GIL released);
-        # a batch's unit task would otherwise score its whole query set
-        # serially — with one task per unit, that serialization IS the
-        # batch latency. pool.map preserves qspec order (deterministic
-        # output rows).
+        # a small pool inside the task fills the chunk's queries. pool.map
+        # preserves chunk order (deterministic output rows).
         def one(q):
             qlists = [l for t in q["terms"] for l in by_term.get(t, [])]
             if not qlists:
@@ -2664,8 +2688,8 @@ def search_batch(
             docs, scores = scorer(qlists, avgdl, q["k"], sc, exclude=exclude)
             return q["query_id"], docs, scores
 
-        with ThreadPoolExecutor(max_workers=min(8, max(1, len(qspec)))) as pool:
-            results = [r for r in pool.map(one, qspec) if r is not None]
+        with ThreadPoolExecutor(max_workers=min(4, max(1, len(qs)))) as pool:
+            results = [r for r in pool.map(one, qs) if r is not None]
         out_q, out_d, out_s = [], [], []
         for qid, docs, scores in results:
             out_q.extend([qid] * len(docs))
@@ -2673,12 +2697,15 @@ def search_batch(
             out_s.extend(scores.tolist())
         return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
 
-    per_unit = seg.groupBy("unit").applyInPandas(score_unit_all, schema=BATCH_RESULT_SCHEMA)
+    per_unit = seg2.groupBy("unit", "qc").applyInPandas(
+        score_unit_chunk, schema=BATCH_RESULT_SCHEMA
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    kmap = {q["query_id"]: q["k"] for q in qspec}
-    kdf = spark.createDataFrame(list(kmap.items()), "query_id int, k int")
+    kdf = _values_df(
+        spark, [(q["query_id"], q["k"]) for q in qspec], "query_id int, k int"
+    )
     return (
         per_unit.withColumn("rank", F.row_number().over(w))
         .join(F.broadcast(kdf), "query_id")
