@@ -38,7 +38,10 @@ from .build import docs_path, segments_path
 
 
 class _UnitSidecar:
-    __slots__ = ("ords", "doc_ids", "dls", "docs_sorted", "ords_by_doc")
+    __slots__ = (
+        "ords", "doc_ids", "dls", "docs_sorted", "ords_by_doc",
+        "_run_ord", "_run_idx",
+    )
 
     def __init__(self, ords, doc_ids, dls):
         import numpy as np
@@ -50,21 +53,48 @@ class _UnitSidecar:
         self.docs_sorted = doc_ids[by_doc]
         self.ords_by_doc = ords[by_doc]
 
+    def _row_of(self, ords):
+        """ordinal array -> row indices into the sidecar arrays.
+
+        Ordinals are CONTIGUOUS per build task (pid << ORD_SHIFT + rank,
+        quarantined docs consume none), so the ord-sorted sidecar is a few
+        contiguous runs: binary search over the ~P run heads + offset
+        arithmetic replaces a log(n_docs) searchsorted per probe over the
+        full (mmap'd) ordinal array — the dl/doc gather was the largest
+        single cost of scoring df≈n_docs head terms. Falls back gracefully
+        for ANY ord layout (a run per element at worst = the old cost)."""
+        import numpy as np
+
+        try:
+            r_ord, r_idx = self._run_ord, self._run_idx
+        except AttributeError:
+            o = np.asarray(self.ords)
+            if o.size:
+                starts = np.flatnonzero(np.diff(o) != 1) + 1
+                r_idx = np.concatenate(
+                    (np.zeros(1, dtype=np.int64), starts)
+                ).astype(np.int64)
+                r_ord = o[r_idx]
+            else:
+                r_idx = np.zeros(0, dtype=np.int64)
+                r_ord = np.zeros(0, dtype=np.int64)
+            self._run_ord, self._run_idx = r_ord, r_idx
+        r = np.searchsorted(r_ord, ords, side="right") - 1
+        return r_idx[r] + (ords - r_ord[r])
+
     def dl_of(self, ords):
         import numpy as np
 
         if ords.size == 0:
             return np.zeros(0, dtype=np.int64)
         # every posting ordinal exists in the sidecar by construction
-        return self.dls[np.searchsorted(self.ords, ords)]
+        return self.dls[self._row_of(ords)]
 
     def doc_of(self, ords):
         """ordinals -> doc_ids (result emission / tie-break mapping)."""
-        import numpy as np
-
         if ords.size == 0:
             return ords
-        return self.doc_ids[np.searchsorted(self.ords, ords)]
+        return self.doc_ids[self._row_of(ords)]
 
     def ords_of_docs(self, docs):
         """sorted doc_ids -> SORTED ordinals of those PRESENT in the unit

@@ -193,6 +193,26 @@ def _member_mask(sorted_vals: np.ndarray, probes: np.ndarray) -> np.ndarray:
     return sorted_vals[pos] == probes
 
 
+def _member_mask_sorted(sorted_vals: np.ndarray, probes: np.ndarray) -> np.ndarray:
+    """_member_mask for probes that are themselves SORTED and DUPLICATE-
+    FREE (decoded posting doc arrays): probes the smaller array into the
+    larger one, so a few pruned candidates checked against millions of
+    postings cost O(cands log postings), not O(postings log cands)."""
+    n, p = sorted_vals.size, probes.size
+    if n == 0 or p == 0:
+        return np.zeros(p, dtype=bool)
+    if p <= n:
+        pos = np.searchsorted(sorted_vals, probes)
+        pos = np.minimum(pos, n - 1)
+        return sorted_vals[pos] == probes
+    pos = np.searchsorted(probes, sorted_vals)
+    pos = np.minimum(pos, p - 1)
+    hit = probes[pos] == sorted_vals
+    mask = np.zeros(p, dtype=bool)
+    mask[pos[hit]] = True
+    return mask
+
+
 def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float, sc):
     """Decode only the blocks that can contain candidate docs; return
     (docs, contribs) restricted to candidates. Pure block-max skipping.
@@ -206,8 +226,13 @@ def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float, sc):
     handful of vectorized passes — same docs, same contribs."""
     last = np.asarray(lst["block_last_doc"], dtype=np.int64)
     offs = np.asarray(lst["block_offset"], dtype=np.int64)
-    needed = np.unique(np.searchsorted(last, cand_docs))
-    needed = needed[needed < last.size]
+    # block b covers docs in (last[b-1], last[b]]: probe the FEW block
+    # bounds into the (sorted) candidate array, not every candidate into
+    # the bounds — O(blocks log cands) instead of O(cands log blocks) plus
+    # a full unique-sort of the result (the former dominated head-term
+    # queries: millions of candidates x one probe pass per salt list)
+    pos = np.searchsorted(cand_docs, last, side="right")
+    needed = np.flatnonzero(np.diff(pos, prepend=0) > 0)
     if needed.size == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     blob = lst["postings"]
@@ -226,7 +251,7 @@ def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float, sc):
             gaps[0] += np.uint64(int(last[b0 - 1]))
         doc = np.cumsum(gaps, dtype=np.uint64).view(np.int64)
         tf = stream[1::2].astype(np.int64)
-        mask = _member_mask(cand_docs, doc)
+        mask = _member_mask_sorted(cand_docs, doc)
         if mask.any():
             dsel = doc[mask]
             out_docs.append(dsel)
@@ -307,7 +332,10 @@ def score_maxscore(
             pos = np.searchsorted(cand_docs, doc)
             clipped = np.minimum(pos, cand_docs.size - 1)
             is_old = cand_docs[clipped] == doc
-            np.add.at(cand_acc, pos[is_old], contrib[is_old])
+            # doc is unique-sorted within a term group and cand_docs is
+            # unique, so the hit positions are unique — a plain fancy-index
+            # add is exact and ~10x np.add.at's scatter loop
+            cand_acc[pos[is_old]] += contrib[is_old]
         else:
             is_old = np.zeros(doc.size, dtype=bool)
         if admitting and (~is_old).any():
@@ -326,10 +354,12 @@ def score_maxscore(
             if admitting and rem_after[i] < T:
                 admitting = False
 
-    # exact re-sum over surviving candidates only, in term order
+    # exact re-sum over surviving candidates only, in term order (the
+    # kept doc arrays are sorted-unique per term group, so the sorted
+    # variant probes the few survivors into them, not vice versa)
     all_docs, all_contribs, all_tranks = [], [], []
     for doc, contrib, trank in kept:
-        mask = _member_mask(cand_docs, doc)
+        mask = _member_mask_sorted(cand_docs, doc)
         all_docs.append(doc[mask])
         all_contribs.append(contrib[mask])
         all_tranks.append(np.full(int(mask.sum()), trank, dtype=np.int32))
