@@ -42,6 +42,7 @@ never has to agree with doc_id order."""
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 
@@ -263,6 +264,51 @@ def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float, sc):
     return np.concatenate(out_docs), np.concatenate(out_contribs)
 
 
+# score_maxscore's dense fallback: when the query's total df rivals the
+# unit's doc count, NO threshold can prune (nearly every doc is a
+# candidate) and MaxScore degenerates into exhaustive scoring plus the
+# overhead of its candidate merges/sorts. A flat per-row accumulator is
+# then the optimal TAAT shape — but it allocates 9 bytes/row, so it only
+# engages on units up to this many rows (env-tunable; at larger units the
+# standard MaxScore path runs unchanged).
+_DENSE_TAAT_MAX_ROWS = int(
+    os.environ.get("PGSPARK_DENSE_TAAT_MAX_ROWS", 8_000_000)
+)
+
+
+def _score_dense_taat(lists, avgdl: float, k: int, sc, exclude, include):
+    """Flat-accumulator exhaustive TAAT over the unit's row space.
+
+    Bit-identical to _exact_topk's answer: the same _decoded_contribs
+    values are `+=`-ed per doc in the same term-rank order (stable within
+    a term, where salt lists are doc-disjoint anyway), and the top-k
+    tie-break is the same (score DESC, mapped doc_id ASC) selection."""
+    ranks = _term_ranks(lists)
+    n = sc.ords.size
+    acc = np.zeros(n, dtype=np.float64)
+    hit = np.zeros(n, dtype=bool)
+    for lst in sorted(lists, key=lambda l: ranks[l["term"]]):
+        doc, contrib = _decoded_contribs(lst, avgdl, sc, exclude, include)
+        if doc.size == 0:
+            continue
+        idx = sc._row_of(doc)
+        acc[idx] += contrib  # unique idx per list (unique docs per list)
+        hit[idx] = True
+    rows = np.flatnonzero(hit)
+    if rows.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    scores = acc[rows]
+    if rows.size > k:
+        # cut to the >= kth-score candidates first (ties all kept), then
+        # tie-break the small set exactly like _exact_topk's lexsort
+        kth = np.partition(scores, scores.size - k)[scores.size - k]
+        m = scores >= kth
+        rows, scores = rows[m], scores[m]
+    mapped = np.asarray(sc.doc_ids)[rows]
+    sel = np.lexsort((mapped, -scores))[:k]
+    return mapped[sel], scores[sel]
+
+
 def score_maxscore(
     lists: list[dict], avgdl: float, k: int, sc,
     exclude: np.ndarray | None = None, include: np.ndarray | None = None,
@@ -276,6 +322,14 @@ def score_maxscore(
     re-summed in term order for bit-exactness."""
     if not lists:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    ords = getattr(sc, "ords", None)
+    if (
+        ords is not None
+        and hasattr(sc, "_row_of")
+        and 0 < ords.size <= _DENSE_TAAT_MAX_ROWS
+        and sum(int(l["df"]) for l in lists) >= ords.size
+    ):
+        return _score_dense_taat(lists, avgdl, k, sc, exclude, include)
     ranks = _term_ranks(lists)
     # Salted lists of ONE term are doc-disjoint slices of that term's
     # postings — process them as one logical list: the per-doc upper

@@ -123,6 +123,36 @@ def test_seg_shuffle_width_derivation():
     assert w(10**12, parts) == parts
 
 
+def test_dense_taat_matches_classic_maxscore(spark, idx, monkeypatch):
+    """df≈n queries take the flat-accumulator path; results must be
+    bit-identical to the classic MaxScore machinery on the same index."""
+    import numpy as np
+
+    from pgspark_index import wand
+
+    stats = merge.load_stats(idx)
+    terms = ["alpha", "beta", "gamma", "delta"]  # dense vs the tiny corpus
+    idfs, dfs, parts = query._term_stats(spark, idx, terms, stats["n_docs"])
+    up = query._unit_part_ids(parts, sorted(idfs), stats["units"])
+    outs = {}
+    for cap in (8_000_000, 0):  # dense engaged vs force-classic
+        monkeypatch.setattr(wand, "_DENSE_TAAT_MAX_ROWS", cap)
+        res = []
+        for u in stats["units"]:
+            pdf = query._unit_seg_pdf(idx, u, sorted(idfs), part_ids=up[u])
+            sc = query._sidecar(idx, u)
+            res.append(
+                wand.score_maxscore(
+                    query._rows_to_lists(pdf, idfs),
+                    float(stats["avgdl"]), 3, sc,
+                )
+            )
+        outs[cap] = res
+    for a, b in zip(outs[8_000_000], outs[0]):
+        assert np.array_equal(a[0], b[0])
+        assert np.array_equal(a[1], b[1])  # bit-exact scores
+
+
 def test_salt_plan_carries_estimate(spark):
     pdf = pd.DataFrame(
         {"doc_id": range(400), "text": ["alpha beta gamma"] * 400}
