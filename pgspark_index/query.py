@@ -538,7 +538,10 @@ def _term_stats(
     # new file names, so a rewrite rolls the key — no cross-index reuse.
     mem = _LEX_MEM_CACHE.get(key)
     if mem is None and key not in _LEX_MEM_TOO_BIG:
-        cap = _driver_tier_cap()
+        # the retained structures (term -> row dict + decompressed arrow
+        # table) run ~8-15x the compressed parquet bytes, so the gate
+        # admits only lexicons whose EXPANDED size fits the driver budget
+        cap = _driver_tier_cap() // 8
         if 0 < sum(_os.path.getsize(f) for f in files) <= cap:
             full = ds.dataset(files, format="parquet").to_table(
                 columns=["term", "df_total", "entries"]
@@ -548,7 +551,7 @@ def _term_stats(
             }
             df_np = full["df_total"].to_numpy(zero_copy_only=False)
             ents_col = full["entries"]
-            if len(_LEX_MEM_CACHE) >= 4:
+            if len(_LEX_MEM_CACHE) >= 2:
                 _LEX_MEM_CACHE.pop(next(iter(_LEX_MEM_CACHE)))
             mem = (row_of, df_np, ents_col)
             _LEX_MEM_CACHE[key] = mem
@@ -2618,7 +2621,12 @@ def search_batch(
     scorer = wand.STRATEGIES[strategy]
     present = sorted(idfs)
     if not present:
-        return _local_df(spark, [], BATCH_RESULT_SCHEMA)
+        # same 4-column shape as every non-empty return (the old 3-column
+        # BATCH_RESULT_SCHEMA empty made all-absent-terms batches
+        # schema-incompatible with normal results)
+        return _local_df(
+            spark, [], "query_id int, rank int, doc_id bigint, score double"
+        )
     excluder = _tombstone_excluder(index_dir)
 
     if _driver_tier_ok(stats["units"], all_dfs, present):
@@ -2687,6 +2695,27 @@ def search_batch(
     par = max(1, int(spark.sparkContext.defaultParallelism))
     n_units = max(1, len(stats["units"]))
     n_chunks = max(1, min(len(qspec), _math.ceil(par / n_units)))
+    # A term shared by queries in several chunks ships its postings once
+    # per chunk through the exchange; bound that duplication in BYTES
+    # (estimated from the lexicon dfs at ~2.3 B/posting compressed) so a
+    # head term used by every query cannot multiply the shuffle by the
+    # cluster's core count — halve the chunk count until the duplicate
+    # budget fits.
+    import os as _os
+
+    dup_budget = int(_os.environ.get("PGSPARK_BATCH_DUP_BYTES", 256 << 20))
+
+    def _dup_bytes(nc: int) -> int:
+        uses: dict[str, int] = {}
+        for ci in range(nc):
+            for t in {t for q in qspec[ci::nc] for t in q["terms"]}:
+                uses[t] = uses.get(t, 0) + 1
+        return int(
+            sum(all_dfs.get(t, 0) * 2.3 * (n - 1) for t, n in uses.items())
+        )
+
+    while n_chunks > 1 and _dup_bytes(n_chunks) > dup_budget:
+        n_chunks = max(1, n_chunks // 2)
     chunks = [qspec[i::n_chunks] for i in range(n_chunks)]
     tc_rows = sorted(
         {(t, ci) for ci, ch in enumerate(chunks) for q in ch for t in q["terms"]}

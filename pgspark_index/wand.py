@@ -268,11 +268,13 @@ def _probe_blocks(lst: dict, cand_docs: np.ndarray, avgdl: float, sc):
 # unit's doc count, NO threshold can prune (nearly every doc is a
 # candidate) and MaxScore degenerates into exhaustive scoring plus the
 # overhead of its candidate merges/sorts. A flat per-row accumulator is
-# then the optimal TAAT shape — but it allocates 9 bytes/row, so it only
-# engages on units up to this many rows (env-tunable; at larger units the
+# then the optimal TAAT shape — but it allocates 9 bytes/row PER SCORING
+# THREAD (the batch path scores several queries concurrently inside a
+# task), so it only engages on units up to this many rows (env-tunable,
+# 36 MB of transient accumulator at the default; at larger units the
 # standard MaxScore path runs unchanged).
 _DENSE_TAAT_MAX_ROWS = int(
-    os.environ.get("PGSPARK_DENSE_TAAT_MAX_ROWS", 8_000_000)
+    os.environ.get("PGSPARK_DENSE_TAAT_MAX_ROWS", 4_000_000)
 )
 
 
